@@ -1,0 +1,220 @@
+"""Continental zone geometry: vectorized point-in-polygon and the coarse
+raster classifier used on the hot zone-assignment path.
+
+Role equivalence: what the reference delegates to shapely
+``contains``/``intersects`` against the zone GeoParquets
+(/root/reference/src/equi7grid/core.py:400-411, pytileproj zone checks)
+is re-expressed here as numpy even-odd crossing tests, accelerated by
+
+- a longitude-bucket edge index (exact test touches only edges whose
+  lon-span covers the query point), and
+- a 0.1 deg raster that classifies each cell per zone as inside /
+  outside / boundary; only boundary-cell points fall through to the
+  exact test (coarse cell pre-index in the H3/S2 role of the north rule).
+
+Everything is vectorized over point arrays; no Python-per-row in any
+query path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+
+from equi7grid_ray.constants import DEFAULT_CONTINENT_ORDER
+from equi7grid_ray.sources.zone_build import ZONES_NPZ, load_zone_rings
+
+__all__ = ["GeoPolygon", "ZoneClassifier", "get_zone_classifier"]
+
+_RASTER_RES = 0.1
+_DATA_DIR = Path(__file__).resolve().parent / "data"
+
+
+class GeoPolygon:
+    """A multipolygon with vectorized even-odd PIP (works in geographic
+    lon/lat or any planar frame; holes handled by parity)."""
+
+    def __init__(self, rings: list[tuple[np.ndarray, bool]], bin_width: float = 0.25):
+        self.rings = rings
+        segs = []
+        for xy, _hole in rings:
+            p = np.asarray(xy, dtype=np.float64)
+            if not (p[0] == p[-1]).all():
+                p = np.vstack([p, p[:1]])
+            segs.append(np.column_stack([p[:-1], p[1:]]))
+        e = np.vstack(segs) if segs else np.empty((0, 4))
+        self.x1, self.y1, self.x2, self.y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+        allx = np.concatenate([r[0][:, 0] for r in rings])
+        ally = np.concatenate([r[0][:, 1] for r in rings])
+        self.bbox = (allx.min(), ally.min(), allx.max(), ally.max())
+        # longitude-bucket edge index
+        self.bin_width = bin_width
+        self._x0 = self.bbox[0]
+        lo = np.floor((np.minimum(self.x1, self.x2) - self._x0) / bin_width).astype(np.int64)
+        hi = np.floor((np.maximum(self.x1, self.x2) - self._x0) / bin_width).astype(np.int64)
+        self._nbins = int(np.floor((self.bbox[2] - self._x0) / bin_width)) + 1
+        counts = np.zeros(self._nbins + 1, dtype=np.int64)
+        spans = hi - lo + 1
+        np.add.at(counts, lo + 1, 1)  # prefix trick then expand below
+        # build bucket membership by explicit expansion (edges span few bins)
+        idx = np.repeat(np.arange(len(lo)), spans)
+        bins = np.concatenate([np.arange(a, b + 1) for a, b in zip(lo, hi)]) if len(lo) else np.empty(0, np.int64)
+        order = np.argsort(bins, kind="stable")
+        self._bucket_edges = idx[order]
+        self._bucket_offsets = np.searchsorted(bins[order], np.arange(self._nbins + 1))
+
+    def contains(self, x, y) -> np.ndarray:
+        """Even-odd PIP, vectorized over points."""
+        x = np.asarray(x, dtype=np.float64).ravel()
+        y = np.asarray(y, dtype=np.float64).ravel()
+        out = np.zeros(x.shape, dtype=bool)
+        bx0, by0, bx1, by1 = self.bbox
+        inb = (x >= bx0) & (x <= bx1) & (y >= by0) & (y <= by1)
+        if not inb.any():
+            return out
+        xi = x[inb]
+        yi = y[inb]
+        bins = np.floor((xi - self._x0) / self.bin_width).astype(np.int64)
+        res = np.zeros(xi.shape, dtype=bool)
+        for b in np.unique(bins):
+            eidx = self._bucket_edges[self._bucket_offsets[b]:self._bucket_offsets[b + 1]]
+            if len(eidx) == 0:
+                continue
+            pm = bins == b
+            px = xi[pm][:, None]
+            py = yi[pm][:, None]
+            x1 = self.x1[eidx][None, :]
+            y1 = self.y1[eidx][None, :]
+            x2 = self.x2[eidx][None, :]
+            y2 = self.y2[eidx][None, :]
+            crossing = (x1 > px) != (x2 > px)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ylat = y1 + (px - x1) * (y2 - y1) / (x2 - x1)
+            hits = crossing & (ylat > py)
+            res[pm] = hits.sum(axis=1) % 2 == 1
+        out[inb] = res
+        return out
+
+
+class ZoneClassifier:
+    """Batch classifier: which continental zones contain each lon/lat.
+
+    Fast path = raster bit lookup; boundary cells fall back to the exact
+    bucketed PIP.  Returns a (n_points, n_zones) bool matrix in the
+    order of ``self.order``.
+    """
+
+    def __init__(self, buffered: bool = False, order: list[str] | None = None):
+        self.buffered = buffered
+        self.order = list(order or DEFAULT_CONTINENT_ORDER)
+        rings = load_zone_rings(buffered=buffered)
+        self.polys = {z: GeoPolygon(r) for z, r in rings.items()}
+        self.res = _RASTER_RES
+        self._inside, self._boundary = self._load_or_build_raster()
+
+    # -- raster ------------------------------------------------------------
+
+    def _raster_cache_path(self) -> Path:
+        h = hashlib.sha256(ZONES_NPZ.read_bytes()).hexdigest()[:12]
+        sfx = "bfrd" if self.buffered else "std"
+        return _DATA_DIR / f"zone_raster_{sfx}_{h}.npz"
+
+    def _load_or_build_raster(self) -> tuple[np.ndarray, np.ndarray]:
+        p = self._raster_cache_path()
+        if p.exists():
+            d = np.load(p)
+            return d["inside"], d["boundary"]
+        inside, boundary = self._build_raster()
+        np.savez_compressed(p, inside=inside, boundary=boundary)
+        return inside, boundary
+
+    def _build_raster(self) -> tuple[np.ndarray, np.ndarray]:
+        res = self.res
+        ncol = int(round(360.0 / res))
+        nrow = int(round(180.0 / res))
+        inside_bits = np.zeros((nrow, ncol), dtype=np.uint8)
+        boundary_bits = np.zeros((nrow, ncol), dtype=np.uint8)
+        lat_centers = -90.0 + res * (np.arange(nrow) + 0.5)
+        lon_centers = -180.0 + res * (np.arange(ncol) + 0.5)
+        for zi, zone in enumerate(self.order):
+            poly = self.polys.get(zone)
+            if poly is None:
+                continue
+            bit = np.uint8(1 << zi)
+            bnd = np.zeros((nrow, ncol), dtype=bool)
+            # mark boundary cells by sampling each edge densely
+            x1, y1, x2, y2 = poly.x1, poly.y1, poly.x2, poly.y2
+            seglen = np.maximum(np.abs(x2 - x1), np.abs(y2 - y1))
+            nsamp = np.maximum(2, np.ceil(seglen / (0.4 * res)).astype(np.int64) + 1)
+            total = int(nsamp.sum())
+            t = np.concatenate([np.linspace(0.0, 1.0, int(k)) for k in nsamp])
+            ei = np.repeat(np.arange(len(x1)), nsamp)
+            sx = x1[ei] + t * (x2[ei] - x1[ei])
+            sy = y1[ei] + t * (y2[ei] - y1[ei])
+            ci = np.clip(((sx + 180.0) / res).astype(np.int64), 0, ncol - 1)
+            ri = np.clip(((sy + 90.0) / res).astype(np.int64), 0, nrow - 1)
+            bnd[ri, ci] = True
+            del t, ei, sx, sy, ci, ri
+            assert total < 50_000_000
+            # dilate by one cell (guards sample spacing + cell-edge cases)
+            d = bnd.copy()
+            d[1:, :] |= bnd[:-1, :]
+            d[:-1, :] |= bnd[1:, :]
+            d[:, 1:] |= d[:, :-1].copy()
+            d[:, :-1] |= d[:, 1:].copy()
+            bnd = d
+            # scanline fill on cell centers
+            fill = np.zeros((nrow, ncol), dtype=bool)
+            y1e, y2e = y1, y2
+            for r, lat in enumerate(lat_centers):
+                m = (y1e > lat) != (y2e > lat)
+                if not m.any():
+                    continue
+                xs = x1[m] + (lat - y1[m]) * (x2[m] - x1[m]) / (y2[m] - y1[m])
+                xs.sort()
+                cnt = np.searchsorted(xs, lon_centers, side="right")
+                fill[r] = cnt % 2 == 1
+            inside_bits |= np.where(fill & ~bnd, bit, 0).astype(np.uint8)
+            boundary_bits |= np.where(bnd, bit, 0).astype(np.uint8)
+        return inside_bits, boundary_bits
+
+    # -- queries -----------------------------------------------------------
+
+    def classify(self, lon, lat) -> np.ndarray:
+        """(n, len(order)) bool: zone membership per point."""
+        lon = np.asarray(lon, dtype=np.float64).ravel()
+        lat = np.asarray(lat, dtype=np.float64).ravel()
+        res = self.res
+        ncol = self._inside.shape[1]
+        nrow = self._inside.shape[0]
+        ci = np.clip(((lon + 180.0) / res).astype(np.int64), 0, ncol - 1)
+        ri = np.clip(((lat + 90.0) / res).astype(np.int64), 0, nrow - 1)
+        ib = self._inside[ri, ci]
+        bb = self._boundary[ri, ci]
+        out = np.zeros((len(lon), len(self.order)), dtype=bool)
+        for zi, zone in enumerate(self.order):
+            poly = self.polys.get(zone)
+            if poly is None:
+                continue
+            bit = np.uint8(1 << zi)
+            out[:, zi] = (ib & bit) != 0
+            bmask = (bb & bit) != 0
+            if bmask.any():
+                out[bmask, zi] = poly.contains(lon[bmask], lat[bmask])
+        return out
+
+    def contains(self, zone: str, lon, lat) -> np.ndarray:
+        zi = self.order.index(zone)
+        return self.classify(lon, lat)[:, zi]
+
+
+_classifiers: dict[bool, ZoneClassifier] = {}
+
+
+def get_zone_classifier(buffered: bool = False) -> ZoneClassifier:
+    """Process-local cached classifier (built once per worker)."""
+    if buffered not in _classifiers:
+        _classifiers[buffered] = ZoneClassifier(buffered=buffered)
+    return _classifiers[buffered]
