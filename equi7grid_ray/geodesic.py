@@ -231,11 +231,10 @@ def geodesic_inverse(
     sbet12 = sbet2 * cbet1 - cbet2 * sbet1
     sbet12a = sbet2 * cbet1 + cbet2 * sbet1
     salp1 = cbet2 * somg12
-    calp1 = np.where(
-        comg12 >= 0.0,
-        sbet12 + cbet2 * sbet1 * somg12 * somg12 / (1.0 + comg12),
-        sbet12a - cbet2 * sbet1 * somg12 * somg12 / (1.0 - comg12),
-    )
+    pos_br = sbet12 + cbet2 * sbet1 * somg12 * somg12 / (1.0 + comg12)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        neg_br = sbet12a - cbet2 * sbet1 * somg12 * somg12 / np.maximum(1.0 - comg12, _TINY)
+    calp1 = np.where(comg12 >= 0.0, pos_br, neg_br)
     salp1, calp1 = _norm_pair(salp1, calp1)
     salp1 = np.maximum(salp1, 0.0)
 

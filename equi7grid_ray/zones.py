@@ -66,14 +66,15 @@ class GeoPolygon:
         self._bucket_offsets = np.searchsorted(bins[order], np.arange(self._nbins + 1))
 
     def contains(self, x, y) -> np.ndarray:
-        """Even-odd PIP, vectorized over points."""
+        """Even-odd PIP, vectorized over points (any input shape)."""
+        shape = np.asarray(x).shape
         x = np.asarray(x, dtype=np.float64).ravel()
         y = np.asarray(y, dtype=np.float64).ravel()
         out = np.zeros(x.shape, dtype=bool)
         bx0, by0, bx1, by1 = self.bbox
         inb = (x >= bx0) & (x <= bx1) & (y >= by0) & (y <= by1)
         if not inb.any():
-            return out
+            return out.reshape(shape)
         xi = x[inb]
         yi = y[inb]
         bins = np.floor((xi - self._x0) / self.bin_width).astype(np.int64)
@@ -95,7 +96,7 @@ class GeoPolygon:
             hits = crossing & (ylat > py)
             res[pm] = hits.sum(axis=1) % 2 == 1
         out[inb] = res
-        return out
+        return out.reshape(shape)
 
 
 class ZoneClassifier:

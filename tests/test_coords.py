@@ -1,0 +1,86 @@
+"""Coordinate-transform conformance: goldens transcribed from
+/root/reference/tests/test_equi7grid.py:50-117 (rtol 1e-7)."""
+
+import numpy as np
+import numpy.testing as nptest
+import pytest
+
+from equi7grid_ray import aeqd, api
+from equi7grid_ray.errors import GeomOutOfZoneError
+from equi7grid_ray.grid import GridSpec
+
+FWD_GOLDENS = [
+    # (continent, lon, lat, x, y) -- test_equi7grid.py:50-99
+    ("EU", 15.1, 45.3, 5138743.127891, 1307029.157093),
+    ("AS", -178.5, 67.75, 7048122.707876, 9238361.594967),
+    ("NA", -178.0, 51.75, 3887311.532849, 7756934.345841),
+    ("NA", 173.0, 53.0, 3865149.386282, 8432250.89933),
+]
+
+
+@pytest.mark.parametrize("continent,lon,lat,x,y", FWD_GOLDENS)
+def test_lonlat_to_xy_goldens(continent, lon, lat, x, y):
+    systems = api.get_systems_from_lonlat(lon, lat)
+    assert systems[0] == continent
+    xc, yc = aeqd.forward(continent, lon, lat)
+    nptest.assert_allclose(x, xc)
+    nptest.assert_allclose(y, yc)
+
+
+@pytest.mark.parametrize("continent,lon,lat,x,y", FWD_GOLDENS)
+def test_xy_to_lonlat_goldens(continent, lon, lat, x, y):
+    lo, la = aeqd.inverse(continent, x, y)
+    nptest.assert_allclose(lon, lo)
+    nptest.assert_allclose(lat, la)
+
+
+def test_distortion_on_ellipsoid():
+    # test_equi7grid.py:102-108
+    k = api.calc_length_distortion_on_ellipsoid(-29.1, 24)
+    nptest.assert_almost_equal(k, 1.1432971727108836, decimal=6)
+
+
+def test_distortion_planar():
+    # test_equi7grid.py:111-117
+    k = api.calc_length_distortion(
+        "AF", 470916.85506916, 8289708.44085851
+    )
+    nptest.assert_almost_equal(float(k), 1.1432971727108836, decimal=6)
+
+
+def test_roundtrip_random_global():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179.9, 179.9, 5000)
+    lat = rng.uniform(-89.5, 89.5, 5000)
+    for cont in ["AF", "AN", "AS", "EU", "NA", "OC", "SA"]:
+        x, y = aeqd.forward(cont, lon, lat)
+        lo, la = aeqd.inverse(cont, x, y)
+        dlon = np.abs((lo - lon + 180) % 360 - 180) * np.cos(np.radians(lat))
+        assert np.nanmax(dlon) < 1e-9
+        assert np.nanmax(np.abs(la - lat)) < 1e-9
+
+
+def test_zone_transition():
+    # test_equi7grid.py:405-409
+    out = api.lonlat_to_xy(51.12, 61.71)
+    assert list(out.keys()) == ["AS"]
+
+
+def test_zone_transition_buffered():
+    # test_equi7grid.py:412-418 (default order -> AS before EU)
+    out = api.lonlat_to_xy(51.12, 61.71, GridSpec.standard(buffered=True))
+    assert list(out.keys()) == ["AS", "EU"]
+
+
+def test_zone_transition_order_restricted():
+    # test_equi7grid.py:421-428
+    with pytest.raises(GeomOutOfZoneError):
+        api.lonlat_to_xy(51.12, 61.71, GridSpec.standard(continent_order=["EU"]))
+
+
+def test_zone_transition_order_buffered():
+    # test_equi7grid.py:431-439
+    out = api.lonlat_to_xy(
+        51.12, 61.71, GridSpec.standard(buffered=True, continent_order=["EU", "AS"])
+    )
+    assert list(out.keys()) == ["EU", "AS"]

@@ -1,0 +1,162 @@
+"""ROI -> tiles conformance (goldens from
+/root/reference/tests/test_equi7grid.py:255-402).
+
+Land-filter expectations marked 'self-oracle' depend on our synthetic
+land polygon (the reference's land.parquet blob is missing); the two
+land goldens that the reference pins explicitly are reproduced exactly.
+"""
+
+import pytest
+
+from equi7grid_ray import roi
+
+POLY_SIBERIA_ALASKA = [
+    (177.6545884597184, 67.05574774066811),
+    (179.0195867605756, 65.33232820668778),
+    (198.4723636216472 - 360, 66.06909015550372),
+    (198.7828129097253 - 360, 68.14247939909886),
+]
+
+POLY_SPITZBERGEN = [
+    (8.391827331539572, 77.35762113396143),
+    (25.43098663332705, 75.61353436967198),
+    (40.50119498304080, 79.73786853853339),
+    (16.87007957357446, 81.59290885863483),
+]
+
+
+def test_tiles_sorted_ordering():
+    # test_equi7grid.py:273-282 -- exact order matters
+    assert roi.tiles_in_geog_bbox((16, 48, 18, 50), "T6") == [
+        "EU_E048N012T6",
+        "EU_E048N018T6",
+        "EU_E054N012T6",
+        "EU_E054N018T6",
+    ]
+
+
+def test_search_tiles_geog_bbox_land():
+    # test_equi7grid.py:255-270
+    tiles = roi.tiles_in_geog_bbox((0, 30, 10, 40), "T6", cover_land=True)
+    assert sorted(tiles) == sorted(
+        [
+            "EU_E036N006T6",
+            "EU_E042N000T6",
+            "EU_E042N006T6",
+            "AF_E030N084T6",
+            "AF_E030N090T6",
+            "AF_E036N084T6",
+            "AF_E036N090T6",
+            "AF_E042N084T6",
+            "AF_E042N090T6",
+        ]
+    )
+
+
+def test_global_bbox_all():
+    # test_equi7grid.py:293-298
+    tiles = roi.tiles_in_geog_bbox((-179.9, -89.9, 179.9, 89.9), "T6")
+    assert len(tiles) == 1801
+
+
+def test_global_bbox_land_self_oracle():
+    # reference documents 864 with its (missing) land.parquet;
+    # our synthetic land mask yields this self-consistent constant
+    tiles = roi.tiles_in_geog_bbox(
+        (-179.9, -89.9, 179.9, 89.9), "T6", cover_land=True
+    )
+    assert len(tiles) == 668
+
+
+def test_north_pole_large():
+    # test_equi7grid.py:301-309
+    tiles = roi.tiles_in_geog_bbox((-170, 88, 150.0, 90), "T6")
+    assert sorted(tiles) == [
+        "NA_E078N084T6",
+        "NA_E078N090T6",
+        "NA_E084N084T6",
+        "NA_E084N090T6",
+    ]
+
+
+def test_north_pole_small_antimeridian():
+    # test_equi7grid.py:312-315 (lon_min > lon_max = crossing)
+    assert roi.tiles_in_geog_bbox((150.0, 88, -170, 90), "T6") == ["NA_E078N090T6"]
+
+
+def test_south_pole():
+    # test_equi7grid.py:318-321
+    assert roi.tiles_in_geog_bbox((-170, -90, 150.0, -89), "T6") == ["AN_E036N030T6"]
+
+
+def test_antimeridian_bbox():
+    # test_equi7grid.py:324-337
+    tiles = roi.tiles_in_geog_bbox((179, 66, -150, 67.85), "T6")
+    assert sorted(tiles) == [
+        "AS_E066N090T6",
+        "AS_E066N096T6",
+        "AS_E072N090T6",
+        "AS_E072N096T6",
+        "NA_E054N072T6",
+        "NA_E054N078T6",
+        "NA_E060N072T6",
+    ]
+
+
+def test_spitzbergen_polygon():
+    # test_equi7grid.py:340-349
+    tiles = roi.tiles_in_geom(POLY_SPITZBERGEN, "T6")
+    assert sorted(tiles) == [
+        "EU_E054N042T6",
+        "EU_E054N048T6",
+        "EU_E060N042T6",
+        "EU_E060N048T6",
+    ]
+
+
+def test_siberia_alaska_polygon():
+    # test_equi7grid.py:352-368
+    tiles = roi.tiles_in_geom(POLY_SIBERIA_ALASKA, "T6", cover_land=False)
+    assert sorted(tiles) == [
+        "AS_E066N090T6",
+        "AS_E066N096T6",
+        "AS_E072N090T6",
+        "AS_E072N096T6",
+        "NA_E054N072T6",
+        "NA_E054N078T6",
+        "NA_E060N078T6",
+    ]
+
+
+def test_siberia_alaska_polygon_land():
+    # test_equi7grid.py:371-385
+    tiles = roi.tiles_in_geom(POLY_SIBERIA_ALASKA, "T6", cover_land=True)
+    assert sorted(tiles) == [
+        "AS_E066N090T6",
+        "AS_E072N090T6",
+        "NA_E054N072T6",
+        "NA_E054N078T6",
+        "NA_E060N078T6",
+    ]
+
+
+def test_proj_bbox():
+    # test_equi7grid.py:388-402
+    tiles = roi.tiles_in_proj_bbox("EU", [5138743, 1111111, 6200015, 1534657], "T6")
+    assert sorted(tiles) == sorted(
+        [
+            "EU_E048N006T6",
+            "EU_E054N006T6",
+            "EU_E060N006T6",
+            "EU_E048N012T6",
+            "EU_E054N012T6",
+            "EU_E060N012T6",
+        ]
+    )
+
+
+def test_continent_order_restriction():
+    tiles = roi.tiles_in_geog_bbox(
+        (0, 30, 10, 40), "T6", continents=["AF"]
+    )
+    assert tiles and all(t.startswith("AF_") for t in tiles)
