@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship tile-assignment pipeline over sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md section 2 (+ the north-rule training-data ops); ``oracle_sql()``
+gives DuckDB-equivalent SQL where the op is SQL-expressible (geodesic /
+PIP / LSH ops are registered without an oracle -> rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Geospatial queries derive coordinates from integer keys with pure
+integer arithmetic (microdegrees / metres) so the SQL oracle reproduces
+them bit-exactly; the real AEQD+PIP pipeline runs on the same derived
+coordinates under the rows-only check and is pinned by the golden tests
+in tests/ instead.
+
+NOTE: Ray is initialised by the driver before import -- nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +21,415 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# deterministic integer coordinate derivations (shared Ray <-> SQL)
+# ---------------------------------------------------------------------------
+
+_XMUL, _XMOD = 97_003, 8_640_000  # projected-metre sweep for tile-floor ops
+_YMUL, _YMOD = 53_003, 6_000_000
+_LONMUL, _LONMOD = 77_003_917, 360_000_000  # microdegree sweep for cell ops
+_LATMUL, _LATMOD = 40_009_831, 180_000_000
+_CELL_L = 9
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _derive_xy(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    return (ok * _XMUL) % _XMOD, (sk * _YMUL) % _YMOD
+
+
+def _derive_udeg(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    lon_u = (ok * _LONMUL) % _LONMOD - 180_000_000
+    lat_u = (pk * _LATMUL) % _LATMOD - 90_000_000
+    return lon_u, lat_u
+
+
+def _t6_names(x: np.ndarray, y: np.ndarray, suffix: str = "T6", size: int = 600_000) -> np.ndarray:
+    from equi7grid_ray.grid import partial_names
+
+    llx = (x // size) * size
+    lly = (y // size) * size
+    return partial_names(llx.astype(np.float64), lly.astype(np.float64), suffix)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_tile_floor_hist(sf_dir: str):
+    """Vectorized tile-name codec + point->tile floor (SURVEY 2.3) over a
+    deterministic integer coordinate sweep; partial per-batch counts then
+    a small groupby (combiner-before-shuffle)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        x, y = _derive_xy(batch)
+        names = _t6_names(x, y)
+        tiles, counts = np.unique(names, return_counts=True)
+        return pa.table({"tile": pa.array(tiles.tolist(), pa.string()),
+                         "pn": pa.array(counts, pa.int64())})
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def q_cell_index_hist(sf_dir: str):
+    """Coarse quadtree cell index (H3/S2 role) + groupby-count shuffle
+    keyed on the cell (north-rule ROI-search shape)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        lon_u, lat_u = _derive_udeg(batch)
+        n = np.int64(1 << _CELL_L)
+        ix = (lon_u + 180_000_000) * n // _LONMOD
+        iy = (lat_u + 90_000_000) * n // _LATMOD
+        cell = (np.int64(_CELL_L) << 58) | (iy << 29) | ix
+        cells, counts = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "pn": pa.array(counts, pa.int64())})
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def q_tile_parent_rollup(sf_dir: str):
+    """T1 tile assign -> parent T3 rollup (SURVEY 2.3 parent math)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        x, y = _derive_xy(batch)
+        names = _t6_names(x, y, "T3", 300_000)
+        tiles, counts = np.unique(names, return_counts=True)
+        return pa.table({"parent_tile": pa.array(tiles.tolist(), pa.string()),
+                         "pn": pa.array(counts, pa.int64())})
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("parent_tile")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def q_children_expand(sf_dir: str):
+    """Distinct T6 tiles -> 4 T3 children each (flat_map explode,
+    SURVEY 2.3 children math)."""
+    ds = q_tile_floor_hist(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.grid import parse_tile_names, partial_names
+
+        names = ["XX_" + n for n in batch.column("tile").to_pylist()]
+        p = parse_tile_names(names)
+        llx = np.repeat(p["ll_x"], 4) + np.tile([0.0, 0.0, 300_000.0, 300_000.0], len(names))
+        lly = np.repeat(p["ll_y"], 4) + np.tile([0.0, 300_000.0, 0.0, 300_000.0], len(names))
+        child = partial_names(llx, lly, "T3")
+        return pa.table({"child_tile": pa.array(child.tolist(), pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Exact dedup by content hash: hash-partitioned groupby, keep min id."""
+    from equi7grid_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, key="text", id_col="doc_id")
+    return out.select_columns(["doc_id"])
+
+
+def q_token_stats_by_lang(sf_dir: str):
+    """Token counting + aggregation by language (text-analysis op)."""
+    from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.stages.text import token_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return (
+        ds.map_batches(token_stats, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+def q_punct_by_source(sf_dir: str):
+    """Quality-scoring features (punctuation counts) rolled up by source."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        punct = pc.subtract(
+            pc.utf8_length(text),
+            pc.utf8_length(pc.replace_substring_regex(text, r"[^a-zA-Z0-9 ]", "")),
+        )
+        return pa.table({
+            "source": batch.column("source"),
+            "n_punct": pc.cast(punct, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_punct", alias_name="sum_punct"))
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h window aggregate over the event stream (streaming-shaped
+    workload as groupby on the window key)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # us
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        cents = np.rint(batch.column("value").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start": pa.array(hour, pa.int64()).cast(pa.timestamp("us")),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 against the vec_id=0 embedding (broadcast
+    query matrix, per-batch matmul, tiny merge)."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.stages.similarity import topk_cosine
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(t.filter(pc.equal(t.column("vec_id"), 0)).column("embedding")[0].as_py())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = topk_cosine(ds, q, k=10)
+    return out.select_columns(["vec_id"])
+
+
+def q_tile_assign_real(sf_dir: str):
+    """The real flagship operator: zone PIP + ellipsoidal AEQD forward +
+    tile assign on the derived coordinate sweep (geodesics are not
+    SQL-expressible -> rows-only check; correctness pinned by tests/)."""
+    from ray.data.aggregate import Sum
+
+    from equi7grid_ray.stages.tile_assign import TileAssigner
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lon_u, lat_u = _derive_udeg(batch)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "image_id": pa.array([f"img{o*100000+p:012d}" for o, p in zip(ok, ln)], pa.string()),
+            "lon_udeg": pa.array(lon_u, pa.int64()),
+            "lat_udeg": pa.array(lat_u, pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    assigned = prepped.map_batches(
+        TileAssigner,
+        fn_constructor_kwargs=dict(emit_cell=False),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = np.char.add(
+            np.asarray(batch.column("continent").to_pylist(), dtype="U2"),
+            np.asarray(batch.column("tile").to_pylist(), dtype="U16"),
+        )
+        u, c = np.unique(
+            np.asarray(batch.column("tile").to_pylist(), dtype="U16"), return_counts=True
+        )
+        del key
+        return pa.table({"tile": pa.array(u.tolist(), pa.string()),
+                         "pn": pa.array(c, pa.int64())})
+
+    return (
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def q_roi_tiles_global(sf_dir: str):
+    """Global-bbox ROI->tiles search (SURVEY 2.4); returns the 1801-tile
+    inventory with land flags (rows-only check; count pinned in tests)."""
+    from equi7grid_ray import roi
+    from equi7grid_ray.tiling_state import get_grid_state
+    from equi7grid_ray.grid import full_names
+
+    state = get_grid_state()
+    rows = {"tile": [], "covers_land": []}
+    for c in state.spec.continents():
+        ct = state.tiles(c, "T6")
+        names = full_names(c, ct.ll_x, ct.ll_y, "T6")
+        rows["tile"].extend(names.tolist())
+        rows["covers_land"].extend(ct.covers_land.tolist())
+    return pa.table({"tile": pa.array(rows["tile"], pa.string()),
+                     "covers_land": pa.array(rows["covers_land"], pa.bool_())})
+
+
+def q_lsh_near_dup(sf_dir: str):
+    """MinHash-LSH near-duplicate candidate pairs (banded shuffle)."""
+    from equi7grid_ray.stages.dedup import lsh_candidate_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lsh_candidate_pairs(ds)
+
+
+def q_simhash_docs(sf_dir: str):
+    """64-bit SimHash fingerprints for every document."""
+    from equi7grid_ray.stages.dedup import simhash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(simhash64, batch_format="pyarrow")
+
+
+def q_langid_docs(sf_dir: str):
+    """n-gram language id vs the labelled lang column (accuracy rollup)."""
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.stages.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    return pred.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship smoke: sf0.001 lineitem -> derived global coordinates ->
+    zone PIP -> AEQD forward -> tile assignment rows."""
+    from equi7grid_ray.stages.tile_assign import TileAssigner
+
+    ds = _read("/root/testdata/sf0.001", "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lon_u, lat_u = _derive_udeg(batch)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "image_id": pa.array([f"img{int(o)*100000+int(p):012d}" for o, p in zip(ok, pk)], pa.string()),
+            "lon_udeg": pa.array(lon_u, pa.int64()),
+            "lat_udeg": pa.array(lat_u, pa.int64()),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        TileAssigner,
+        fn_constructor_kwargs=dict(),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_floor_hist": q_tile_floor_hist,
+        "cell_index_hist": q_cell_index_hist,
+        "tile_parent_rollup": q_tile_parent_rollup,
+        "children_expand": q_children_expand,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "punct_by_source": q_punct_by_source,
+        "events_hourly": q_events_hourly,
+        "knn_cosine": q_knn_cosine,
+        "tile_assign_real": q_tile_assign_real,
+        "roi_tiles_global": q_roi_tiles_global,
+        "lsh_near_dup": q_lsh_near_dup,
+        "simhash_docs": q_simhash_docs,
+        "langid_docs": q_langid_docs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tile_expr = (
+        f"printf('E%03dN%03dT6', ((l_orderkey * {_XMUL}) % {_XMOD}) // 600000 * 6, "
+        f"((l_suppkey * {_YMUL}) % {_YMOD}) // 600000 * 6)"
+    )
+    t3_expr = (
+        f"printf('E%03dN%03dT3', ((l_orderkey * {_XMUL}) % {_XMOD}) // 300000 * 3, "
+        f"((l_suppkey * {_YMUL}) % {_YMOD}) // 300000 * 3)"
+    )
+    return {
+        "tile_floor_hist": (
+            f"SELECT {tile_expr} AS tile, count(*) AS n FROM lineitem GROUP BY tile"
+        ),
+        "cell_index_hist": (
+            f"SELECT ({_CELL_L} * (1::BIGINT << 58)) "
+            f" + ((((l_partkey * {_LATMUL}) % {_LATMOD}) * {1 << _CELL_L}) // {_LATMOD}) * (1::BIGINT << 29) "
+            f" + (((l_orderkey * {_LONMUL}) % {_LONMOD}) * {1 << _CELL_L}) // {_LONMOD} AS cell, "
+            f"count(*) AS n FROM lineitem GROUP BY cell"
+        ),
+        "tile_parent_rollup": (
+            f"SELECT {t3_expr} AS parent_tile, count(*) AS n FROM lineitem GROUP BY parent_tile"
+        ),
+        "children_expand": (
+            f"WITH d AS (SELECT DISTINCT ((l_orderkey * {_XMUL}) % {_XMOD}) // 600000 * 6 AS tx, "
+            f"((l_suppkey * {_YMUL}) % {_YMOD}) // 600000 * 6 AS ty FROM lineitem) "
+            "SELECT printf('E%03dN%03dT3', tx + dx, ty + dy) AS child_tile "
+            "FROM d CROSS JOIN (VALUES (0, 0), (0, 3), (3, 0), (3, 3)) AS o(dx, dy)"
+        ),
+        "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_stats_by_lang": (
+            "SELECT lang, count(*) AS n_docs, "
+            "sum(length(text) - length(replace(text, ' ', '')) + 1) AS sum_tokens, "
+            "sum(length(text)) AS sum_chars FROM documents GROUP BY lang"
+        ),
+        "punct_by_source": (
+            "SELECT source, count(*) AS n_docs, "
+            "sum(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS sum_punct "
+            "FROM documents GROUP BY source"
+        ),
+        "events_hourly": (
+            "SELECT event_type, "
+            "to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP AS window_start, "
+            "count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
+            "FROM events GROUP BY event_type, window_start"
+        ),
+        "knn_cosine": (
+            "SELECT vec_id FROM ("
+            "SELECT vec_id, list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS c "
+            "FROM embeddings ORDER BY c DESC, vec_id LIMIT 10)"
+        ),
+    }

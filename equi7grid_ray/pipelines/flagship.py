@@ -1,0 +1,100 @@
+"""Flagship pipeline: image table -> per-row tile assignments -> (optional)
+partitioned parquet sink.
+
+Ray-Data shape (cf. the reference's serial/mp.Pool fan-out at
+/root/reference/src/equi7grid/warp.py:424-578):
+
+    read_parquet (pruned columns)
+      -> map_batches(TileAssigner, actor pool, zero-copy Arrow)
+      -> [optional] groupby coarse cell / write_parquet partitioned
+
+Everything streams; nothing materializes the full dataset.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+from equi7grid_ray.grid import GridSpec
+from equi7grid_ray.stages.tile_assign import TileAssigner
+
+
+def tile_assignments(
+    ds,
+    *,
+    tiling_id: str = "T6",
+    spec: GridSpec | None = None,
+    decode: bool = False,
+    passthrough: tuple[str, ...] = (),
+    batch_size: int = 8192,
+    concurrency=None,
+):
+    """Attach the tile-assignment stage to a Dataset of image rows."""
+    kwargs = dict(
+        tiling_id=tiling_id, spec=spec, decode=decode, passthrough=passthrough
+    )
+    return ds.map_batches(
+        TileAssigner,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (2, 8),
+        num_cpus=1,
+    )
+
+
+def run_flagship(
+    input_path: str,
+    out_dir: str | None = None,
+    *,
+    tiling_id: str = "T6",
+    decode: bool = False,
+    batch_size: int = 8192,
+    concurrency=None,
+    columns: list[str] | None = None,
+):
+    """read -> assign -> (write | return).  Output parquet is partitioned
+    by continent (resumable layout: one directory per continent,
+    many part files)."""
+    import ray.data as rd
+
+    cols = columns
+    if cols is None:
+        cols = ["image_id", "bytes", "w", "h", "fmt"] if decode else ["image_id"]
+    ds = rd.read_parquet(input_path, columns=cols)
+    out = tile_assignments(
+        ds,
+        tiling_id=tiling_id,
+        decode=decode,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if out_dir is None:
+        return out
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    out.write_parquet(out_dir, partition_cols=["continent"])
+    return out_dir
+
+
+def tile_histogram(assignments) -> "pa.Table":
+    """Small grouped aggregate over the assignment stream: rows per tile.
+    Pre-aggregates inside map_batches (combiner) before the shuffle, so
+    the groupby moves at most |tiles| rows per block."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        tiles, counts = np.unique(
+            np.asarray(batch.column("tile").to_pylist()), return_counts=True
+        )
+        return pa.table(
+            {
+                "tile": pa.array(tiles.tolist(), pa.string()),
+                "partial_n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partial = assignments.map_batches(partial_counts, batch_format="pyarrow")
+    return partial.groupby("tile").aggregate(Sum("partial_n", alias_name="n"))

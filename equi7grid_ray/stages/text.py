@@ -1,0 +1,126 @@
+"""Text-analysis stages for the ``documents`` table: token counting,
+quality scoring, n-gram language id, rolling-hash fingerprinting.
+
+All are vectorized ``map_batches`` bodies (pyarrow.compute / numpy); the
+language-id stage is a callable class (actor pool) holding its compiled
+profile tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["token_stats", "quality_score", "LangId", "fingerprint64"]
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """Whitespace token count + char count per document (vectorized)."""
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text)
+    # tokens = spaces + 1 (documents are single-space separated)
+    spaces = pc.subtract(
+        n_chars, pc.utf8_length(pc.replace_substring(text, " ", ""))
+    )
+    n_tokens = pc.add(spaces, 1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+        }
+    )
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """Cheap quality features: token stats + mean token length +
+    punctuation/digit ratios (all Arrow kernels)."""
+    t = token_stats(batch)
+    text = batch.column("text")
+    n_chars = t.column("n_chars")
+    n_tokens = t.column("n_tokens")
+    digits = pc.subtract(
+        pc.utf8_length(text),
+        pc.utf8_length(pc.replace_substring_regex(text, r"[0-9]", "")),
+    )
+    punct = pc.subtract(
+        pc.utf8_length(text),
+        pc.utf8_length(pc.replace_substring_regex(text, r"[^\w\s]", "")),
+    )
+    mean_tok = pc.divide(
+        pc.cast(pc.subtract(n_chars, pc.subtract(n_tokens, 1)), pa.float64()),
+        pc.cast(n_tokens, pa.float64()),
+    )
+    return t.append_column("mean_token_len", mean_tok).append_column(
+        "digit_ratio",
+        pc.divide(pc.cast(digits, pa.float64()), pc.cast(n_chars, pa.float64())),
+    ).append_column(
+        "punct_ratio",
+        pc.divide(pc.cast(punct, pa.float64()), pc.cast(n_chars, pa.float64())),
+    )
+
+
+class LangId:
+    """Trigram-profile language id (en/de/fr heuristic): stateful stage --
+    profiles built once per actor in __init__."""
+
+    _PROFILES = {
+        "en": ["the", "and", "ing", "ion", " th", "he ", "er ", " of", "of "],
+        "de": ["der", "die", "und", "sch", "ein", "ich", "en ", " de", "ung"],
+        "fr": ["les", "de ", " de", "ent", "ion", "que", " le", "la ", "et "],
+    }
+
+    def __init__(self):
+        self.langs = list(self._PROFILES)
+        self.grams = [set(v) for v in self._PROFILES.values()]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        scores = np.zeros((len(texts), len(self.langs)), dtype=np.int32)
+        for i, txt in enumerate(texts):
+            s = txt.lower()
+            tri = {s[j : j + 3] for j in range(len(s) - 2)}
+            for k, g in enumerate(self.grams):
+                scores[i, k] = len(tri & g)
+        best = np.argmax(scores, axis=1)
+        conf = scores[np.arange(len(texts)), best]
+        pred = np.array(self.langs, dtype="U2")[best]
+        pred = np.where(conf > 0, pred, "und")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "lang_pred": pa.array(pred.tolist(), pa.string()),
+                "lang_conf": pa.array(conf, pa.int32()),
+            }
+        )
+
+
+def fingerprint64(batch: pa.Table, column: str = "text") -> pa.Table:
+    """64-bit rolling/polynomial document fingerprint, vectorized across
+    the batch (one numpy pass per byte position over fixed-width prefix +
+    full-length mixing via chunked fold)."""
+    texts = batch.column(column).to_pylist()
+    n = len(texts)
+    out = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    maxlen = max((len(t) for t in texts), default=0)
+    arr = np.zeros((n, maxlen), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = t.encode()
+        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    with np.errstate(over="ignore"):
+        for k in range(maxlen):
+            active = lens > k
+            out[active] = (out[active] ^ arr[active, k].astype(np.uint64)) * prime
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(out.view(np.int64), pa.int64()),
+        }
+    )

@@ -1,0 +1,173 @@
+"""The flagship hot path: image rows -> Equi7 tile assignments, as a
+stateful ``map_batches`` callable over zero-copy Arrow batches.
+
+Pipeline per batch (all vectorized):
+
+  decode (optional)  ->  zone classify (raster PIP)  ->  per-continent
+  AEQD forward  ->  tile floor + name codec  ->  covers_land lookup
+
+One row is emitted per (image x containing zone) -- the reference's
+``Grid.lonlat_to_xy`` multi-zone semantics (core.py + pytileproj,
+tests/test_equi7grid.py:405-439) as a vectorized explode.  The heavy
+spatial state (zone raster, tile tables) is built/loaded once per actor
+in ``__init__`` (actor-pool stage), never per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from equi7grid_ray import aeqd
+from equi7grid_ray.cells import cell_id
+from equi7grid_ray.codec import decode_image
+from equi7grid_ray.grid import GridSpec, full_names, tile_ll_from_xy
+from equi7grid_ray.sources.images import centers_for_index
+from equi7grid_ray.tiling_state import get_grid_state
+
+__all__ = ["TileAssigner", "derive_lonlat", "CELL_LEVEL"]
+
+#: default coarse-cell level for the shuffle key (~0.7 deg cells)
+CELL_LEVEL = 9
+
+
+def derive_lonlat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Center lon/lat for a batch: use explicit columns when present,
+    else integer-microdegree columns, else the deterministic image_id
+    sweep (sources/images.py)."""
+    names = batch.column_names
+    if "lon" in names and "lat" in names:
+        return (
+            batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+        )
+    if "lon_udeg" in names:
+        return (
+            batch.column("lon_udeg").to_numpy(zero_copy_only=False) / 1e6,
+            batch.column("lat_udeg").to_numpy(zero_copy_only=False) / 1e6,
+        )
+    ids = batch.column("image_id").to_pylist()
+    idx = np.array([int(s[3:]) for s in ids], dtype=np.int64)
+    return centers_for_index(idx)
+
+
+class TileAssigner:
+    """Actor-pool stage: ``ds.map_batches(TileAssigner, fn_constructor_kwargs=...,
+    batch_format='pyarrow', concurrency=N)``."""
+
+    def __init__(
+        self,
+        tiling_id: str = "T6",
+        *,
+        spec: GridSpec | None = None,
+        decode: bool = False,
+        emit_cell: bool = True,
+        passthrough: tuple[str, ...] = (),
+    ):
+        self.spec = spec or GridSpec.standard()
+        self.state = get_grid_state(self.spec)
+        self.tiling = self.spec.tiling_name(tiling_id)
+        self.tile_size = self.spec.tile_size(tiling_id)
+        self.decode = decode
+        self.emit_cell = emit_cell
+        self.passthrough = passthrough
+        self.continents = self.spec.continents()
+        self.zone_cols = [self.state.zc.order.index(c) for c in self.continents]
+        self._tilings = {c: self.state.tiles(c, self.tiling) for c in self.continents}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        lon, lat = derive_lonlat(batch)
+
+        px_mean = None
+        if self.decode:
+            bufs = batch.column("bytes").to_pylist()
+            fmts = batch.column("fmt").to_pylist()
+            ws = batch.column("w").to_numpy()
+            hs = batch.column("h").to_numpy()
+            px_mean = np.empty(n, dtype=np.float64)
+            for j in range(n):
+                img = decode_image(bufs[j], fmts[j], int(ws[j]), int(hs[j]))
+                px_mean[j] = img.mean()
+
+        member = self.state.zc.classify(lon, lat)  # (n, 7) in zc.order
+
+        out_idx: list[np.ndarray] = []
+        out_cont: list[str] = []
+        out_rank: list[np.ndarray] = []
+        out_x: list[np.ndarray] = []
+        out_y: list[np.ndarray] = []
+        out_llx: list[np.ndarray] = []
+        out_lly: list[np.ndarray] = []
+        out_land: list[np.ndarray] = []
+        for rank, (cont, zc_col) in enumerate(zip(self.continents, self.zone_cols)):
+            rows = np.flatnonzero(member[:, zc_col])
+            if len(rows) == 0:
+                continue
+            x, y = aeqd.forward(cont, lon[rows], lat[rows])
+            llx, lly = tile_ll_from_xy(x, y, self.tile_size)
+            ct = self._tilings[cont]
+            pos = ct.lookup(llx, lly)
+            land = np.where(pos >= 0, ct.covers_land[np.maximum(pos, 0)], False)
+            out_idx.append(rows)
+            out_cont.append(cont)
+            out_rank.append(np.full(len(rows), rank, dtype=np.int8))
+            out_x.append(x)
+            out_y.append(y)
+            out_llx.append(llx)
+            out_lly.append(lly)
+            out_land.append(land)
+
+        if not out_idx:
+            idx = np.empty(0, dtype=np.int64)
+            cont_arr = np.empty(0, dtype="U2")
+            rank = np.empty(0, dtype=np.int8)
+            x = y = llx = lly = np.empty(0)
+            land = np.empty(0, dtype=bool)
+            names = np.empty(0, dtype="U16")
+        else:
+            idx = np.concatenate(out_idx)
+            cont_arr = np.concatenate(
+                [np.full(len(ix), c, dtype="U2") for ix, c in zip(out_idx, out_cont)]
+            )
+            rank = np.concatenate(out_rank)
+            x = np.concatenate(out_x)
+            y = np.concatenate(out_y)
+            llx = np.concatenate(out_llx)
+            lly = np.concatenate(out_lly)
+            land = np.concatenate(out_land)
+            names = np.char.add(
+                np.char.add(cont_arr, "_"),
+                np.concatenate(
+                    [
+                        _partial_cached(lx, ly, self.tiling)
+                        for lx, ly in zip(out_llx, out_lly)
+                    ]
+                ),
+            )
+
+        cols: dict[str, pa.Array] = {
+            "image_id": batch.column("image_id").take(pa.array(idx)),
+            "continent": pa.array(cont_arr.tolist(), pa.string()),
+            "continent_rank": pa.array(rank, pa.int8()),
+            "tile": pa.array(names.tolist(), pa.string()),
+            "x": pa.array(x, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+            "ll_x": pa.array(llx, pa.float64()),
+            "ll_y": pa.array(lly, pa.float64()),
+            "covers_land": pa.array(land, pa.bool_()),
+        }
+        if self.emit_cell:
+            cols["cell"] = pa.array(cell_id(lon[idx], lat[idx], CELL_LEVEL), pa.int64())
+        if px_mean is not None:
+            cols["px_mean"] = pa.array(px_mean[idx], pa.float64())
+        for name in self.passthrough:
+            if name in batch.column_names:
+                cols[name] = batch.column(name).take(pa.array(idx))
+        return pa.table(cols)
+
+
+def _partial_cached(llx: np.ndarray, lly: np.ndarray, tiling: str) -> np.ndarray:
+    from equi7grid_ray.grid import partial_names
+
+    return partial_names(llx, lly, tiling)
