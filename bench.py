@@ -1,0 +1,228 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "rows_per_sec": {...}}
+
+Headline = the north-star path (BASELINE.json "metric"): synthetic
+image+caption rows through decode -> zone PIP -> AEQD forward -> tile
+assign, plus a larger metadata-only assign run.  Inputs are generated
+deterministically once and cached under /tmp (generation excluded from
+timing; one warm pass primes the page cache).
+
+``--scaling`` re-runs the headline in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports throughputs +
+scaling efficiency (the sandbox stand-in for the N vs 4N cluster-size
+criterion), appending the result to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+N_DECODE_ROWS = 1_000_000
+N_ASSIGN_ROWS = 64_000_000
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _gen_inputs() -> tuple[str, str]:
+    """Generate (once) the bench inputs; cached across runs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.sources.images import centers_for_index, write_images_parquet
+
+    img_dir = Path(f"/tmp/e7r_bench_images_{N_DECODE_ROWS}")
+    if not (img_dir / "_DONE").exists():
+        import ray
+
+        # parallel generation: one task per 50k-row fragment
+        @ray.remote(num_cpus=1)
+        def gen_part(start: int, n: int) -> None:
+            import pyarrow.parquet as pq
+            from equi7grid_ray.sources.images import make_batch
+            f = img_dir / f"part-{start:012d}-{n}.parquet"
+            if f.exists():
+                return
+            tmp = f.with_suffix(f".{start}.tmp")
+            pq.write_table(make_batch(start, n), tmp, row_group_size=4096,
+                           compression="none")
+            tmp.rename(f)
+
+        img_dir.mkdir(parents=True, exist_ok=True)
+        step = 25_000
+        ray.get([gen_part.remote(s, min(step, N_DECODE_ROWS - s))
+                 for s in range(0, N_DECODE_ROWS, step)])
+        (img_dir / "_DONE").touch()
+
+    meta_dir = Path(f"/tmp/e7r_bench_meta_{N_ASSIGN_ROWS}")
+    if not (meta_dir / "_DONE").exists():
+        meta_dir.mkdir(parents=True, exist_ok=True)
+        chunk = 2_000_000
+        for s in range(0, N_ASSIGN_ROWS, chunk):
+            f = meta_dir / f"part-{s:012d}.parquet"
+            if f.exists():
+                continue
+            idx = np.arange(s, min(s + chunk, N_ASSIGN_ROWS), dtype=np.int64)
+            lon, lat = centers_for_index(idx)
+            pq.write_table(
+                pa.table({"image_id": pa.array(idx, pa.int64()),
+                          "lon": pa.array(lon), "lat": pa.array(lat)}),
+                f,
+                row_group_size=131_072,  # splittable reads (blocks <= 1 row group)
+            )
+        (meta_dir / "_DONE").touch()
+    return str(img_dir), str(meta_dir)
+
+
+def _headline(img_dir: str, meta_dir: str) -> dict:
+    import ray.data as rd
+
+    from equi7grid_ray.pipelines.flagship import tile_assignments, tile_histogram
+
+    times: dict[str, float] = {}
+    rates: dict[str, float] = {}
+
+    # parallelism is per-block: enough blocks to load every core without
+    # flooding the (serial) driver-side task dispatch
+    nblocks = max(64, 4 * NUM_CPUS)
+
+    # warm the page cache (untimed): both inputs, all columns
+    rd.read_parquet(meta_dir, columns=["image_id"]).count()
+    rd.read_parquet(img_dir, columns=["bytes"]).map_batches(
+        lambda t: t.select(["bytes"]).slice(0, 1), batch_format="pyarrow"
+    ).count()
+
+    t0 = time.time()
+    ds = rd.read_parquet(meta_dir, override_num_blocks=nblocks)
+    out = tile_assignments(ds, decode=False, batch_size=262_144,
+                           emit_cell=False, emit_xy=False)
+    n_assign = out.count()
+    times["assign_64m"] = time.time() - t0
+    rates["assign_rows_per_sec"] = n_assign / times["assign_64m"]
+
+    t0 = time.time()
+    ds = rd.read_parquet(img_dir, columns=["image_id", "bytes", "w", "h", "fmt"])
+    out = tile_assignments(ds, decode=True, batch_size=4_096,
+                           emit_cell=False, emit_xy=False)
+    hist = tile_histogram(out).to_pandas()
+    times["decode_assign_1m"] = time.time() - t0
+    rates["decode_rows_per_sec"] = N_DECODE_ROWS / times["decode_assign_1m"]
+    assert len(hist) > 1000
+    return {"times": times, "rates": rates, "n_assign": n_assign}
+
+
+def _driver_queries() -> dict[str, float]:
+    import __ray_entry__ as e
+
+    out: dict[str, float] = {}
+    sel = [
+        "tile_floor_hist",
+        "cell_index_hist",
+        "tile_assign_real",
+        "dedup_exact_docs",
+        "token_stats_by_lang",
+        "events_hourly",
+        "knn_cosine",
+        "lsh_near_dup",
+    ]
+    qs = e.queries()
+    for name in sel:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume the stream
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_bench(headline_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    img_dir, meta_dir = _gen_inputs()
+    h = _headline(img_dir, meta_dir)
+    queries = dict(h["times"])
+    if not headline_only:
+        queries.update(_driver_queries())
+    value = sum(h["times"].values())
+    result = {
+        "metric": "tile-assignments/sec (decode->PIP->tile-assign headline)",
+        "value": round(value, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows_per_sec": {k: round(v) for k, v in h["rates"].items()},
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, N vs 4N CPUs (two pairs: 4->16, 8->32).
+
+    This single-VM stand-in for the two-cluster-size criterion measures
+    throughput scaling of the headline pipeline.  Note: the sandbox's
+    aggregate memory bandwidth saturates near 4 GB/s (measured, see
+    BENCH/BASELINE.md), which caps wall-clock scaling of copy-heavy
+    stages at high core counts -- a real N->4N *node* scale-out
+    multiplies memory bandwidth with node count and does not hit this."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, "bench.py", "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    results = {n: run(n) for n in (4, 16, 8, 32)}
+    pairs = {}
+    for lo_n, hi_n in ((4, 16), (8, 32)):
+        t_lo = results[lo_n]["value"]
+        t_hi = results[hi_n]["value"]
+        pairs[f"{lo_n}to{hi_n}"] = {
+            f"sec_{lo_n}": t_lo,
+            f"sec_{hi_n}": t_hi,
+            "scaling_efficiency": round((t_lo / t_hi) / (hi_n / lo_n), 3),
+        }
+    res = {"pairs": pairs,
+           "rows_per_sec": {n: r["rows_per_sec"] for n, r in results.items()}}
+    md = Path("BENCH/BASELINE.md")
+    md.parent.mkdir(exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with md.open("a") as f:
+        f.write(f"\n## Scaling run {stamp}\n\n")
+        f.write("| num_cpus | headline sec | assign rows/s | decode rows/s |\n|---|---|---|---|\n")
+        for n in (4, 8, 16, 32):
+            r = results[n]
+            f.write(f"| {n} | {r['value']} | {r['rows_per_sec']['assign_rows_per_sec']} | {r['rows_per_sec']['decode_rows_per_sec']} |\n")
+        for k, p in pairs.items():
+            f.write(f"\nScaling efficiency {k.replace('to', ' -> ')} cpus: **{p['scaling_efficiency']}** (target >= 0.8)\n")
+    return res
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(headline_only="--headline-only" in sys.argv)))

@@ -238,44 +238,48 @@ def geodesic_inverse(
     salp1, calp1 = _norm_pair(salp1, calp1)
     salp1 = np.maximum(salp1, 0.0)
 
-    sig12 = np.zeros_like(lam12)
-    salp2 = np.zeros_like(lam12)
-    calp2 = np.ones_like(lam12)
-    eps = np.zeros_like(lam12)
-    ssig1 = np.zeros_like(lam12)
-    csig1 = np.ones_like(lam12)
-    ssig2 = np.zeros_like(lam12)
-    csig2 = np.ones_like(lam12)
-    active = np.ones(lam12.shape, dtype=bool)
+    n = len(lam12)
+    sig12 = np.zeros(n)
+    salp2 = np.zeros(n)
+    calp2 = np.ones(n)
+    eps = np.zeros(n)
+    ssig1 = np.zeros(n)
+    csig1 = np.ones(n)
+    ssig2 = np.zeros(n)
+    csig2 = np.ones(n)
 
+    # Newton iteration with index-array compaction: each pass only touches
+    # the still-unconverged subset (most points converge in 2-4 passes).
+    idx = np.arange(n)
+    sb1, cb1, sb2, cb2 = sbet1, cbet1, sbet2, cbet2
+    d1, d2 = dn1, dn2
+    lm = lam12
+    sa1, ca1 = salp1, calp1
     for _ in range(max_iter):
-        salp0 = salp1 * cbet1
-        calp0 = np.hypot(calp1, salp1 * sbet1)
+        salp0 = sa1 * cb1
+        calp0 = np.hypot(ca1, sa1 * sb1)
 
-        s1 = sbet1
-        c1_ = calp1 * cbet1
-        ssig1_, csig1_ = _norm_pair(s1, c1_)
-        # (somg, comg) pairs are kept at a shared (unnormalized) scale per
-        # point; omg12 below only uses cross-point products, so the scale
-        # cancels.
-        somg1 = salp0 * sbet1
+        c1_ = ca1 * cb1
+        ssig1_, csig1_ = _norm_pair(sb1, c1_)
+        # (somg, comg) pairs share one (unnormalized) scale per point;
+        # omg12 uses only cross-point products, so the scale cancels.
+        somg1 = salp0 * sb1
         comg1 = c1_
 
-        salp2_ = np.where(cbet2 != cbet1, salp0 / cbet2, salp1)
-        calp2_sq = (calp1 * cbet1) ** 2 + np.where(
-            cbet1 < -sbet1,
-            (cbet2 - cbet1) * (cbet1 + cbet2),
-            (sbet1 - sbet2) * (sbet1 + sbet2),
+        salp2_ = np.where(cb2 != cb1, salp0 / cb2, sa1)
+        calp2_sq = (ca1 * cb1) ** 2 + np.where(
+            cb1 < -sb1,
+            (cb2 - cb1) * (cb1 + cb2),
+            (sb1 - sb2) * (sb1 + sb2),
         )
         calp2_ = np.where(
-            (cbet2 != cbet1) | (np.abs(sbet2) != -sbet1),
-            np.sqrt(np.maximum(calp2_sq, 0.0)) / cbet2,
-            np.abs(calp1),
+            (cb2 != cb1) | (np.abs(sb2) != -sb1),
+            np.sqrt(np.maximum(calp2_sq, 0.0)) / cb2,
+            np.abs(ca1),
         )
-        s2 = sbet2
-        c2_ = calp2_ * cbet2
-        ssig2_, csig2_ = _norm_pair(s2, c2_)
-        somg2 = salp0 * sbet2
+        c2_ = calp2_ * cb2
+        ssig2_, csig2_ = _norm_pair(sb2, c2_)
+        somg2 = salp0 * sb2
         comg2 = c2_
 
         sig12_ = np.arctan2(
@@ -292,22 +296,22 @@ def geodesic_inverse(
         b31 = _sin_series(ssig1_, csig1_, c3)
         b32 = _sin_series(ssig2_, csig2_, c3)
         domg12 = -WGS84_F * salp0 * _a3(eps_) * (sig12_ + (b32 - b31))
-        lam12_comp = omg12_ + domg12
-        v = lam12_comp - lam12
+        v = omg12_ + domg12 - lm
 
-        # stash geometry for post-loop use
-        sig12 = np.where(active, sig12_, sig12)
-        salp2 = np.where(active, salp2_, salp2)
-        calp2 = np.where(active, calp2_, calp2)
-        eps = np.where(active, eps_, eps)
-        ssig1 = np.where(active, ssig1_, ssig1)
-        csig1 = np.where(active, csig1_, csig1)
-        ssig2 = np.where(active, ssig2_, ssig2)
-        csig2 = np.where(active, csig2_, csig2)
+        # write current geometry into the full-size result arrays
+        sig12[idx] = sig12_
+        salp2[idx] = salp2_
+        calp2[idx] = calp2_
+        eps[idx] = eps_
+        ssig1[idx] = ssig1_
+        csig1[idx] = csig1_
+        ssig2[idx] = ssig2_
+        csig2[idx] = csig2_
+        salp1[idx] = sa1
+        calp1[idx] = ca1
 
-        conv = np.abs(v) < _TOL
-        active = active & ~conv
-        if not active.any():
+        act = np.abs(v) >= _TOL
+        if not act.any():
             break
 
         # Newton derivative via the reduced length m12
@@ -316,23 +320,33 @@ def geodesic_inverse(
         b1d = _sin_series(ssig2_, csig2_, _c1(eps_)) - _sin_series(ssig1_, csig1_, _c1(eps_))
         b2d = _sin_series(ssig2_, csig2_, _c2(eps_)) - _sin_series(ssig1_, csig1_, _c2(eps_))
         j12 = (a1 - a2) * sig12_ + (a1 * b1d - a2 * b2d)
-        m12b = dn2 * (csig1_ * ssig2_) - dn1 * (ssig1_ * csig2_) - csig1_ * csig2_ * j12
+        m12b = d2 * (csig1_ * ssig2_) - d1 * (ssig1_ * csig2_) - csig1_ * csig2_ * j12
         # canonical arrangement keeps sbet1 <= 0, so the meridional-limit
         # derivative -2*f1*dn1/sbet1 is positive
         dv = np.where(
             calp2_ == 0.0,
-            -2.0 * _F1 * dn1 / np.minimum(sbet1, -_TINY),
-            m12b * _F1 / np.maximum(calp2_ * cbet2, _TINY),
+            -2.0 * _F1 * d1 / np.minimum(sb1, -_TINY),
+            m12b * _F1 / np.maximum(calp2_ * cb2, _TINY),
         )
-        dalp1 = np.where(active & (dv != 0.0), -v / dv, 0.0)
+
+        # compact to the active subset
+        if not act.all():
+            idx = idx[act]
+            sb1, cb1, sb2, cb2 = sb1[act], cb1[act], sb2[act], cb2[act]
+            d1, d2 = d1[act], d2[act]
+            lm = lm[act]
+            sa1, ca1 = sa1[act], ca1[act]
+            v, dv = v[act], dv[act]
+
+        dalp1 = np.where(dv != 0.0, -v / dv, 0.0)
         dalp1 = np.clip(dalp1, -np.pi / 2, np.pi / 2)
         sd = np.sin(dalp1)
         cd = np.cos(dalp1)
-        nsalp1 = salp1 * cd + calp1 * sd
-        ncalp1 = calp1 * cd - salp1 * sd
-        salp1 = np.where(active, np.maximum(nsalp1, _TINY), salp1)
-        calp1 = np.where(active, ncalp1, calp1)
-        salp1, calp1 = _norm_pair(salp1, calp1)
+        nsalp1 = sa1 * cd + ca1 * sd
+        ncalp1 = ca1 * cd - sa1 * sd
+        sa1 = np.maximum(nsalp1, _TINY)
+        ca1 = ncalp1
+        sa1, ca1 = _norm_pair(sa1, ca1)
 
     a1 = 1.0 + _a1m1(eps)
     c1c = _c1(eps)

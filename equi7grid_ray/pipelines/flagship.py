@@ -31,17 +31,35 @@ def tile_assignments(
     passthrough: tuple[str, ...] = (),
     batch_size: int = 8192,
     concurrency=None,
+    use_actors: bool = False,
+    emit_cell: bool = True,
+    emit_xy: bool = True,
 ):
-    """Attach the tile-assignment stage to a Dataset of image rows."""
+    """Attach the tile-assignment stage to a Dataset of image rows.
+
+    Default is task-based with per-worker-process cached state (elastic
+    scheduling; same amortization as an actor pool since worker processes
+    persist).  Pass ``use_actors=True`` to pin an explicit actor pool
+    (useful when co-tenant stages would evict the process cache)."""
     kwargs = dict(
-        tiling_id=tiling_id, spec=spec, decode=decode, passthrough=passthrough
+        tiling_id=tiling_id, spec=spec, decode=decode, passthrough=passthrough,
+        emit_cell=emit_cell, emit_xy=emit_xy,
     )
+    if use_actors:
+        return ds.map_batches(
+            TileAssigner,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (2, 8),
+            num_cpus=1,
+        )
+    from equi7grid_ray.stages.tile_assign import make_assign_fn
+
     return ds.map_batches(
-        TileAssigner,
-        fn_constructor_kwargs=kwargs,
+        make_assign_fn(**kwargs),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (2, 8),
         num_cpus=1,
     )
 

@@ -104,7 +104,7 @@ def _row0_prefix() -> np.ndarray:
 
 
 def write_images_parquet(
-    out_dir: str | Path, n_rows: int, rows_per_file: int = 50_000
+    out_dir: str | Path, n_rows: int, rows_per_file: int = 25_000
 ) -> Path:
     """Materialize the table as a directory of parquet fragments
     (idempotent: skips files that already exist -- resumable layout)."""
@@ -118,7 +118,11 @@ def write_images_parquet(
         if f.exists():
             continue
         tmp = f.with_suffix(".tmp")
-        pq.write_table(make_batch(start, n), tmp)
+        # small row groups keep files splittable into many read blocks;
+        # no parquet compression: the payload bytes are already PNG/raw,
+        # snappy over them burns read+write CPU for ~nothing
+        pq.write_table(make_batch(start, n), tmp, row_group_size=4096,
+                       compression="none")
         tmp.rename(f)
     return out
 

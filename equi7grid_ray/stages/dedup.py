@@ -60,11 +60,13 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    # aggregate (C-speed), never Python-per-group: min id survives per hash
+    from ray.data.aggregate import Min
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
-
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
 
 
 class MinHasher:
@@ -127,32 +129,57 @@ class MinHasher:
 
 
 def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
-                        id_col: str = "doc_id", text_col: str = "text"):
+                        shingle: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text", n_partitions: int = 64,
+                        max_bucket: int = 200):
     """documents -> candidate near-duplicate pairs via banded MinHash.
 
-    groupby (band, band_hash) buckets; emits (id_a, id_b) per co-bucketed
-    pair (id_a < id_b), deduplicated across bands by a final groupby."""
+    Scale shape: signature rows are hash-partitioned by band_hash so each
+    partition handles MANY buckets with one vectorized pandas self-merge
+    (the partitioned hash-join pattern -- a handful of Python calls total,
+    never Python-per-bucket).  Buckets larger than ``max_bucket`` are
+    dropped (standard super-frequent-bucket cut; they would contribute
+    O(n^2) pairs of near-identical text)."""
     mh = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   id_col=id_col, text_col=text_col),
+                                   shingle=shingle, id_col=id_col,
+                                   text_col=text_col),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, 8),
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:  # skip degenerate mega-buckets
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def add_part(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy()
+        part = (bh.view(np.uint64) % np.uint64(n_partitions)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
 
-    cand = mh.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    parted = mh.map_batches(add_part, batch_format="pyarrow")
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # drop mega-buckets, then one self-merge for all buckets at once
+        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_bucket)]
+        if g.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        m = g.merge(g, on=["band", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        out.columns = ["id_a", "id_b"]
+        return out
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    cand = parted.groupby("part").map_groups(
+        pairs_in_partition, batch_format="pandas"
+    )
+    # dedupe across bands/partitions with an aggregate (no per-group Python)
+    from ray.data.aggregate import Count
+
+    return (
+        cand.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["id_a", "id_b"])
+    )
 
 
 def simhash64(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:

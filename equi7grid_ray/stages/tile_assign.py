@@ -62,6 +62,7 @@ class TileAssigner:
         spec: GridSpec | None = None,
         decode: bool = False,
         emit_cell: bool = True,
+        emit_xy: bool = True,
         passthrough: tuple[str, ...] = (),
     ):
         self.spec = spec or GridSpec.standard()
@@ -70,10 +71,30 @@ class TileAssigner:
         self.tile_size = self.spec.tile_size(tiling_id)
         self.decode = decode
         self.emit_cell = emit_cell
+        self.emit_xy = emit_xy
         self.passthrough = passthrough
         self.continents = self.spec.continents()
         self.zone_cols = [self.state.zc.order.index(c) for c in self.continents]
         self._tilings = {c: self.state.tiles(c, self.tiling) for c in self.continents}
+        # precomputed full-name table per continent: the per-row "codec"
+        # becomes an indexed gather instead of string formatting
+        self._names = {
+            c: full_names(c, ct.ll_x, ct.ll_y, self.tiling)
+            for c, ct in self._tilings.items()
+        }
+        # global dictionary for dictionary-encoded output (index gather
+        # replaces any per-row string work)
+        self._dict_offsets = {}
+        off = 0
+        parts = []
+        for c in self.continents:
+            self._dict_offsets[c] = off
+            parts.append(self._names[c])
+            off += len(self._names[c])
+        self._dict_values = pa.array(
+            np.concatenate(parts) if parts else np.empty(0, dtype="U16")
+        )
+        self._cont_values = pa.array(np.asarray(self.continents, dtype="U2"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -93,13 +114,15 @@ class TileAssigner:
         member = self.state.zc.classify(lon, lat)  # (n, 7) in zc.order
 
         out_idx: list[np.ndarray] = []
-        out_cont: list[str] = []
         out_rank: list[np.ndarray] = []
         out_x: list[np.ndarray] = []
         out_y: list[np.ndarray] = []
         out_llx: list[np.ndarray] = []
         out_lly: list[np.ndarray] = []
         out_land: list[np.ndarray] = []
+        out_tidx: list[np.ndarray] = []
+        any_miss = False
+        miss_names: list[tuple[int, np.ndarray, np.ndarray, str]] = []
         for rank, (cont, zc_col) in enumerate(zip(self.continents, self.zone_cols)):
             rows = np.flatnonzero(member[:, zc_col])
             if len(rows) == 0:
@@ -108,55 +131,68 @@ class TileAssigner:
             llx, lly = tile_ll_from_xy(x, y, self.tile_size)
             ct = self._tilings[cont]
             pos = ct.lookup(llx, lly)
-            land = np.where(pos >= 0, ct.covers_land[np.maximum(pos, 0)], False)
+            safe = np.maximum(pos, 0)
+            land = np.where(pos >= 0, ct.covers_land[safe], False)
+            tidx = safe.astype(np.int32) + np.int32(self._dict_offsets[cont])
+            miss = pos < 0
+            if miss.any():  # zone-edge float cases: format those few names
+                any_miss = True
+                miss_names.append(
+                    (sum(len(a) for a in out_idx), miss,
+                     _partial_full(cont, llx[miss], lly[miss], self.tiling), cont)
+                )
             out_idx.append(rows)
-            out_cont.append(cont)
             out_rank.append(np.full(len(rows), rank, dtype=np.int8))
             out_x.append(x)
             out_y.append(y)
             out_llx.append(llx)
             out_lly.append(lly)
             out_land.append(land)
+            out_tidx.append(tidx)
 
         if not out_idx:
             idx = np.empty(0, dtype=np.int64)
-            cont_arr = np.empty(0, dtype="U2")
             rank = np.empty(0, dtype=np.int8)
             x = y = llx = lly = np.empty(0)
             land = np.empty(0, dtype=bool)
-            names = np.empty(0, dtype="U16")
+            tidx = np.empty(0, dtype=np.int32)
         else:
             idx = np.concatenate(out_idx)
-            cont_arr = np.concatenate(
-                [np.full(len(ix), c, dtype="U2") for ix, c in zip(out_idx, out_cont)]
-            )
             rank = np.concatenate(out_rank)
             x = np.concatenate(out_x)
             y = np.concatenate(out_y)
             llx = np.concatenate(out_llx)
             lly = np.concatenate(out_lly)
             land = np.concatenate(out_land)
-            names = np.char.add(
-                np.char.add(cont_arr, "_"),
-                np.concatenate(
-                    [
-                        _partial_cached(lx, ly, self.tiling)
-                        for lx, ly in zip(out_llx, out_lly)
-                    ]
-                ),
-            )
+            tidx = np.concatenate(out_tidx)
+
+        tile_col = pa.DictionaryArray.from_arrays(pa.array(tidx), self._dict_values)
+        cont_col = pa.DictionaryArray.from_arrays(
+            pa.array(rank.astype(np.int32)), self._cont_values
+        )
+        if any_miss:  # rare: replace the wrong dictionary entries via strings
+            names = np.asarray(tile_col.to_pylist(), dtype="U16")
+            base = 0
+            for off, miss, mn, _c in miss_names:
+                span = len(miss)
+                seg = names[off : off + span]
+                seg[miss] = mn
+                names[off : off + span] = seg
+                base += span
+            tile_col = pa.array(names)
 
         cols: dict[str, pa.Array] = {
             "image_id": batch.column("image_id").take(pa.array(idx)),
-            "continent": pa.array(cont_arr.tolist(), pa.string()),
-            "continent_rank": pa.array(rank, pa.int8()),
-            "tile": pa.array(names.tolist(), pa.string()),
-            "x": pa.array(x, pa.float64()),
-            "y": pa.array(y, pa.float64()),
-            "ll_x": pa.array(llx, pa.float64()),
-            "ll_y": pa.array(lly, pa.float64()),
+            "continent": cont_col,
+            "tile": tile_col,
             "covers_land": pa.array(land, pa.bool_()),
         }
+        if self.emit_xy:  # skip for minimal tile-assignment output
+            cols["continent_rank"] = pa.array(rank, pa.int8())
+            cols["x"] = pa.array(x, pa.float64())
+            cols["y"] = pa.array(y, pa.float64())
+            cols["ll_x"] = pa.array(llx, pa.float64())
+            cols["ll_y"] = pa.array(lly, pa.float64())
         if self.emit_cell:
             cols["cell"] = pa.array(cell_id(lon[idx], lat[idx], CELL_LEVEL), pa.int64())
         if px_mean is not None:
@@ -167,7 +203,47 @@ class TileAssigner:
         return pa.table(cols)
 
 
-def _partial_cached(llx: np.ndarray, lly: np.ndarray, tiling: str) -> np.ndarray:
-    from equi7grid_ray.grid import partial_names
+def _partial_full(cont: str, llx: np.ndarray, lly: np.ndarray, tiling: str) -> np.ndarray:
+    from equi7grid_ray.grid import full_names
 
-    return partial_names(llx, lly, tiling)
+    return full_names(cont, llx, lly, tiling)
+
+
+_PROC_CACHE: dict[str, TileAssigner] = {}
+
+
+def make_assign_fn(broadcast: bool = True, **kwargs):
+    """Task-based variant of the stage with broadcast state.
+
+    When Ray is up, the TileAssigner (zone raster + tile tables + name
+    dictionaries, ~tens of MB of numpy) is built ONCE on the driver and
+    ``ray.put`` into the object store; each worker process deserializes
+    it zero-copy on first use and caches it (`small-side lookup broadcast
+    once, read in every task` -- never rebuilt per worker, never
+    re-shipped per batch).  Falls back to per-process construction when
+    Ray isn't initialised (plain local use)."""
+    key = repr(sorted(kwargs.items(), key=lambda kv: kv[0]))
+    ref = None
+    if broadcast:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                ref = ray.put(TileAssigner(**kwargs))
+                key = key + str(ref)
+        except Exception:
+            ref = None
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ta = _PROC_CACHE.get(key)
+        if ta is None:
+            if ref is not None:
+                import ray
+
+                ta = ray.get(ref)
+            else:
+                ta = TileAssigner(**kwargs)
+            _PROC_CACHE[key] = ta
+        return ta(batch)
+
+    return assign
