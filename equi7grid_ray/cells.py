@@ -67,6 +67,7 @@ def salt_keys(keys, row_index, n_salts: int) -> np.ndarray:
     """Spread a hot shuffle key over ``n_salts`` sub-keys (skew handling:
     key' = key * S + row_hash % S).  Merge partial aggregates afterwards."""
     keys = np.asarray(keys, dtype=np.int64)
-    row_index = np.asarray(row_index, dtype=np.int64)
-    h = (row_index * np.int64(0x9E3779B97F4A7C15)) & np.int64(0x7FFFFFFFFFFFFFFF)
-    return keys * np.int64(n_salts) + (h % np.int64(n_salts))
+    row_index = np.asarray(row_index, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (row_index * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return keys * np.int64(n_salts) + (h % np.uint64(n_salts)).astype(np.int64)

@@ -1,0 +1,314 @@
+"""Raster regrid stage: (image x overlapping tile) -> resampled pixels in
+the tile's grid.
+
+Re-expresses /root/reference/src/equi7grid/warp.py:
+
+- ``get_overlapping_tiles`` (:333-401): footprint corners projected per
+  containing continent -> candidate tiles (vectorized explode),
+- ``resample_tile`` (:205-330): per pair, target-pixel centers are
+  inverse-projected into the source lon/lat grid and gathered
+  (nearest / bilinear) -- the rasterio.warp.reproject role in numpy,
+- ``resample_to_equi7_tiles`` (:424-578): the serial/mp.Pool fan-out
+  becomes read -> expand pairs -> regrid (stateful map_batches) ->
+  write_parquet partitioned by continent/tile.
+
+Source rasters are the synthetic image rows (center lon/lat + w x h grid
+at ``SRC_RES_DEG`` deg/pixel, north-up); payloads decoded with the
+stdlib codec (real GeoTIFF/NetCDF I/O needs rasterio, absent in this
+sandbox -- the Ray-side plumbing, schemas and resampling math are real).
+Output rows: (image_id, continent, tile, r0, c0, win_h, win_w,
+pixels:binary raw, caption passthrough); ``nodata=0`` marks target
+pixels outside the source footprint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from equi7grid_ray import aeqd
+from equi7grid_ray.codec import decode_image
+from equi7grid_ray.grid import GridSpec, full_names, tile_ll_from_xy
+from equi7grid_ray.stages.tile_assign import derive_lonlat
+from equi7grid_ray.tiling_state import get_grid_state
+
+SRC_RES_DEG = 0.001  # source pixel size of the synthetic image rasters
+
+__all__ = ["ExpandTilePairs", "RegridStage", "regrid_pipeline", "default_e7_filename"]
+
+
+def default_e7_filename(stem: str, full_tilename: str, suffix: str = ".parquet") -> str:
+    """{stem}_{fullname}{suffix} (warp.py:185-201); override via the
+    ``naming_traffo`` hook on regrid_pipeline."""
+    return f"{stem}_{full_tilename}{suffix}"
+
+
+class ExpandTilePairs:
+    """map_batches stage: image rows -> one row per (image, overlapping
+    tile).  Footprint corners + center are projected into every
+    containing zone; their tiles form the candidate set (exact for
+    footprints smaller than a tile)."""
+
+    def __init__(self, tiling_id: str = "T6", spec: GridSpec | None = None):
+        self.spec = spec or GridSpec.standard()
+        self.state = get_grid_state(self.spec)
+        self.tiling = self.spec.tiling_name(tiling_id)
+        self.tile_size = self.spec.tile_size(tiling_id)
+        self.continents = self.spec.continents()
+        self.zone_cols = [self.state.zc.order.index(c) for c in self.continents]
+        self._tilings = {c: self.state.tiles(c, self.tiling) for c in self.continents}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon, lat = derive_lonlat(batch)
+        w = batch.column("w").to_numpy().astype(np.float64)
+        h = batch.column("h").to_numpy().astype(np.float64)
+        half_w = w * SRC_RES_DEG / 2.0
+        half_h = h * SRC_RES_DEG / 2.0
+        # 5 probe points: center + 4 corners
+        plon = np.stack([lon, lon - half_w, lon + half_w, lon - half_w, lon + half_w])
+        plat = np.stack([lat, lat - half_h, lat - half_h, lat + half_h, lat + half_h])
+        plat = np.clip(plat, -90.0, 90.0)
+        n = len(lon)
+        member = self.state.zc.classify(plon.ravel(), plat.ravel()).reshape(5, n, -1)
+
+        rows_out: list[np.ndarray] = []
+        cont_out: list[str] = []
+        llx_out: list[np.ndarray] = []
+        lly_out: list[np.ndarray] = []
+        for cont, zc_col in zip(self.continents, self.zone_cols):
+            m = member[:, :, zc_col]  # (5, n)
+            if not m.any():
+                continue
+            pr, rows = np.nonzero(m)
+            x, y = aeqd.forward(cont, plon[pr, rows], plat[pr, rows])
+            llx, lly = tile_ll_from_xy(x, y, self.tile_size)
+            # dedupe (row, tile) pairs
+            key = rows * np.int64(1 << 40) + (
+                np.round(llx / 1e5).astype(np.int64) * 4096
+                + np.round(lly / 1e5).astype(np.int64)
+                + 2048
+            )
+            _, uniq = np.unique(key, return_index=True)
+            ct = self._tilings[cont]
+            pos = ct.lookup(llx[uniq], lly[uniq])
+            keep = pos >= 0  # only tiles inside the zone
+            rows_out.append(rows[uniq][keep])
+            cont_out.append(cont)
+            llx_out.append(llx[uniq][keep])
+            lly_out.append(lly[uniq][keep])
+
+        if not rows_out:
+            idx = np.empty(0, np.int64)
+            conts = np.empty(0, "U2")
+            llx = lly = np.empty(0)
+        else:
+            idx = np.concatenate(rows_out)
+            conts = np.concatenate(
+                [np.full(len(r), c, "U2") for r, c in zip(rows_out, cont_out)]
+            )
+            llx = np.concatenate(llx_out)
+            lly = np.concatenate(lly_out)
+
+        names = np.empty(len(idx), dtype="U16")
+        off = 0
+        for r, c in zip(rows_out, cont_out):
+            names[off : off + len(r)] = full_names(
+                c, llx[off : off + len(r)], lly[off : off + len(r)], self.tiling
+            )
+            off += len(r)
+
+        take = pa.array(idx)
+        cols = {
+            "image_id": batch.column("image_id").take(take),
+            "continent": pa.array(conts),
+            "tile": pa.array(names),
+            "ll_x": pa.array(llx, pa.float64()),
+            "ll_y": pa.array(lly, pa.float64()),
+        }
+        for name in ("bytes", "w", "h", "fmt", "caption", "lon", "lat"):
+            if name in batch.column_names:
+                cols[name] = batch.column(name).take(take)
+        return pa.table(cols)
+
+
+class RegridStage:
+    """Stateful map_batches stage: one output row per (image, tile) pair
+    with the resampled pixel window.
+
+    Per batch, target pixels of ALL pairs of one continent are
+    inverse-projected in a single vectorized geodesic call, then gathered
+    per pair (nearest or bilinear)."""
+
+    def __init__(
+        self,
+        tiling_id: str = "T6",
+        spec: GridSpec | None = None,
+        resampling: str = "nearest",
+        nodata: int = 0,
+    ):
+        self.spec = spec or GridSpec.standard()
+        self.tiling = self.spec.tiling_name(tiling_id)
+        self.tile_size = self.spec.tile_size(tiling_id)
+        self.sampling = self.spec.sampling_of(tiling_id)
+        self.resampling = resampling
+        self.nodata = nodata
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        lon, lat = derive_lonlat(batch)
+        w = batch.column("w").to_numpy()
+        h = batch.column("h").to_numpy()
+        llx = batch.column("ll_x").to_numpy()
+        lly = batch.column("ll_y").to_numpy()
+        conts = np.asarray(batch.column("continent").to_pylist())
+        bufs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        s = self.sampling
+        npix = int(round(self.tile_size / s))
+
+        # per-pair target windows (pixel ranges inside the tile)
+        out_r0 = np.zeros(n, np.int32)
+        out_c0 = np.zeros(n, np.int32)
+        out_wh = np.zeros(n, np.int32)
+        out_ww = np.zeros(n, np.int32)
+        windows: list[tuple] = [None] * n
+        per_cont: dict[str, list[int]] = {}
+        for j in range(n):
+            per_cont.setdefault(conts[j], []).append(j)
+
+        pixels: list[bytes] = [b""] * n
+        for cont, idxs in per_cont.items():
+            # projected footprint bbox per pair
+            centers_x = []
+            sizes = []
+            tgt_x_all = []
+            tgt_y_all = []
+            spans = []
+            for j in idxs:
+                half_w = w[j] * SRC_RES_DEG / 2.0
+                half_h = h[j] * SRC_RES_DEG / 2.0
+                clon = np.array([lon[j] - half_w, lon[j] + half_w, lon[j] - half_w,
+                                 lon[j] + half_w, lon[j]])
+                clat = np.clip(
+                    np.array([lat[j] - half_h, lat[j] - half_h, lat[j] + half_h,
+                              lat[j] + half_h, lat[j]]), -90.0, 90.0)
+                cx, cy = aeqd.forward(cont, clon, clat)
+                x0 = max(cx.min(), llx[j])
+                x1 = min(cx.max(), llx[j] + self.tile_size)
+                y0 = max(cy.min(), lly[j])
+                y1 = min(cy.max(), lly[j] + self.tile_size)
+                c0 = int(np.floor((x0 - llx[j]) / s))
+                c1 = int(np.ceil((x1 - llx[j]) / s))
+                r0 = int(np.floor((lly[j] + self.tile_size - y1) / s))
+                r1 = int(np.ceil((lly[j] + self.tile_size - y0) / s))
+                c0, c1 = max(0, c0), min(npix, c1)
+                r0, r1 = max(0, r0), min(npix, r1)
+                wh, ww = max(0, r1 - r0), max(0, c1 - c0)
+                out_r0[j], out_c0[j], out_wh[j], out_ww[j] = r0, c0, wh, ww
+                # target pixel centers in proj coords
+                xs = llx[j] + (c0 + 0.5 + np.arange(ww)) * s
+                ys = lly[j] + self.tile_size - (r0 + 0.5 + np.arange(wh)) * s
+                gx, gy = np.meshgrid(xs, ys)
+                tgt_x_all.append(gx.ravel())
+                tgt_y_all.append(gy.ravel())
+                spans.append(wh * ww)
+            if not tgt_x_all:
+                continue
+            tx = np.concatenate(tgt_x_all)
+            ty = np.concatenate(tgt_y_all)
+            tlon, tlat = aeqd.inverse(cont, tx, ty)  # one vectorized call
+            offs = np.concatenate([[0], np.cumsum(spans)])
+            for k, j in enumerate(idxs):
+                wh, ww = int(out_wh[j]), int(out_ww[j])
+                if wh * ww == 0:
+                    continue
+                sl = slice(offs[k], offs[k + 1])
+                glon = tlon[sl]
+                glat = tlat[sl]
+                img = decode_image(bufs[j], fmts[j], int(w[j]), int(h[j]))
+                # source grid: pixel (i, k) center at
+                # lon0 + (k + .5 - w/2) * res, lat0 + (h/2 - i - .5) * res
+                u = (glon - lon[j]) / SRC_RES_DEG + w[j] / 2.0 - 0.5
+                v = (lat[j] - glat) / SRC_RES_DEG + h[j] / 2.0 - 0.5
+                if self.resampling == "bilinear":
+                    out = _bilinear(img, v, u, self.nodata)
+                else:
+                    ui = np.rint(u).astype(np.int64)
+                    vi = np.rint(v).astype(np.int64)
+                    valid = (ui >= 0) & (ui < w[j]) & (vi >= 0) & (vi < h[j])
+                    out = np.full(len(u), self.nodata, dtype=np.uint8)
+                    out[valid] = img[vi[valid], ui[valid]]
+                pixels[j] = out.reshape(wh, ww).tobytes()
+
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "continent": batch.column("continent"),
+                "tile": batch.column("tile"),
+                "r0": pa.array(out_r0, pa.int32()),
+                "c0": pa.array(out_c0, pa.int32()),
+                "win_h": pa.array(out_wh, pa.int32()),
+                "win_w": pa.array(out_ww, pa.int32()),
+                "pixels": pa.array(pixels, pa.binary()),
+                "caption": batch.column("caption")
+                if "caption" in batch.column_names
+                else pa.nulls(n, pa.string()),
+            }
+        )
+
+
+def _bilinear(img: np.ndarray, v: np.ndarray, u: np.ndarray, nodata: int) -> np.ndarray:
+    h, w = img.shape
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    fu = u - u0
+    fv = v - v0
+    u0c = np.clip(u0, 0, w - 1)
+    u1c = np.clip(u0 + 1, 0, w - 1)
+    v0c = np.clip(v0, 0, h - 1)
+    v1c = np.clip(v0 + 1, 0, h - 1)
+    a = img[v0c, u0c].astype(np.float64)
+    b = img[v0c, u1c].astype(np.float64)
+    c = img[v1c, u0c].astype(np.float64)
+    d = img[v1c, u1c].astype(np.float64)
+    val = (a * (1 - fu) + b * fu) * (1 - fv) + (c * (1 - fu) + d * fu) * fv
+    out = np.rint(val).astype(np.uint8)
+    inside = (u >= -0.5) & (u <= w - 0.5) & (v >= -0.5) & (v <= h - 0.5)
+    out[~inside] = nodata
+    return out
+
+
+def regrid_pipeline(
+    ds,
+    *,
+    tiling_id: str = "T6",
+    spec: GridSpec | None = None,
+    resampling: str = "nearest",
+    out_dir: str | None = None,
+    batch_size: int = 1024,
+    concurrency=(1, 8),
+):
+    """images -> (image x tile) pairs -> regridded windows [-> parquet
+    partitioned by continent/tile]."""
+    pairs = ds.map_batches(
+        ExpandTilePairs,
+        fn_constructor_kwargs=dict(tiling_id=tiling_id, spec=spec),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    out = pairs.map_batches(
+        RegridStage,
+        fn_constructor_kwargs=dict(
+            tiling_id=tiling_id, spec=spec, resampling=resampling
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    if out_dir is not None:
+        out.write_parquet(out_dir, partition_cols=["continent"])
+        return out_dir
+    return out

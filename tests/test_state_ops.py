@@ -1,0 +1,192 @@
+"""Checkpoint/manifest resume, counters, cells, dedup, text and
+similarity operator tests (Ray-backed where the operator is a Dataset
+transform)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from equi7grid_ray.cells import (
+    cell_center,
+    cell_children,
+    cell_id,
+    cell_parent,
+    salt_keys,
+)
+from equi7grid_ray.state.checkpoint import Manifest, pending_partitions, write_partition
+
+
+def test_cell_roundtrip():
+    lon = np.array([-179.9, 0.0, 15.1, 179.9])
+    lat = np.array([-89.9, 0.0, 45.3, 89.9])
+    cid = cell_id(lon, lat, 9)
+    clon, clat = cell_center(cid)
+    assert (np.abs(clon - lon) <= 360 / 512).all()
+    assert (np.abs(clat - lat) <= 180 / 512).all()
+    par = cell_parent(cid)
+    kids = cell_children(par)
+    assert ((kids == cid[:, None]).any(axis=1)).all()
+
+
+def test_salt_spreads():
+    keys = np.zeros(1000, dtype=np.int64)  # one hot key
+    salted = salt_keys(keys, np.arange(1000), 16)
+    assert len(np.unique(salted)) == 16
+
+
+def test_checkpoint_resume(tmp_path):
+    t = pa.table({"tile": pa.array(["EU_E048N012T6"] * 5), "v": pa.array(range(5))})
+    out = tmp_path / "out"
+    p1 = write_partition(out, "0001", t, rows_in=5)
+    assert p1 is not None
+    # second write is skipped (resume)
+    assert write_partition(out, "0001", t) is None
+    assert pending_partitions(out, ["0001", "0002"]) == ["0002"]
+    man = Manifest(out)
+    all_ = man.load_all()
+    assert all_[0]["rows_out"] == 5 and all_[0]["tile_counts"]["EU_E048N012T6"] == 5
+    assert man.counters()["rows_out"] == 5
+
+
+def test_counter_actor(ray_session):
+    import ray
+
+    from equi7grid_ray.state.checkpoint import get_counter
+
+    c = get_counter("test_counters")
+    ray.get([c.add.remote("rows", 10) for _ in range(5)])
+    assert ray.get(c.all.remote())["rows"] == 50
+    ray.kill(c)
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(["aaa", "bbb", "aaa", "ccc", "bbb"] * 2),
+        }
+    )
+    out = exact_dedup(rd.from_arrow(t)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 3]
+
+
+def test_simhash_similarity():
+    from equi7grid_ray.stages.dedup import simhash64
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy cat",
+                    "completely different words entirely unrelated content",
+                ]
+            ),
+        }
+    )
+    out = simhash64(t)
+    h = np.asarray(out.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
+    d01 = bin(int(h[0] ^ h[1])).count("1")
+    d02 = bin(int(h[0] ^ h[2])).count("1")
+    assert d01 < d02  # near-dup pair is closer in hamming space
+
+
+def test_ngram_jaccard():
+    from equi7grid_ray.stages.dedup import ngram_jaccard
+
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdef", "uvwxyz") == 0.0
+    assert 0.0 < ngram_jaccard("abcdef", "abcxyz") < 1.0
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.dedup import lsh_candidate_pairs
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    docs = []
+    for i in range(30):
+        docs.append(" ".join(rng.choice(words, 30).tolist()) + f" unique{i}")
+    docs.append(docs[0] + " x")  # 30 is a near-dup of 0
+    t = pa.table({"doc_id": pa.array(range(31), pa.int64()), "text": pa.array(docs)})
+    pairs = lsh_candidate_pairs(rd.from_arrow(t), max_bucket=50).to_pandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 30)).any()
+
+
+def test_topk_cosine(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.similarity import topk_cosine
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((100, 16))
+    emb[7] = emb[0] * 2.0  # same direction as row 0
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    out = topk_cosine(rd.from_arrow(t), emb[0], k=3).to_pandas()
+    assert set(out.vec_id[:2]) >= {0}
+    assert 7 in set(out.vec_id)
+
+
+def test_knn_tiles():
+    from equi7grid_ray.stages.similarity import knn_tiles
+
+    stage = knn_tiles(k=3)
+    batch = pa.table(
+        {
+            "image_id": pa.array(["a"]),
+            "continent": pa.array(["EU"]),
+            "x": pa.array([5138743.0]),
+            "y": pa.array([1307029.0]),
+        }
+    )
+    out = stage(batch).to_pandas()
+    assert len(out) == 3
+    assert out.iloc[0]["tile"] == "EU_E048N012T6"  # containing tile is nearest
+    assert (out["dist"].values[:-1] <= out["dist"].values[1:]).all()
+
+
+def test_langid():
+    from equi7grid_ray.stages.text import LangId
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog sing of the morning",
+                    "der hund und die katze singen schoene lieder",
+                ]
+            ),
+            "lang": pa.array(["en", "de"]),
+        }
+    )
+    out = LangId()(t).to_pandas()
+    assert list(out.lang_pred) == ["en", "de"]
+
+
+def test_hyperplane_lsh_buckets():
+    from equi7grid_ray.stages.similarity import HyperplaneLSH
+
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((50, 8))
+    emb[10] = emb[4] * 3.1  # identical direction -> identical bucket
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    out = HyperplaneLSH(dim=8)(t).to_pandas()
+    assert out.bucket[4] == out.bucket[10]
