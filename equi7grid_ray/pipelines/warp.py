@@ -1,0 +1,133 @@
+"""End-to-end warp pipeline -- the ``resample_to_equi7_tiles`` +
+``get_overlapping_tiles`` surface (/root/reference/src/equi7grid/warp.py
+:333-401 router, :404-420 name resolution, :424-578 fan-out) as a
+resumable Ray Data pipeline.
+
+The reference fans out one mp.Pool task per tile (warp.py:567-574); here
+the fan-out is the streaming executor over (image x tile) pair batches,
+with per-input-fragment checkpoint manifests so a rerun skips finished
+fragments.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+from equi7grid_ray import roi as roi_mod
+from equi7grid_ray.grid import GridSpec, parse_tile_names
+from equi7grid_ray.stages.regrid import default_e7_filename, regrid_pipeline
+
+__all__ = ["get_overlapping_tiles", "ftilenames_to_tiles", "resample_to_equi7_tiles"]
+
+
+def get_overlapping_tiles(
+    *,
+    xy_bbox_map: dict | None = None,
+    geog_bbox=None,
+    roi_geom=None,
+    tiling_id: str = "T6",
+    cover_land: bool = False,
+    spec: GridSpec | None = None,
+) -> list[str]:
+    """Dispatch router (warp.py:333-401): exactly one ROI flavour must be
+    given; raises ValueError otherwise."""
+    given = [v is not None for v in (xy_bbox_map, geog_bbox, roi_geom)]
+    if sum(given) != 1:
+        raise ValueError(
+            "give exactly one of xy_bbox_map / geog_bbox / roi_geom"
+        )
+    if xy_bbox_map is not None:
+        out: list[str] = []
+        for continent, bbox in xy_bbox_map.items():
+            out.extend(
+                roi_mod.tiles_in_proj_bbox(
+                    continent, bbox, tiling_id, cover_land=cover_land, spec=spec
+                )
+            )
+        return out
+    if geog_bbox is not None:
+        return roi_mod.tiles_in_geog_bbox(
+            geog_bbox, tiling_id, cover_land=cover_land, spec=spec
+        )
+    return roi_mod.tiles_in_geom(
+        roi_geom, tiling_id, cover_land=cover_land, spec=spec
+    )
+
+
+def ftilenames_to_tiles(ftilenames: list[str], spec: GridSpec | None = None):
+    """Full tilenames -> TileInfo list (warp.py:404-420)."""
+    from equi7grid_ray import api
+
+    return [api.get_tile_from_name(n, spec) for n in ftilenames]
+
+
+def resample_to_equi7_tiles(
+    input_path: str,
+    out_dir: str,
+    *,
+    tiling_id: str = "T6",
+    spec: GridSpec | None = None,
+    ftilenames: list[str] | None = None,
+    resampling: str = "nearest",
+    naming_traffo: Callable[[str, str], str] | None = None,
+    batch_size: int = 1024,
+    concurrency=(1, 8),
+) -> dict:
+    """Image parquet -> regridded tile windows, parquet partitioned by
+    continent, resumable per input fragment.
+
+    ``ftilenames`` restricts output to an explicit tile list (the
+    reference's explicit-tiles path); ``naming_traffo(stem, ftilename)``
+    customizes partition file stems (warp.py:243-248 hook).
+    Returns the manifest counter summary."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from equi7grid_ray.state.checkpoint import Manifest, write_partition
+
+    frags = sorted(str(p) for p in Path(input_path).glob("*.parquet"))
+    if not frags:
+        raise ValueError(f"no parquet fragments under {input_path}")
+    man = Manifest(out_dir)
+    todo = [f for f in frags if not man.done(Path(f).stem)]
+
+    keep = None
+    if ftilenames:
+        keep = set(ftilenames)
+
+    for frag in todo:  # fragment = resume unit; inside, Ray streams
+        ds = rd.read_parquet(frag)
+        out = regrid_pipeline(
+            ds,
+            tiling_id=tiling_id,
+            spec=spec,
+            resampling=resampling,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        table = out.to_arrow_refs()
+        import pyarrow as pa
+        import ray
+
+        tables = [t for t in ray.get(table)]
+        merged = pa.concat_tables([t for t in tables if t.num_rows], promote_options="default") if tables else None
+        if merged is None:
+            continue
+        if keep is not None:
+            import pyarrow.compute as pc
+
+            merged = merged.filter(
+                pc.is_in(merged.column("tile"), value_set=pa.array(list(keep)))
+            )
+        stem = Path(frag).stem
+        if naming_traffo is not None:
+            stem = naming_traffo(stem, "")
+        write_partition(
+            out_dir,
+            Path(frag).stem,
+            merged,
+            input_fragments=[frag],
+            extra={"stem": stem},
+        )
+    return Manifest(out_dir).counters()
