@@ -336,6 +336,171 @@ def q_langid_docs(sf_dir: str):
     return pred.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
 
 
+def q_events_sessionize(sf_dir: str):
+    """Sessionization (30-min inactivity gap) per user: sorted per-group
+    window logic inside map_groups (ordering assumption: within one user
+    the group is sorted by ts before diffing)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(gaps.sum()) + 1],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_allowed_samplings(sf_dir: str):
+    """allowed_samplings(600 km) as a table (SURVEY 2.1; core.py:651-665)."""
+    from equi7grid_ray.grid import allowed_samplings
+
+    return pa.table(
+        {"sampling": pa.array([int(s) for s in allowed_samplings(600_000)], pa.int64())}
+    )
+
+
+def q_knn_tiles(sf_dir: str):
+    """kNN nearest-tile (k=3) per projected point via per-continent
+    KD-tree over tile centroids; returns rank histogram per continent."""
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.stages.similarity import knn_tiles
+    from equi7grid_ray.stages.tile_assign import TileAssigner
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).limit(20_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lon_u, lat_u = _derive_udeg(batch)
+        return pa.table({
+            "image_id": pc.cast(batch.column("l_orderkey"), pa.string()),
+            "lon_udeg": pa.array(lon_u, pa.int64()),
+            "lat_udeg": pa.array(lat_u, pa.int64()),
+        })
+
+    assigned = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        TileAssigner, fn_constructor_kwargs=dict(emit_cell=False),
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=1,
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:  # undo dictionary encoding for knn stage
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "continent": batch.column("continent").cast(pa.string()),
+            "x": batch.column("x"),
+            "y": batch.column("y"),
+        })
+
+    nn = assigned.map_batches(norm, batch_format="pyarrow").map_batches(
+        knn_tiles, fn_constructor_kwargs=dict(k=3),
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=1,
+    )
+    return nn.groupby("rank").aggregate(Count(alias_name="n"))
+
+
+def q_regrid_sample(sf_dir: str):
+    """Regrid 400 synthetic image rows into their tiles; returns per-tile
+    window counts + resampled-pixel checksum (raster->vector stage)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.regrid import regrid_pipeline
+
+    ds = rd.from_arrow(make_batch(0, 400))
+    out = regrid_pipeline(ds, concurrency=(1, 2))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        px = batch.column("pixels").to_pylist()
+        sums = np.array(
+            [int(np.frombuffer(b, np.uint8).sum()) if b else 0 for b in px],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "tile": batch.column("tile"),
+            "px_sum": pa.array(sums, pa.int64()),
+        })
+
+    return (
+        out.map_batches(summarize, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Count(alias_name="n_windows"), Sum("px_sum", alias_name="px_sum"))
+    )
+
+
+def q_ann_lsh_buckets(sf_dir: str):
+    """Hyperplane-LSH bucketing of the embedding column (ANN scale path):
+    bucket -> member count."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.stages.similarity import HyperplaneLSH
+
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet").column("embedding")[0])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    b = ds.map_batches(
+        HyperplaneLSH, fn_constructor_kwargs=dict(dim=dim, n_planes=8),
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=1,
+    )
+    return b.groupby("bucket").aggregate(Count(alias_name="n"))
+
+
+def q_distortion_stats(sf_dir: str):
+    """Length distortion k over the coordinate sweep, aggregated per
+    continent (core.py:292-324/:416-452 math; geodesic -> rows-only)."""
+    from ray.data.aggregate import Count, Max
+
+    from equi7grid_ray import aeqd
+    from equi7grid_ray.stages.tile_assign import TileAssigner
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).limit(20_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lon_u, lat_u = _derive_udeg(batch)
+        return pa.table({
+            "image_id": pc.cast(batch.column("l_orderkey"), pa.string()),
+            "lon_udeg": pa.array(lon_u, pa.int64()),
+            "lat_udeg": pa.array(lat_u, pa.int64()),
+        })
+
+    assigned = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        TileAssigner, fn_constructor_kwargs=dict(emit_cell=False),
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=1,
+    )
+
+    def kcalc(batch: pa.Table) -> pa.Table:
+        cont = np.asarray(batch.column("continent").to_pylist())
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        k = np.empty(len(x))
+        for c in np.unique(cont):
+            m = cont == c
+            k[m] = aeqd.length_distortion_planar(str(c), x[m], y[m])
+        kb = np.clip((np.nan_to_num(k, nan=1.0) - 1.0) * 100, 0, 99).astype(np.int64)
+        return pa.table({
+            "continent": pa.array(cont.tolist(), pa.string()),
+            "k_pct_bucket": pa.array(kb, pa.int64()),
+        })
+
+    return (
+        assigned.map_batches(kcalc, batch_format="pyarrow")
+        .groupby(["continent", "k_pct_bucket"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_grid_tiles_export(sf_dir: str):
+    """Full T6 tile inventory with WKT boundaries (export surface)."""
+    from equi7grid_ray.export import tiles_table
+
+    return tiles_table("T6")
+
+
 def entry() -> Any:
     """Flagship smoke: sf0.001 lineitem -> derived global coordinates ->
     zone PIP -> AEQD forward -> tile assignment rows."""
@@ -378,6 +543,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_near_dup": q_lsh_near_dup,
         "simhash_docs": q_simhash_docs,
         "langid_docs": q_langid_docs,
+        "events_sessionize": q_events_sessionize,
+        "allowed_samplings": q_allowed_samplings,
+        "knn_tiles": q_knn_tiles,
+        "regrid_sample": q_regrid_sample,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "distortion_stats": q_distortion_stats,
+        "grid_tiles_export": q_grid_tiles_export,
     }
 
 
@@ -431,5 +603,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS c "
             "FROM embeddings ORDER BY c DESC, vec_id LIMIT 10)"
+        ),
+        "events_sessionize": (
+            "WITH g AS (SELECT user_id, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "THEN 1 ELSE 0 END AS brk FROM events) "
+            "SELECT user_id, count(*) AS n_events, sum(brk) AS n_sessions "
+            "FROM g GROUP BY user_id"
+        ),
+        "allowed_samplings": (
+            "SELECT s AS sampling FROM generate_series(1, 10000) t(s) "
+            "WHERE 600000 % s = 0"
         ),
     }
