@@ -501,6 +501,97 @@ def q_grid_tiles_export(sf_dir: str):
     return tiles_table("T6")
 
 
+def q_pixel_index(sf_dir: str):
+    """xy2rc pixel addressing (tile-local row/col at 500 m sampling,
+    SURVEY 2.6) -- pure integer math, SQL-oracled."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        x, y = _derive_xy(batch)
+        llx = x // 600_000 * 600_000
+        lly = y // 600_000 * 600_000
+        r = (lly + 600_000 - y - 1) // 500  # floor((ur_y - y)/s) for y<ur_y
+        c = (x - llx) // 500
+        names = _t6_names(x, y)
+        key = np.char.add(np.char.add(names, "_"),
+                          np.char.add((r // 300).astype("U"), (c // 300).astype("U")))
+        tiles, first, counts = np.unique(key, return_index=True, return_counts=True)
+        return pa.table({
+            "tile": pa.array(names[first].tolist(), pa.string()),
+            "r_blk": pa.array((r[first] // 300), pa.int64()),
+            "c_blk": pa.array((c[first] // 300), pa.int64()),
+            "pn": pa.array(counts, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby(["tile", "r_blk", "c_blk"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def q_zone_multi_hit_buffered(sf_dir: str):
+    """Buffered-zone assignment: points near continental seams hit
+    multiple zones (core.py buffered semantics,
+    tests/test_equi7grid.py:412-439); counts rows per containing-zone
+    multiplicity (geodesic/PIP -> rows-only)."""
+    from ray.data.aggregate import Sum
+
+    from equi7grid_ray.grid import GridSpec
+    from equi7grid_ray.tiling_state import get_grid_state
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).limit(20_000)
+    spec = GridSpec.standard(buffered=True)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        state = get_grid_state(spec)
+        lon_u, lat_u = _derive_udeg(batch)
+        m = state.zc.classify(lon_u / 1e6, lat_u / 1e6)
+        hits = m.sum(axis=1).astype(np.int64)
+        vals, counts = np.unique(hits, return_counts=True)
+        return pa.table({"n_zones": pa.array(vals, pa.int64()),
+                         "pn": pa.array(counts, pa.int64())})
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("n_zones")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def q_image_stats(sf_dir: str):
+    """Multimodal decode stage: per-image pixel stats + thumbnails over
+    synthesized payloads (codec plumbing; rows-only)."""
+    import ray.data as rd
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.multimodal import DecodeImages
+
+    ds = rd.from_arrow(make_batch(0, 500))
+    out = ds.map_batches(
+        DecodeImages, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1
+    )
+    return out.select_columns(["image_id", "px_mean"])
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (deterministic fake demux;
+    rows-only)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.multimodal import FrameSampler
+
+    ds = rd.from_arrow(make_batch(0, 100))
+    out = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1
+    )
+    return out.groupby("frame_index").aggregate(Count(alias_name="n"))
+
+
 def entry() -> Any:
     """Flagship smoke: sf0.001 lineitem -> derived global coordinates ->
     zone PIP -> AEQD forward -> tile assignment rows."""
@@ -550,6 +641,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "distortion_stats": q_distortion_stats,
         "grid_tiles_export": q_grid_tiles_export,
+        "pixel_index": q_pixel_index,
+        "zone_multi_hit_buffered": q_zone_multi_hit_buffered,
+        "image_stats": q_image_stats,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -615,5 +710,13 @@ def oracle_sql() -> dict[str, str]:
         "allowed_samplings": (
             "SELECT s AS sampling FROM generate_series(1, 10000) t(s) "
             "WHERE 600000 % s = 0"
+        ),
+        "pixel_index": (
+            f"WITH d AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "
+            f"(l_suppkey * {_YMUL}) % {_YMOD} AS y FROM lineitem) "
+            "SELECT printf('E%03dN%03dT6', x // 600000 * 6, y // 600000 * 6) AS tile, "
+            "((y // 600000 * 600000 + 600000 - y - 1) // 500) // 300 AS r_blk, "
+            "((x - x // 600000 * 600000) // 500) // 300 AS c_blk, "
+            "count(*) AS n FROM d GROUP BY tile, r_blk, c_blk"
         ),
     }

@@ -190,3 +190,44 @@ def test_hyperplane_lsh_buckets():
     )
     out = HyperplaneLSH(dim=8)(t).to_pandas()
     assert out.bucket[4] == out.bucket[10]
+
+
+def test_multimodal_stages():
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.multimodal import (
+        AudioFeatures,
+        DecodeImages,
+        FrameSampler,
+    )
+
+    b = make_batch(0, 12)
+    out = DecodeImages()(b)
+    assert out.num_rows == 12 and len(out.column("thumb")[0].as_py()) == 256
+
+    au = AudioFeatures()(b)
+    assert au.num_rows == 12 and all(v > 0 for v in au.column("rms").to_pylist())
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(use_fake=False)(b)
+
+    fr = FrameSampler(every=5, n_frames=20)(b)
+    assert fr.num_rows == 12 * 4
+    # determinism across calls
+    fr2 = FrameSampler(every=5, n_frames=20)(b)
+    assert fr.column("frame")[0].as_py() == fr2.column("frame")[0].as_py()
+
+
+def test_user_tiling_t2_assignment():
+    """User-defined T2 = 200 km tiling (grid.ipynb scenario): tile sets
+    build on demand and point->tile assignment works end to end."""
+    import pyarrow as pa
+
+    from equi7grid_ray.grid import GridSpec
+    from equi7grid_ray.stages.tile_assign import TileAssigner
+
+    spec = GridSpec(sampling={"T2": 100.0}, tilings={1: ("T2", 200_000.0)})
+    ta = TileAssigner("T2", spec=spec)
+    batch = pa.table({"image_id": pa.array(["a"]), "lon": pa.array([15.1]),
+                      "lat": pa.array([45.3])})
+    out = ta(batch).to_pydict()
+    # x=5138743.13 -> ll 5.0e6 -> E050; y=1307029.16 -> ll 1.2e6 -> N012
+    assert out["tile"] == ["EU_E050N012T2"]
