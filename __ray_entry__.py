@@ -561,6 +561,29 @@ def q_zone_multi_hit_buffered(sf_dir: str):
     )
 
 
+def q_roi_search_batch(sf_dir: str):
+    """Batched per-row ROI->tiles search (0.4deg boxes at the derived
+    sweep centers) -> per-tile ROI counts (the coarse-cell groupby
+    shuffle; geodesic/PIP -> rows-only)."""
+    from equi7grid_ray.stages.roi_search import roi_tile_counts
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).limit(20_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lon_u, lat_u = _derive_udeg(batch)
+        lon = lon_u / 1e6
+        lat = lat_u / 1e6
+        return pa.table({
+            "roi_id": batch.column("l_orderkey"),
+            "lon_min": pa.array(np.maximum(lon - 0.2, -180.0)),
+            "lat_min": pa.array(np.maximum(lat - 0.2, -90.0)),
+            "lon_max": pa.array(np.minimum(lon + 0.2, 180.0)),
+            "lat_max": pa.array(np.minimum(lat + 0.2, 90.0)),
+        })
+
+    return roi_tile_counts(ds.map_batches(prep, batch_format="pyarrow"))
+
+
 def q_image_stats(sf_dir: str):
     """Multimodal decode stage: per-image pixel stats + thumbnails over
     synthesized payloads (codec plumbing; rows-only)."""
@@ -645,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_multi_hit_buffered": q_zone_multi_hit_buffered,
         "image_stats": q_image_stats,
         "frame_sample": q_frame_sample,
+        "roi_search_batch": q_roi_search_batch,
     }
 
 

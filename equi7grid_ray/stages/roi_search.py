@@ -1,0 +1,131 @@
+"""Batched ROI -> tiles search over a Dataset of ROI rows.
+
+The 10^12-row version of the reference's ``get_tiles_in_geog_bbox``
+(SURVEY 3.2 / north-rule "groupby-aggregate shuffle keyed on coarse
+cells"): every input row carries its own small bbox; the stage probes a
+(2k+1)^2 lon/lat grid per ROI (vectorized across the whole batch), zone
+classifies all probes at once, projects per continent and floors to
+tiles.  Exact for ROIs up to ~2 probe spacings smaller than a tile --
+the intended shape for per-scene footprints; arbitrarily large ROIs go
+through the atlas-based driver API (equi7grid_ray.roi).
+
+Downstream the tile (or its coarse cell) is the shuffle key; use
+``cells.salt_keys`` for the EU/AS hot zones before a groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from equi7grid_ray import aeqd
+from equi7grid_ray.grid import GridSpec, full_names, tile_ll_from_xy
+from equi7grid_ray.tiling_state import get_grid_state
+
+__all__ = ["BBoxTilesStage", "roi_tile_counts"]
+
+
+class BBoxTilesStage:
+    """map_batches: rows (roi_id, lon_min, lat_min, lon_max, lat_max) ->
+    rows (roi_id, continent, tile) per overlapped tile."""
+
+    def __init__(self, tiling_id: str = "T6", spec: GridSpec | None = None,
+                 probes_per_axis: int | None = None):
+        self.spec = spec or GridSpec.standard()
+        self.state = get_grid_state(self.spec)
+        self.tiling = self.spec.tiling_name(tiling_id)
+        self.tile_size = self.spec.tile_size(tiling_id)
+        self.continents = self.spec.continents()
+        self.zone_cols = [self.state.zc.order.index(c) for c in self.continents]
+        self._tilings = {c: self.state.tiles(c, self.tiling) for c in self.continents}
+        self._names = {
+            c: full_names(c, ct.ll_x, ct.ll_y, self.tiling)
+            for c, ct in self._tilings.items()
+        }
+        self.k = probes_per_axis
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        lon0 = batch.column("lon_min").to_numpy(zero_copy_only=False)
+        lat0 = batch.column("lat_min").to_numpy(zero_copy_only=False)
+        lon1 = batch.column("lon_max").to_numpy(zero_copy_only=False)
+        lat1 = batch.column("lat_max").to_numpy(zero_copy_only=False)
+        # probe spacing ~<= 0.15 deg for the largest ROI in the batch
+        # (footprint-sized ROIs get the minimum 3x3)
+        k = self.k
+        if k is None:
+            span = max(
+                float(np.max(lon1 - lon0, initial=0.0)),
+                float(np.max(lat1 - lat0, initial=0.0)),
+            )
+            k = int(np.clip(np.ceil(span / 0.15) + 1, 3, 16))
+        f = np.linspace(0.0, 1.0, k)
+        # probe grid per ROI: (k*k, n)
+        pl = lon0[None, :] + np.repeat(f, k)[:, None] * (lon1 - lon0)[None, :]
+        pb = lat0[None, :] + np.tile(f, k)[:, None] * (lat1 - lat0)[None, :]
+        member = self.state.zc.classify(pl.ravel(), pb.ravel()).reshape(k * k, n, -1)
+
+        out_row: list[np.ndarray] = []
+        out_tidx: list[np.ndarray] = []
+        out_cont: list[str] = []
+        for cont, zc_col in zip(self.continents, self.zone_cols):
+            m = member[:, :, zc_col]
+            if not m.any():
+                continue
+            pr, rows = np.nonzero(m)
+            x, y = aeqd.forward(cont, pl[pr, rows], pb[pr, rows])
+            llx, lly = tile_ll_from_xy(x, y, self.tile_size)
+            ct = self._tilings[cont]
+            pos = ct.lookup(llx, lly)
+            ok = pos >= 0
+            key = rows[ok] * np.int64(1 << 32) + pos[ok]
+            _, uniq = np.unique(key, return_index=True)
+            out_row.append(rows[ok][uniq])
+            out_tidx.append(pos[ok][uniq])
+            out_cont.append(cont)
+
+        if not out_row:
+            return pa.table({
+                "roi_id": batch.column("roi_id").take(pa.array(np.empty(0, np.int64))),
+                "continent": pa.array([], pa.string()),
+                "tile": pa.array([], pa.string()),
+            })
+        rows = np.concatenate(out_row)
+        tiles = np.concatenate(
+            [self._names[c][ix] for c, ix in zip(out_cont, out_tidx)]
+        )
+        conts = np.concatenate(
+            [np.full(len(ix), c, "U2") for c, ix in zip(out_cont, out_tidx)]
+        )
+        return pa.table({
+            "roi_id": batch.column("roi_id").take(pa.array(rows)),
+            "continent": pa.array(conts),
+            "tile": pa.array(tiles),
+        })
+
+
+def roi_tile_counts(ds, tiling_id: str = "T6", spec: GridSpec | None = None,
+                    batch_size: int = 8192):
+    """ROI rows -> per-tile ROI counts: the coarse-cell-keyed
+    groupby-aggregate shuffle with per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    hits = ds.map_batches(
+        BBoxTilesStage,
+        fn_constructor_kwargs=dict(tiling_id=tiling_id, spec=spec),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t, c = np.unique(np.asarray(batch.column("tile").to_pylist()), return_counts=True)
+        return pa.table({"tile": pa.array(t.tolist(), pa.string()),
+                         "pn": pa.array(c, pa.int64())})
+
+    return (
+        hits.map_batches(partial, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Sum("pn", alias_name="n"))
+    )

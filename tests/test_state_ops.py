@@ -231,3 +231,22 @@ def test_user_tiling_t2_assignment():
     out = ta(batch).to_pydict()
     # x=5138743.13 -> ll 5.0e6 -> E050; y=1307029.16 -> ll 1.2e6 -> N012
     assert out["tile"] == ["EU_E050N012T2"]
+
+
+def test_bbox_tiles_stage_matches_driver_roi():
+    """Per-row bbox search agrees with the atlas-based driver search for
+    a small in-zone bbox."""
+    import pyarrow as pa
+
+    from equi7grid_ray import roi
+    from equi7grid_ray.stages.roi_search import BBoxTilesStage
+
+    stage = BBoxTilesStage()
+    batch = pa.table({
+        "roi_id": pa.array([1], pa.int64()),
+        "lon_min": pa.array([16.0]), "lat_min": pa.array([48.0]),
+        "lon_max": pa.array([18.0]), "lat_max": pa.array([50.0]),
+    })
+    got = sorted(stage(batch).column("tile").to_pylist())
+    want = sorted(roi.tiles_in_geog_bbox((16, 48, 18, 50), "T6"))
+    assert got == want
