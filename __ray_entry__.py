@@ -561,6 +561,48 @@ def q_zone_multi_hit_buffered(sf_dir: str):
     )
 
 
+def q_cell_index_salted(sf_dir: str):
+    """Skew-handled two-stage aggregate: the coarse-cell count computed
+    over salted sub-keys, then merged -- result identical to
+    cell_index_hist (same SQL oracle), demonstrating the EU/AS hot-zone
+    salting path."""
+    from ray.data.aggregate import Sum
+
+    from equi7grid_ray.cells import salt_keys
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_salts = 16
+
+    def stage(batch: pa.Table) -> pa.Table:
+        lon_u, lat_u = _derive_udeg(batch)
+        n = np.int64(1 << _CELL_L)
+        ix = (lon_u + 180_000_000) * n // _LONMOD
+        iy = (lat_u + 90_000_000) * n // _LATMOD
+        base = (iy << 29) | ix  # salt the level-stripped bits (fits int64)
+        salted = salt_keys(base, np.arange(len(base)), n_salts)
+        cells, counts = np.unique(salted, return_counts=True)
+        return pa.table({"salted": pa.array(cells, pa.int64()),
+                         "pn": pa.array(counts, pa.int64())})
+
+    partial = (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("salted")
+        .aggregate(Sum("pn", alias_name="pn"))
+    )
+
+    def unsalt(batch: pa.Table) -> pa.Table:
+        base = batch.column("salted").to_numpy() // n_salts
+        cell = (np.int64(_CELL_L) << 58) | base
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "pn": batch.column("pn")})
+
+    return (
+        partial.map_batches(unsalt, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets ->
     within-bucket exact cosine verification (threshold 0.95); completes
@@ -727,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "roi_search_batch": q_roi_search_batch,
         "embedding_near_dup": q_embedding_near_dup,
+        "cell_index_salted": q_cell_index_salted,
     }
 
 
@@ -792,6 +835,12 @@ def oracle_sql() -> dict[str, str]:
         "allowed_samplings": (
             "SELECT s AS sampling FROM generate_series(1, 10000) t(s) "
             "WHERE 600000 % s = 0"
+        ),
+        "cell_index_salted": (
+            f"SELECT ({_CELL_L} * (1::BIGINT << 58)) "
+            f" + ((((l_partkey * {_LATMUL}) % {_LATMOD}) * {1 << _CELL_L}) // {_LATMOD}) * (1::BIGINT << 29) "
+            f" + (((l_orderkey * {_LONMUL}) % {_LONMOD}) * {1 << _CELL_L}) // {_LONMOD} AS cell, "
+            f"count(*) AS n FROM lineitem GROUP BY cell"
         ),
         "pixel_index": (
             f"WITH d AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "

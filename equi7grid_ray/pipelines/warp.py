@@ -84,7 +84,7 @@ def resample_to_equi7_tiles(
     import pyarrow.dataset as pads
     import ray.data as rd
 
-    from equi7grid_ray.state.checkpoint import Manifest, write_partition
+    from equi7grid_ray.state.checkpoint import Manifest
 
     frags = sorted(str(p) for p in Path(input_path).glob("*.parquet"))
     if not frags:
@@ -96,6 +96,10 @@ def resample_to_equi7_tiles(
     if ftilenames:
         keep = set(ftilenames)
 
+    import shutil
+
+    import pyarrow as pa
+
     for frag in todo:  # fragment = resume unit; inside, Ray streams
         ds = rd.read_parquet(frag)
         out = regrid_pipeline(
@@ -106,28 +110,37 @@ def resample_to_equi7_tiles(
             batch_size=batch_size,
             concurrency=concurrency,
         )
-        table = out.to_arrow_refs()
-        import pyarrow as pa
-        import ray
-
-        tables = [t for t in ray.get(table)]
-        merged = pa.concat_tables([t for t in tables if t.num_rows], promote_options="default") if tables else None
-        if merged is None:
-            continue
         if keep is not None:
             import pyarrow.compute as pc
 
-            merged = merged.filter(
-                pc.is_in(merged.column("tile"), value_set=pa.array(list(keep)))
+            vs = pa.array(sorted(keep))
+            out = out.map_batches(
+                lambda t, vs=vs: t.filter(
+                    pc.is_in(t.column("tile").cast(pa.string()), value_set=vs)
+                ),
+                batch_format="pyarrow",
             )
-        stem = Path(frag).stem
-        if naming_traffo is not None:
-            stem = naming_traffo(stem, "")
-        write_partition(
-            out_dir,
-            Path(frag).stem,
-            merged,
+        # write distributed (no driver-side collect), atomically per fragment
+        pid = Path(frag).stem
+        tmp = Path(out_dir) / f".tmp-part-{pid}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        m = out.materialize()  # bounded by the fragment size (resume unit)
+        m.write_parquet(str(tmp), partition_cols=["continent"])
+        pdir = Path(out_dir) / f"part-{pid}"
+        if pdir.exists():
+            shutil.rmtree(pdir)
+        tmp.rename(pdir)
+        stem = pid if naming_traffo is None else naming_traffo(pid, "")
+        # lineage: per-tile histogram from the (small) tile column only
+        vc = m.select_columns(["tile"]).to_pandas()["tile"].astype(str).value_counts()
+        Manifest(out_dir).record(
+            pid,
             input_fragments=[frag],
-            extra={"stem": stem},
+            rows_in=ds.count(),
+            rows_out=m.count(),
+            n_tiles=int(len(vc)),
+            tile_counts={k: int(v) for k, v in vc.head(50).items()},
+            stem=stem,
         )
     return Manifest(out_dir).counters()

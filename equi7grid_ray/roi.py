@@ -169,9 +169,23 @@ def tiles_in_geom(
     cover_land: bool = False,
     spec: GridSpec | None = None,
     continents: list[str] | None = None,
+    crs: str = "geog",
 ) -> list[str]:
-    """All tiles intersecting an arbitrary geographic polygon."""
+    """All tiles intersecting an arbitrary polygon.
+
+    ``crs='geog'`` (default): ring vertices are lon/lat.
+    ``crs='<continent>'`` (e.g. 'EU'): a *projected* geometry in that
+    continent's plane (the reference's ProjGeom flavour) -- densified in
+    proj space, inverse-projected, then searched geographically."""
     state = get_grid_state(spec)
+    if crs != "geog":
+        from equi7grid_ray import aeqd
+        from equi7grid_ray.tiling_state import _densify_ring
+
+        ring = np.asarray(ring_xy, dtype=np.float64)
+        dens = _densify_ring(ring, 50_000.0)  # <=50 km proj segments
+        lon, lat = aeqd.inverse(crs, dens[:, 0], dens[:, 1])
+        ring_xy = np.column_stack([lon, lat])
     roi = GeogPolygonROI(ring_xy)
     conts = continents or state.spec.continents()
     masks = [(c, _continent_hits(state, c, tiling_id, roi)) for c in conts]

@@ -160,3 +160,13 @@ def test_continent_order_restriction():
         (0, 30, 10, 40), "T6", continents=["AF"]
     )
     assert tiles and all(t.startswith("AF_") for t in tiles)
+
+
+def test_tiles_in_proj_geom():
+    """ProjGeom flavour: a projected square in the EU plane finds the
+    same tiles as its geographic equivalent (core.py:263-290 surface)."""
+    # square covering the EU golden tile E048N012 center region
+    ring = [(5.0e6, 1.3e6), (5.2e6, 1.3e6), (5.2e6, 1.5e6), (5.0e6, 1.5e6)]
+    tiles = roi.tiles_in_geom(ring, "T6", crs="EU")
+    assert "EU_E048N012T6" in tiles
+    assert all(t.startswith(("EU_", "AF_")) for t in tiles)
