@@ -145,13 +145,21 @@ class RegridStage:
         spec: GridSpec | None = None,
         resampling: str = "nearest",
         nodata: int = 0,
+        src_crs: str = "geog",
+        src_res_m: float = 1000.0,
     ):
+        """``src_crs``: 'geog' (north-up lon/lat grid at SRC_RES_DEG) or
+        'webmercator' (EPSG:3857 grid at ``src_res_m`` m/pixel centered
+        at the row's lon/lat) -- the two source CRS families the
+        reference's warp tests exercise (tests/test_warp.py:43-124)."""
         self.spec = spec or GridSpec.standard()
         self.tiling = self.spec.tiling_name(tiling_id)
         self.tile_size = self.spec.tile_size(tiling_id)
         self.sampling = self.spec.sampling_of(tiling_id)
         self.resampling = resampling
         self.nodata = nodata
+        self.src_crs = src_crs
+        self.src_res_m = src_res_m
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -185,13 +193,24 @@ class RegridStage:
             tgt_y_all = []
             spans = []
             for j in idxs:
-                half_w = w[j] * SRC_RES_DEG / 2.0
-                half_h = h[j] * SRC_RES_DEG / 2.0
-                clon = np.array([lon[j] - half_w, lon[j] + half_w, lon[j] - half_w,
-                                 lon[j] + half_w, lon[j]])
-                clat = np.clip(
-                    np.array([lat[j] - half_h, lat[j] - half_h, lat[j] + half_h,
-                              lat[j] + half_h, lat[j]]), -90.0, 90.0)
+                if self.src_crs == "webmercator":
+                    from equi7grid_ray import mercator
+
+                    mcx, mcy = mercator.forward(lon[j], lat[j])
+                    hwm = w[j] * self.src_res_m / 2.0
+                    hhm = h[j] * self.src_res_m / 2.0
+                    clon, clat = mercator.inverse(
+                        np.array([mcx - hwm, mcx + hwm, mcx - hwm, mcx + hwm, mcx]),
+                        np.array([mcy - hhm, mcy - hhm, mcy + hhm, mcy + hhm, mcy]),
+                    )
+                else:
+                    half_w = w[j] * SRC_RES_DEG / 2.0
+                    half_h = h[j] * SRC_RES_DEG / 2.0
+                    clon = np.array([lon[j] - half_w, lon[j] + half_w, lon[j] - half_w,
+                                     lon[j] + half_w, lon[j]])
+                    clat = np.clip(
+                        np.array([lat[j] - half_h, lat[j] - half_h, lat[j] + half_h,
+                                  lat[j] + half_h, lat[j]]), -90.0, 90.0)
                 cx, cy = aeqd.forward(cont, clon, clat)
                 x0 = max(cx.min(), llx[j])
                 x1 = min(cx.max(), llx[j] + self.tile_size)
@@ -228,8 +247,16 @@ class RegridStage:
                 img = decode_image(bufs[j], fmts[j], int(w[j]), int(h[j]))
                 # source grid: pixel (i, k) center at
                 # lon0 + (k + .5 - w/2) * res, lat0 + (h/2 - i - .5) * res
-                u = (glon - lon[j]) / SRC_RES_DEG + w[j] / 2.0 - 0.5
-                v = (lat[j] - glat) / SRC_RES_DEG + h[j] / 2.0 - 0.5
+                if self.src_crs == "webmercator":
+                    from equi7grid_ray import mercator
+
+                    gx, gy = mercator.forward(glon, glat)
+                    mcx, mcy = mercator.forward(lon[j], lat[j])
+                    u = (gx - mcx) / self.src_res_m + w[j] / 2.0 - 0.5
+                    v = (mcy - gy) / self.src_res_m + h[j] / 2.0 - 0.5
+                else:
+                    u = (glon - lon[j]) / SRC_RES_DEG + w[j] / 2.0 - 0.5
+                    v = (lat[j] - glat) / SRC_RES_DEG + h[j] / 2.0 - 0.5
                 if self.resampling == "bilinear":
                     out = _bilinear(img, v, u, self.nodata)
                 else:

@@ -177,3 +177,54 @@ def test_regrid_pipeline_ray(ray_session, tmp_path):
     back = pads.dataset(str(tmp_path / "regrid"), partitioning="hive").to_table()
     assert back.num_rows >= 38
     assert "pixels" in back.column_names
+
+
+def test_webmercator_source_regrid():
+    """Web-mercator source CRS path (the reference's second warp fixture
+    family, tests/test_warp.py:83-124): regrid a 3857-gridded raster into
+    an EU tile; verify against a scalar oracle."""
+    from equi7grid_ray import mercator
+    from equi7grid_ray.codec import encode_image
+    from equi7grid_ray.grid import parse_tile_names
+
+    # source raster: 64x64 @ 10 km in 3857, centered inside EU_E066N030T6
+    lon_c, lat_c = 51.0, 61.5
+    w = h = 64
+    img = ((np.arange(h)[:, None] * h + np.arange(w)[None, :] * w) % 256).astype(np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["wm0"]),
+        "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+        "w": pa.array([w], pa.int32()),
+        "h": pa.array([h], pa.int32()),
+        "fmt": pa.array(["raw"]),
+        "caption": pa.array(["wm scene"]),
+        "lon": pa.array([lon_c]),
+        "lat": pa.array([lat_c]),
+        "continent": pa.array(["EU"]),
+        "tile": pa.array(["EU_E066N030T6"]),
+        "ll_x": pa.array([6.6e6]),
+        "ll_y": pa.array([3.0e6]),
+    })
+    stage = RegridStage(src_crs="webmercator", src_res_m=10_000.0)
+    out = stage(batch)
+    row = {c: out.column(c)[0].as_py() for c in out.column_names}
+    assert row["win_h"] > 0 and row["win_w"] > 0
+    got = np.frombuffer(row["pixels"], np.uint8).reshape(row["win_h"], row["win_w"])
+    # scalar oracle
+    p = parse_tile_names(row["tile"])
+    llx, lly = float(p["ll_x"]), float(p["ll_y"])
+    s, tile_size = 500.0, 600_000.0
+    mcx, mcy = mercator.forward(lon_c, lat_c)
+    errs = 0
+    for rr in range(0, row["win_h"], 7):
+        for cc in range(0, row["win_w"], 7):
+            x = llx + (row["c0"] + cc + 0.5) * s
+            y = lly + tile_size - (row["r0"] + rr + 0.5) * s
+            glon, glat = aeqd.inverse("EU", x, y)
+            gx, gy = mercator.forward(float(glon), float(glat))
+            ui = int(round((float(gx) - float(mcx)) / 10_000.0 + w / 2.0 - 0.5))
+            vi = int(round((float(mcy) - float(gy)) / 10_000.0 + h / 2.0 - 0.5))
+            want = img[vi, ui] if (0 <= ui < w and 0 <= vi < h) else 0
+            errs += int(got[rr, cc] != want)
+    assert errs == 0
+    assert (got > 0).any()

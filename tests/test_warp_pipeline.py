@@ -106,3 +106,52 @@ def test_export_surface(tmp_path):
     g = write_grid_def(tmp_path / "grid.json")
     back = json.loads(g.read_text())
     assert back["system_order"][0] == "AF" and back["tilings"]["1"]["name"] == "T6"
+
+
+def test_lonlat_raster_tile_discovery_golden():
+    """Reference warp golden (tests/test_warp.py:129-171): the lonlat
+    fixture extent (50, 60.7, 51.2, 63.2) overlaps exactly these 4 tiles
+    across the AS/EU seam; EU-only grid -> 2 tiles."""
+    from equi7grid_ray import roi
+
+    tiles = roi.tiles_in_geog_bbox((50.0, 60.7, 51.2, 63.2), "T6")
+    assert sorted(tiles) == [
+        "AS_E018N066T6",
+        "AS_E018N072T6",
+        "EU_E066N030T6",
+        "EU_E072N030T6",
+    ]
+    eu_only = roi.tiles_in_geog_bbox((50.0, 60.7, 51.2, 63.2), "T6",
+                                     continents=["EU"])
+    assert sorted(eu_only) == ["EU_E066N030T6", "EU_E072N030T6"]
+
+
+def test_webmercator_raster_tile_discovery_golden():
+    """Reference warp golden (tests/test_warp.py:213-260): the EPSG:3857
+    fixture extent (4.9e6, 7.81e6, 6.18e6, 8.75e6) m -> 4 EU tiles."""
+    from equi7grid_ray import mercator, roi
+
+    lon0, lat0 = mercator.inverse(4.9e6, 7.81e6)
+    lon1, lat1 = mercator.inverse(6.18e6, 8.75e6)
+    tiles = roi.tiles_in_geog_bbox(
+        (float(lon0), float(lat0), float(lon1), float(lat1)), "T6",
+        continents=["EU"],
+    )
+    assert sorted(tiles) == [
+        "EU_E066N024T6",
+        "EU_E066N030T6",
+        "EU_E072N024T6",
+        "EU_E072N030T6",
+    ]
+
+
+def test_mercator_roundtrip():
+    from equi7grid_ray import mercator
+
+    import numpy as np
+
+    lon = np.linspace(-179, 179, 50)
+    lat = np.linspace(-85, 85, 50)
+    x, y = mercator.forward(lon, lat)
+    lo, la = mercator.inverse(x, y)
+    assert np.allclose(lo, lon) and np.allclose(la, lat, atol=1e-9)
