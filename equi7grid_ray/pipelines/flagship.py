@@ -97,6 +97,26 @@ def run_flagship(
     return out_dir
 
 
+def ordered_assignments(assignments):
+    """Reference-order output: Ray Data does not preserve order across
+    execution, so where the reference's generator ordering matters
+    (continents by system_order, tiles x-then-y;
+    tests/test_equi7grid.py:273-282) finish with an explicit sort."""
+    return assignments.sort(["continent_rank", "ll_x", "ll_y"])
+
+
+def dedup_images_by_phash(ds, id_col: str = "image_id"):
+    """Exact image dedup on the phash column (input_hint schema): keep
+    the min image_id per phash -- shuffle moves only (phash, id)."""
+    from ray.data.aggregate import Min
+
+    return (
+        ds.select_columns([id_col, "phash"])
+        .groupby("phash")
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
+
+
 def tile_histogram(assignments) -> "pa.Table":
     """Small grouped aggregate over the assignment stream: rows per tile.
     Pre-aggregates inside map_batches (combiner) before the shuffle, so

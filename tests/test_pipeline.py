@@ -1,0 +1,88 @@
+"""Flagship pipeline tests: end-to-end Ray runs, ordered output parity,
+phash dedup on the image table, API coverage details."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from equi7grid_ray.sources.images import make_batch
+
+
+def test_flagship_end_to_end(ray_session, tmp_path):
+    import ray.data as rd
+
+    from equi7grid_ray.pipelines.flagship import (
+        ordered_assignments,
+        tile_assignments,
+        tile_histogram,
+    )
+
+    ds = rd.from_arrow(make_batch(0, 2000))
+    out = tile_assignments(ds, decode=True, batch_size=512)
+    table = ordered_assignments(out).to_pandas()
+    assert len(table) >= 1995  # ~every image lands in >= 1 zone
+    # ordered: continent_rank ascending, then ll_x, ll_y within
+    r = table["continent_rank"].to_numpy()
+    assert (np.diff(r) >= 0).all()
+    for rank in np.unique(r):
+        seg = table[table.continent_rank == rank]
+        key = seg.ll_x.to_numpy() * 4096 + seg.ll_y.to_numpy() / 1e5
+        assert (np.diff(key) >= 0).all()
+    assert "px_mean" in table.columns  # decode ran
+
+    hist = tile_histogram(tile_assignments(rd.from_arrow(make_batch(0, 2000)))).to_pandas()
+    assert hist.n.sum() == len(table)
+
+
+def test_dedup_images_by_phash(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.pipelines.flagship import dedup_images_by_phash
+
+    b = make_batch(0, 3000)
+    ds = rd.from_arrow(b)
+    kept = dedup_images_by_phash(ds).to_pandas()
+    # the synthetic pattern yields genuine duplicate images (same shape,
+    # i = i' mod 256 -> identical bytes); survivors = distinct phashes,
+    # min id wins per group
+    import pandas as pd
+
+    expected = pd.Series(b.column("phash").to_pylist()).nunique()
+    assert len(kept) == expected < 3000
+    # the planted duplicates of row 0 are dropped
+    assert "img000000001000" not in set(kept.image_id)
+    assert "img000000002000" not in set(kept.image_id)
+    assert "img000000000000" in set(kept.image_id)
+
+
+def test_api_details():
+    from equi7grid_ray import api
+    from equi7grid_ray.errors import GeomOutOfZoneError
+
+    with pytest.raises(GeomOutOfZoneError):
+        api.system_lonlat_to_xy("EU", -100.0, 10.0)  # far outside EU zone
+
+    t = api.get_tile_from_name("EU_E048N012T6")
+    assert t.covers_land  # Balkans tile
+    xs = t.x_coords()
+    assert len(xs) == 1200 and xs[0] == 4800000.0 and xs[-1] == 5399500.0
+    ys = t.y_coords()
+    assert ys[0] == 1799500.0 and ys[-1] == 1200000.0
+    assert t.intersects_extent((5.3e6, 1.1e6, 5.5e6, 1.3e6))
+    assert not t.intersects_extent((6.0e6, 1.1e6, 6.2e6, 1.3e6))
+    assert t.boundary_wkt.startswith("POLYGON ((4800000.0 1200000.0")
+    assert bool(t.contains_xy(5.0e6, 1.5e6))
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    n = ds.count()
+    assert n > 5000
+    cols = set(ds.schema().names)
+    assert {"image_id", "continent", "tile", "covers_land"} <= cols
+    qs = e.queries()
+    orc = e.oracle_sql()
+    assert set(orc) <= set(qs)  # every oracle has a query
+    assert len(qs) >= 25 and len(orc) >= 12
