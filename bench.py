@@ -127,12 +127,17 @@ def _driver_queries() -> dict[str, float]:
     sel = [
         "tile_floor_hist",
         "cell_index_hist",
+        "cell_index_salted",
         "tile_assign_real",
+        "roi_search_batch",
         "dedup_exact_docs",
         "token_stats_by_lang",
         "events_hourly",
+        "events_sessionize",
         "knn_cosine",
         "lsh_near_dup",
+        "regrid_sample",
+        "pixel_index",
     ]
     qs = e.queries()
     for name in sel:
