@@ -561,6 +561,44 @@ def q_zone_multi_hit_buffered(sf_dir: str):
     )
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF (clustered) ANN search: sample-trained coarse quantizer ->
+    list assignment -> probed scoring -> tiny merge (similarity scale
+    path; rows-only)."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.stages.ann_ivf import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(t.filter(pc.equal(t.column("vec_id"), 0)).column("embedding")[0].as_py())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, q, n_lists=16, n_probe=6, k=10).select_columns(["vec_id"])
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping window (2h windows, 1h hop): each event explodes into its
+    two covering windows (flat explode + groupby; SQL oracle)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # us
+        hour = ts // 3_600_000_000
+        starts = np.concatenate([hour, hour - 1]) * 3_600_000_000
+        take = pa.array(np.tile(np.arange(len(ts), dtype=np.int64), 2))
+        return pa.table({
+            "event_type": batch.column("event_type").take(take),
+            "window_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_cell_index_salted(sf_dir: str):
     """Skew-handled two-stage aggregate: the coarse-cell count computed
     over salted sub-keys, then merged -- result identical to
@@ -770,6 +808,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roi_search_batch": q_roi_search_batch,
         "embedding_near_dup": q_embedding_near_dup,
         "cell_index_salted": q_cell_index_salted,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "events_hopping": q_events_hopping,
     }
 
 
@@ -835,6 +875,12 @@ def oracle_sql() -> dict[str, str]:
         "allowed_samplings": (
             "SELECT s AS sampling FROM generate_series(1, 10000) t(s) "
             "WHERE 600000 % s = 0"
+        ),
+        "events_hopping": (
+            "SELECT event_type, "
+            "to_timestamp(((epoch_us(ts) // 3600000000) - o.k) * 3600)::TIMESTAMP AS window_start, "
+            "count(*) AS n FROM events CROSS JOIN (VALUES (0), (1)) AS o(k) "
+            "GROUP BY event_type, window_start"
         ),
         "cell_index_salted": (
             f"SELECT ({_CELL_L} * (1::BIGINT << 58)) "

@@ -1,0 +1,136 @@
+"""IVF (inverted-file) approximate nearest-neighbour search over an
+embedding column -- the clustered scale path complementing brute-force
+cosine top-k and hyperplane LSH (north-rule similarity-search family).
+
+Shape:
+1. TRAIN (small sample, driver side): k-means on a row sample ->
+   centroid matrix (the "coarse quantizer"), broadcast via constructor
+   args / ray.put.
+2. ASSIGN (map_batches): every vector gets its nearest-centroid id
+   (one matmul per batch) -> the ``ivf_list`` column is the partition /
+   shuffle key for building the inverted file.
+3. QUERY (stateful map_batches): probe the ``n_probe`` closest lists
+   per query; score only vectors whose list is probed (mask + matmul);
+   merge with a small sort+limit.
+
+All numpy; the k-means trainer is a fixed-iteration Lloyd loop with a
+deterministic seed (no scipy/sklearn in the sandbox).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from equi7grid_ray.stages.similarity import _stack_embeddings
+
+__all__ = ["train_centroids", "IVFAssign", "IVFQuery", "ivf_topk"]
+
+
+def train_centroids(
+    vectors: np.ndarray, n_lists: int = 16, n_iter: int = 15, seed: int = 42
+) -> np.ndarray:
+    """Lloyd k-means on (normalized) vectors; returns (n_lists, dim)."""
+    v = np.asarray(vectors, dtype=np.float64)
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    v = v / n
+    rng = np.random.default_rng(seed)
+    cent = v[rng.choice(len(v), size=min(n_lists, len(v)), replace=False)].copy()
+    for _ in range(n_iter):
+        sims = v @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for k in range(len(cent)):
+            m = assign == k
+            if m.any():
+                c = v[m].mean(axis=0)
+                nc = np.linalg.norm(c)
+                if nc > 0:
+                    cent[k] = c / nc
+    return cent
+
+
+class IVFAssign:
+    """map_batches: append the nearest-centroid list id (the IVF
+    partition key)."""
+
+    def __init__(self, centroids: np.ndarray, col: str = "embedding"):
+        self.cent = np.asarray(centroids, dtype=np.float64)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(batch, self.col)
+        n = np.linalg.norm(emb, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        lists = np.argmax((emb / n) @ self.cent.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists, pa.int32()))
+
+
+class IVFQuery:
+    """Stateful map_batches: score batch vectors against the query ONLY
+    where the vector's list is among the query's ``n_probe`` closest
+    lists; emits local candidates for the final sort+limit."""
+
+    def __init__(self, centroids: np.ndarray, query: np.ndarray, k: int = 10,
+                 n_probe: int = 4, col: str = "embedding", id_col: str = "vec_id"):
+        cent = np.asarray(centroids, dtype=np.float64)
+        q = np.asarray(query, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        self.q = q
+        order = np.argsort(-(cent @ q))
+        self.probed = set(int(i) for i in order[:n_probe])
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = batch.column("ivf_list").to_numpy()
+        mask = np.isin(lists, list(self.probed))
+        if not mask.any():
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        emb = _stack_embeddings(batch, self.col)[mask]
+        n = np.linalg.norm(emb, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (emb / n) @ self.q
+        ids = batch.column(self.id_col).to_numpy()[mask]
+        kk = min(self.k, len(sims))
+        top = np.argpartition(-sims, kk - 1)[:kk]
+        return pa.table({self.id_col: pa.array(ids[top].astype(np.int64), pa.int64()),
+                         "cosine": pa.array(sims[top], pa.float64())})
+
+
+def ivf_topk(ds, query: np.ndarray, *, n_lists: int = 16, n_probe: int = 4,
+             k: int = 10, train_sample: int = 2048, col: str = "embedding",
+             id_col: str = "vec_id"):
+    """End-to-end IVF search over a Dataset: sample-train -> assign ->
+    probed scoring -> tiny global merge."""
+    import pyarrow as pa_
+
+    sample = ds.limit(train_sample).to_pandas()
+    vecs = np.vstack(sample[col].to_numpy())
+    cent = train_centroids(vecs, n_lists=n_lists)
+
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_kwargs=dict(centroids=cent, col=col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+    local = assigned.map_batches(
+        IVFQuery,
+        fn_constructor_kwargs=dict(centroids=cent, query=query, k=k,
+                                   n_probe=n_probe, col=col, id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, "cosine")
+
+    # single tiny group -> global top-k
+    withg = local.map_batches(
+        lambda t: t.append_column("g", pa_.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    return withg.groupby("g").map_groups(head_k, batch_format="pandas").select_columns(
+        [id_col, "cosine"]
+    )

@@ -250,3 +250,30 @@ def test_bbox_tiles_stage_matches_driver_roi():
     got = sorted(stage(batch).column("tile").to_pylist())
     want = sorted(roi.tiles_in_geog_bbox((16, 48, 18, 50), "T6"))
     assert got == want
+
+
+def test_ivf_topk_finds_true_neighbors(ray_session):
+    """IVF-probed search recovers the brute-force top results for a
+    clustered corpus (scale path of the ANN family)."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.ann_ivf import ivf_topk, train_centroids
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.vstack([c + rng.standard_normal((40, 16)) * 0.3 for c in centers])
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })
+    q = vecs[5]
+    out = ivf_topk(rd.from_arrow(t), q, n_lists=8, n_probe=2, k=5).to_pandas()
+    assert 5 in set(out.vec_id)  # the query vector itself is found
+    # brute-force truth
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    truth = np.argsort(-(nv @ (q / np.linalg.norm(q))))[:5]
+    assert len(set(out.vec_id) & set(truth.tolist())) >= 4
+
+    cent = train_centroids(vecs, n_lists=8)
+    assert cent.shape == (8, 16)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
