@@ -170,3 +170,32 @@ def test_tiles_in_proj_geom():
     tiles = roi.tiles_in_geom(ring, "T6", crs="EU")
     assert "EU_E048N012T6" in tiles
     assert all(t.startswith(("EU_", "AF_")) for t in tiles)
+
+
+def test_finer_tiling_levels_consistency():
+    """T3/T1 tile sets nest inside their T6/T3 parents (hierarchy
+    consistency; counts are engine self-oracles)."""
+    import numpy as np
+
+    from equi7grid_ray.tiling_state import get_grid_state
+
+    state = get_grid_state()
+    t6 = state.tiles("EU", "T6")
+    t3 = state.tiles("EU", "T3")
+    t1 = state.tiles("EU", "T1")
+    assert len(t6.ll_x) == 97
+    assert len(t3.ll_x) == 342
+    assert len(t1.ll_x) == 2776
+    # every T3 tile's parent T6 must exist
+    px = np.floor(t3.ll_x / 600_000) * 600_000
+    py = np.floor(t3.ll_y / 600_000) * 600_000
+    assert (t6.lookup(px, py) >= 0).all()
+    # every T1 tile's parent T3 must exist
+    px = np.floor(t1.ll_x / 300_000) * 300_000
+    py = np.floor(t1.ll_y / 300_000) * 300_000
+    assert (t3.lookup(px, py) >= 0).all()
+    # a T1 search returns T1-named tiles
+    from equi7grid_ray import roi
+
+    tiles = roi.tiles_in_geog_bbox((16, 48, 16.5, 48.5), "T1", continents=["EU"])
+    assert tiles and all(t.endswith("T1") for t in tiles)
