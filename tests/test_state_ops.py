@@ -277,3 +277,32 @@ def test_ivf_topk_finds_true_neighbors(ray_session):
     cent = train_centroids(vecs, n_lists=8)
     assert cent.shape == (8, 16)
     assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+
+
+def test_quality_score_features():
+    from equi7grid_ray.stages.text import quality_score
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["hello world 123!", "abc def"]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s0", "s0"]),
+    })
+    out = quality_score(t).to_pandas()
+    assert out.n_tokens.tolist() == [3, 2]
+    assert out.n_chars.tolist() == [16, 7]
+    assert abs(out.digit_ratio[0] - 3 / 16) < 1e-12
+    assert abs(out.punct_ratio[0] - 1 / 16) < 1e-12
+    assert abs(out.mean_token_len[1] - 3.0) < 1e-12
+
+
+def test_fingerprint_deterministic():
+    from equi7grid_ray.stages.text import fingerprint64
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["same text", "same text"])})
+    out = fingerprint64(t).to_pandas()
+    assert out.fingerprint[0] == out.fingerprint[1]
+    t2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["different"])})
+    assert fingerprint64(t2).to_pandas().fingerprint[0] != out.fingerprint[0]
