@@ -61,6 +61,23 @@ def tiles_table(
                 for a, b, c, d in zip(x0, y0, x1, y1)
             ]
             cols["boundary_wkt"] = pa.array(wkt)
+            # geographic footprint (tile corners inverse-projected; rings
+            # near the antimeridian may span the +-180 seam -- consumers
+            # should wrap)
+            from equi7grid_ray import aeqd
+
+            cx = np.concatenate([x0, x0, x1, x1])
+            cy = np.concatenate([y0, y1, y1, y0])
+            lon, lat = aeqd.inverse(c, cx, cy)
+            lon = lon.reshape(4, n)
+            lat = lat.reshape(4, n)
+            gwkt = [
+                "POLYGON (("
+                + ", ".join(f"{lon[k, i]:.6f} {lat[k, i]:.6f}" for k in (0, 1, 2, 3, 0))
+                + "))"
+                for i in range(n)
+            ]
+            cols["geog_wkt"] = pa.array(gwkt)
         parts.append(pa.table(cols))
     return pa.concat_tables(parts)
 
