@@ -97,6 +97,58 @@ def run_flagship(
     return out_dir
 
 
+def run_flagship_checkpointed(
+    input_path: str,
+    out_dir: str,
+    *,
+    tiling_id: str = "T6",
+    decode: bool = False,
+    batch_size: int = 8192,
+) -> dict:
+    """Flagship with per-input-fragment checkpointing: each parquet
+    fragment streams through the assigner and lands atomically as its
+    own hive-partitioned output + manifest row (lineage, per-tile
+    counts); a rerun skips completed fragments (north-rule
+    resumability on the main pipeline)."""
+    import shutil
+
+    import ray.data as rd
+
+    from equi7grid_ray.state.checkpoint import Manifest
+
+    frags = sorted(str(p) for p in Path(input_path).glob("*.parquet"))
+    if not frags:
+        raise ValueError(f"no parquet fragments under {input_path}")
+    man = Manifest(out_dir)
+    for frag in frags:
+        pid = Path(frag).stem
+        if man.done(pid):
+            continue
+        cols = ["image_id", "bytes", "w", "h", "fmt"] if decode else None
+        ds = rd.read_parquet(frag, columns=cols)
+        out = tile_assignments(ds, tiling_id=tiling_id, decode=decode,
+                               batch_size=batch_size)
+        m = out.materialize()  # bounded by fragment size (resume unit)
+        tmp = Path(out_dir) / f".tmp-part-{pid}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        m.write_parquet(str(tmp), partition_cols=["continent"])
+        pdir = Path(out_dir) / f"part-{pid}"
+        if pdir.exists():
+            shutil.rmtree(pdir)
+        tmp.rename(pdir)
+        vc = m.select_columns(["tile"]).to_pandas()["tile"].astype(str).value_counts()
+        man.record(
+            pid,
+            input_fragments=[frag],
+            rows_in=ds.count(),
+            rows_out=m.count(),
+            n_tiles=int(len(vc)),
+            tile_counts={k: int(v) for k, v in vc.head(50).items()},
+        )
+    return Manifest(out_dir).counters()
+
+
 def ordered_assignments(assignments):
     """Reference-order output: Ray Data does not preserve order across
     execution, so where the reference's generator ordering matters

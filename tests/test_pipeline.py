@@ -86,3 +86,28 @@ def test_entry_contract(ray_session):
     orc = e.oracle_sql()
     assert set(orc) <= set(qs)  # every oracle has a query
     assert len(qs) >= 25 and len(orc) >= 12
+
+
+def test_flagship_checkpointed_resume(ray_session, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.pipelines.flagship import run_flagship_checkpointed
+
+    src = tmp_path / "frags"
+    src.mkdir()
+    pq.write_table(make_batch(0, 600), src / "f0.parquet")
+    pq.write_table(make_batch(600, 600), src / "f1.parquet")
+    out = tmp_path / "ckpt"
+    c1 = run_flagship_checkpointed(str(src), str(out))
+    assert c1["rows_out"] >= 1195
+    files = sorted((out / "_manifest").glob("*.json"))
+    assert len(files) == 2
+    m0 = json.loads(files[0].read_text())
+    assert m0["n_tiles"] >= 1 and m0["rows_in"] == 600
+    stamps = [f.stat().st_mtime for f in files]
+    # rerun skips both fragments
+    c2 = run_flagship_checkpointed(str(src), str(out))
+    assert c2 == c1
+    assert [f.stat().st_mtime for f in sorted((out / "_manifest").glob("*.json"))] == stamps
