@@ -1,0 +1,89 @@
+"""Property-based invariants (hypothesis): name-codec round trips,
+pixel addressing inverses, geodesic round trips, cell hierarchy."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from equi7grid_ray import aeqd
+from equi7grid_ray.cells import cell_children, cell_id, cell_parent
+from equi7grid_ray.grid import (
+    full_names,
+    parse_tile_names,
+    rc2xy,
+    tile_ll_from_xy,
+    xy2rc,
+)
+
+CONTS = ["AF", "AN", "AS", "EU", "NA", "OC", "SA"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cont=st.sampled_from(CONTS),
+    tx=st.integers(min_value=0, max_value=120),
+    ty=st.integers(min_value=-18, max_value=120),
+    tiling=st.sampled_from(["T6", "T3", "T1"]),
+)
+def test_name_codec_roundtrip(cont, tx, ty, tiling):
+    size = {"T6": 6, "T3": 3, "T1": 1}[tiling]
+    llx = float(tx * size) * 1e5
+    lly = float(ty * size) * 1e5
+    name = str(full_names(cont, np.array([llx]), np.array([lly]), tiling)[0])
+    p = parse_tile_names(name)
+    assert str(p["continent"]) == cont
+    assert float(p["ll_x"]) == llx and float(p["ll_y"]) == lly
+    assert bool(p["valid"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    r=st.integers(min_value=0, max_value=1199),
+    c=st.integers(min_value=0, max_value=1199),
+)
+def test_pixel_addressing_inverse(r, c):
+    llx, lly, size, s = 3.0e6, 4.8e6, 600_000.0, 500.0
+    x, y = rc2xy(r, c, llx, lly, size, s, "c")  # pixel centers
+    rr, cc = xy2rc(float(x), float(y), llx, lly, size, s, "ll")
+    assert int(rr) == r and int(cc) == c
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    cont=st.sampled_from(["AF", "AS", "EU", "NA", "OC", "SA", "AN"]),
+    lon=st.floats(min_value=-179.9, max_value=179.9),
+    lat=st.floats(min_value=-89.5, max_value=89.5),
+)
+def test_projection_roundtrip(cont, lon, lat):
+    x, y = aeqd.forward(cont, lon, lat)
+    lo, la = aeqd.inverse(cont, float(x), float(y))
+    dlon = abs((float(lo) - lon + 180) % 360 - 180) * np.cos(np.radians(lat))
+    assert dlon < 1e-8
+    assert abs(float(la) - lat) < 1e-8
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lon=st.floats(min_value=-179.99, max_value=179.99),
+    lat=st.floats(min_value=-89.99, max_value=89.99),
+    level=st.integers(min_value=2, max_value=20),
+)
+def test_cell_hierarchy(lon, lat, level):
+    cid = cell_id(np.array([lon]), np.array([lat]), level)
+    parent = cell_parent(cid)
+    kids = cell_children(parent)
+    assert (kids == cid[:, None]).any()
+    # parent at level-1 contains the same point
+    pid = cell_id(np.array([lon]), np.array([lat]), level - 1)
+    assert int(parent[0]) == int(pid[0])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    x=st.floats(min_value=0.0, max_value=1.2e7),
+    y=st.floats(min_value=-1.8e6, max_value=1.2e7),
+)
+def test_tile_floor_contains_point(x, y):
+    llx, lly = tile_ll_from_xy(x, y, 600_000.0)
+    assert float(llx) <= x < float(llx) + 600_000.0
+    assert float(lly) <= y < float(lly) + 600_000.0
