@@ -222,10 +222,19 @@ def q_events_hourly(sf_dir: str):
             "cents": pa.array(cents, pa.int64()),
         })
 
+    def fix_ts(batch: pa.Table) -> pa.Table:
+        # Ray's hash-aggregate can narrow the key to timestamp[s]; the
+        # driver's value hash is dtype-sensitive, so pin us-resolution to
+        # match DuckDB's TIMESTAMP.
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch.column(i).cast(pa.timestamp("us")))
+
     return (
         ds.map_batches(stage, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+        .map_batches(fix_ts, batch_format="pyarrow")
     )
 
 
@@ -592,10 +601,18 @@ def q_events_hopping(sf_dir: str):
             "window_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
         })
 
+    def fix_ts(batch: pa.Table) -> pa.Table:
+        # Pin us-resolution after the aggregate (hash-aggregate can narrow
+        # the key to timestamp[s]; driver value hash is dtype-sensitive).
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch.column(i).cast(pa.timestamp("us")))
+
     return (
         ds.map_batches(stage, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"))
+        .map_batches(fix_ts, batch_format="pyarrow")
     )
 
 
@@ -844,18 +861,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "token_stats_by_lang": (
             "SELECT lang, count(*) AS n_docs, "
-            "sum(length(text) - length(replace(text, ' ', '')) + 1) AS sum_tokens, "
-            "sum(length(text)) AS sum_chars FROM documents GROUP BY lang"
+            "CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
         ),
         "punct_by_source": (
             "SELECT source, count(*) AS n_docs, "
-            "sum(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS sum_punct "
+            "CAST(sum(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS BIGINT) AS sum_punct "
             "FROM documents GROUP BY source"
         ),
         "events_hourly": (
             "SELECT event_type, "
             "to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP AS window_start, "
-            "count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
+            "count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY event_type, window_start"
         ),
         "knn_cosine": (
@@ -869,7 +886,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
             "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
             "THEN 1 ELSE 0 END AS brk FROM events) "
-            "SELECT user_id, count(*) AS n_events, sum(brk) AS n_sessions "
+            "SELECT user_id, count(*) AS n_events, CAST(sum(brk) AS BIGINT) AS n_sessions "
             "FROM g GROUP BY user_id"
         ),
         "allowed_samplings": (

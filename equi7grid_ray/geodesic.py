@@ -190,6 +190,28 @@ def geodesic_inverse(
     shape = lat1.shape
     lat1, lon1, lat2, lon2 = (np.ravel(v).copy() for v in (lat1, lon1, lat2, lon2))
 
+    # Special cases the Newton machinery cannot represent (Karney 2013
+    # sec. 5 / geographiclib GenInverse): coincident endpoints (0/0 in the
+    # starting-guess normalization) and purely equatorial geodesics
+    # (sbet1 == sbet2 == 0 makes the azimuth equation degenerate).  Solve
+    # them in closed form and run the main loop on a benign substitute.
+    lon12s = _ang_normalize_deg(lon2 - lon1)
+    coinc = (lat1 == lat2) & (lon12s == 0.0)
+    equat = (
+        (lat1 == 0.0)
+        & (lat2 == 0.0)
+        & (np.abs(np.radians(lon12s)) <= (1.0 - WGS84_F) * np.pi)
+        & ~coinc
+    )
+    special = coinc | equat
+    if special.any():
+        eq_s12 = WGS84_A * np.abs(np.radians(lon12s))
+        eq_azi = np.where(lon12s >= 0.0, 90.0, -90.0)
+        lat1 = np.where(special, -30.0, lat1)
+        lat2 = np.where(special, 20.0, lat2)
+        lon1 = np.where(special, 0.0, lon1)
+        lon2 = np.where(special, 40.0, lon2)
+
     lon12 = _ang_normalize_deg(lon2 - lon1)
     lonsign = np.where(lon12 >= 0.0, 1.0, -1.0)
     lon12 = lon12 * lonsign
@@ -366,6 +388,12 @@ def geodesic_inverse(
 
     azi1 = np.degrees(np.arctan2(salp1f, calp1f))
     azi2 = np.degrees(np.arctan2(salp2f, calp2f))
+
+    if special.any():
+        s12 = np.where(coinc, 0.0, np.where(equat, eq_s12, s12))
+        azi1 = np.where(coinc, 0.0, np.where(equat, eq_azi, azi1))
+        azi2 = np.where(coinc, 0.0, np.where(equat, eq_azi, azi2))
+
     return s12.reshape(shape), azi1.reshape(shape), azi2.reshape(shape)
 
 

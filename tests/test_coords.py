@@ -84,3 +84,36 @@ def test_zone_transition_order_buffered():
         51.12, 61.71, GridSpec.standard(buffered=True, continent_order=["EU", "AS"])
     )
     assert list(out.keys()) == ["EU", "AS"]
+
+
+def test_geodesic_inverse_coincident_and_equatorial():
+    """Special cases the Newton solver cannot represent (advisor round 1):
+    coincident endpoints and purely equatorial geodesics must return finite
+    closed-form results, not NaN."""
+    from equi7grid_ray.geodesic import WGS84_A, geodesic_inverse
+
+    s, a1, a2 = geodesic_inverse(5.0, 5.0, 5.0, 5.0)
+    assert s == 0.0 and np.isfinite(a1) and np.isfinite(a2)
+
+    s, a1, a2 = geodesic_inverse(0.0, 0.0, 0.0, 10.0)
+    np.testing.assert_allclose(s, WGS84_A * np.radians(10.0), rtol=1e-12)
+    assert a1 == 90.0 and a2 == 90.0
+
+    s, a1, a2 = geodesic_inverse(0.0, 20.0, 0.0, 10.0)
+    np.testing.assert_allclose(s, WGS84_A * np.radians(10.0), rtol=1e-12)
+    assert a1 == -90.0 and a2 == -90.0
+
+    # mixed batch: specials interleaved with a normal pair
+    s, a1, a2 = geodesic_inverse([0.0, 10.0], [0.0, 20.0], [0.0, 30.0], [10.0, 40.0])
+    assert np.isfinite(s).all() and np.isfinite(a1).all()
+    np.testing.assert_allclose(s[0], WGS84_A * np.radians(10.0), rtol=1e-12)
+
+
+def test_aeqd_forward_at_projection_center():
+    """aeqd.forward at the exact AF projection center must return the
+    false-easting/northing origin, not NaN (advisor round 1)."""
+    from equi7grid_ray.constants import CONTINENTS
+
+    x, y = aeqd.forward("AF", 21.5, 8.5)
+    fe, fn = CONTINENTS["AF"].x_0, CONTINENTS["AF"].y_0
+    np.testing.assert_allclose([float(x), float(y)], [fe, fn], atol=1e-6)

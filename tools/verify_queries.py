@@ -74,8 +74,10 @@ def main() -> int:
         ok_vals = False
         if ok_rows and ok_cols:
             try:
+                # The driver's value hash is dtype-sensitive (sum() over
+                # HUGEINT vs int64 hash-mismatched in round 1), so be strict.
                 pd.testing.assert_frame_equal(
-                    mine, ref, check_dtype=False, check_exact=True
+                    mine, ref, check_dtype=True, check_exact=True
                 )
                 ok_vals = True
             except AssertionError as ex:
