@@ -41,31 +41,36 @@ def encode_png_gray8(img: np.ndarray, level: int = 6) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def decode_png_gray8(buf: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale PNG produced by any filter-0/1/2 encoder."""
-    if buf[:8] != _PNG_SIG:
+def decode_png_gray8(buf) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG produced by any filter-0/1/2 encoder.
+
+    Accepts any bytes-like object (bytes, memoryview over an Arrow value
+    buffer) without copying the payload."""
+    buf = memoryview(buf)
+    if bytes(buf[:8]) != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
-    idat = b""
+    idat_parts: list = []
     while pos < len(buf):
         (ln,) = struct.unpack_from(">I", buf, pos)
-        tag = buf[pos + 4 : pos + 8]
+        tag = bytes(buf[pos + 4 : pos + 8])
         payload = buf[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, bit, ctype = struct.unpack_from(">IIBB", payload, 0)
             if bit != 8 or ctype != 0:
                 raise NotImplementedError("only 8-bit grayscale PNG supported")
         elif tag == b"IDAT":
-            idat += payload
+            idat_parts.append(payload)
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    idat = idat_parts[0] if len(idat_parts) == 1 else b"".join(idat_parts)
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w + 1)
     filters = raw[:, 0]
-    img = raw[:, 1:].astype(np.uint8).copy()
     if (filters == 0).all():
-        return img
+        return raw[:, 1:]  # view -- no extra copy for the common case
+    img = raw[:, 1:].copy()
     for r in range(h):  # per-scanline unfilter (sub/up only)
         f = filters[r]
         if f == 0:

@@ -44,6 +44,9 @@ _N = WGS84_F / (2.0 - WGS84_F)  # third flattening
 INVERSE_ANTIPODAL_MARGIN_DEG = 2.0
 _TINY = np.sqrt(np.finfo(np.float64).tiny)
 _TOL = 1e-14
+#: cache-block size for the vectorized solvers (~8 KB * ~30 live
+#: temporaries ~ a few hundred KB working set -- fits per-core L2)
+_CHUNK = 16_384
 
 
 def _norm_pair(s: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -189,6 +192,22 @@ def geodesic_inverse(
     )
     shape = lat1.shape
     lat1, lon1, lat2, lon2 = (np.ravel(v).copy() for v in (lat1, lon1, lat2, lon2))
+
+    # Cache-block large batches: the Newton solver materializes dozens of
+    # full-length float64 temporaries; past ~L2 size that turns the solve
+    # memory-bandwidth-bound, which is exactly what kills multi-worker
+    # scaling on a shared memory bus.  Chunked, every temporary stays in
+    # cache and per-core throughput holds flat at high concurrency.
+    if lat1.size > _CHUNK:
+        s12 = np.empty_like(lat1)
+        az1 = np.empty_like(lat1)
+        az2 = np.empty_like(lat1)
+        for st in range(0, lat1.size, _CHUNK):
+            sl = slice(st, st + _CHUNK)
+            s12[sl], az1[sl], az2[sl] = geodesic_inverse(
+                lat1[sl], lon1[sl], lat2[sl], lon2[sl], max_iter=max_iter
+            )
+        return s12.reshape(shape), az1.reshape(shape), az2.reshape(shape)
 
     # Special cases the Newton machinery cannot represent (Karney 2013
     # sec. 5 / geographiclib GenInverse): coincident endpoints (0/0 in the
@@ -410,6 +429,17 @@ def geodesic_direct(lat1, lon1, azi1, s12) -> tuple[np.ndarray, np.ndarray, np.n
     )
     shape = lat1.shape
     lat1, lon1, azi1, s12 = (np.ravel(v) for v in (lat1, lon1, azi1, s12))
+
+    if lat1.size > _CHUNK:  # cache-block (see geodesic_inverse)
+        la = np.empty_like(lat1)
+        lo = np.empty_like(lat1)
+        az = np.empty_like(lat1)
+        for st in range(0, lat1.size, _CHUNK):
+            sl = slice(st, st + _CHUNK)
+            la[sl], lo[sl], az[sl] = geodesic_direct(
+                lat1[sl], lon1[sl], azi1[sl], s12[sl]
+            )
+        return la.reshape(shape), lo.reshape(shape), az.reshape(shape)
 
     salp1 = np.sin(np.radians(azi1))
     calp1 = np.cos(np.radians(azi1))
