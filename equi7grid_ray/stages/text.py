@@ -100,27 +100,17 @@ class LangId:
 
 
 def fingerprint64(batch: pa.Table, column: str = "text") -> pa.Table:
-    """64-bit rolling/polynomial document fingerprint, vectorized across
-    the batch (one numpy pass per byte position over fixed-width prefix +
-    full-length mixing via chunked fold)."""
-    texts = batch.column(column).to_pylist()
-    n = len(texts)
-    out = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
-    prime = np.uint64(1099511628211)
-    maxlen = max((len(t) for t in texts), default=0)
-    arr = np.zeros((n, maxlen), dtype=np.uint8)
-    lens = np.zeros(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        b = t.encode()
-        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-        lens[i] = len(b)
-    with np.errstate(over="ignore"):
-        for k in range(maxlen):
-            active = lens > k
-            out[active] = (out[active] ^ arr[active, k].astype(np.uint64)) * prime
+    """64-bit polynomial document fingerprint over the column's flat
+    byte buffer -- O(total_bytes) time and memory regardless of length
+    skew (offset-buffer pass shared with the dedup hashes; a distinct
+    seed keeps it from colliding with exact-dedup's content_hash)."""
+    from equi7grid_ray.stages.dedup import _column_bytes, hash_bytes_offsets
+
+    flat, offs = _column_bytes(batch.column(column))
+    fp = hash_bytes_offsets(flat, offs, seed=np.uint64(0x9E3779B97F4A7C15))
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(out.view(np.int64), pa.int64()),
+            "fingerprint": pa.array(fp, pa.int64()),
         }
     )

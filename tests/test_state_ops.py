@@ -306,3 +306,36 @@ def test_fingerprint_deterministic():
     t2 = pa.table({"doc_id": pa.array([0], pa.int64()),
                    "text": pa.array(["different"])})
     assert fingerprint64(t2).to_pandas().fingerprint[0] != out.fingerprint[0]
+
+
+def test_skewed_batch_hash_memory():
+    """One 5 MB document in a 4096-row batch must hash with a bounded
+    peak (the round-1 dense (n x maxlen) matrix would have allocated
+    ~20 GB here; the offset-buffer pass stays under 200 MB)."""
+    import tracemalloc
+
+    import pyarrow as pa
+
+    from equi7grid_ray.stages.dedup import (
+        MinHasher,
+        _column_bytes,
+        hash_bytes_offsets,
+        simhash64,
+    )
+
+    texts = [f"doc number {i} body" for i in range(4095)] + ["x y z " * 850_000]
+    t = pa.table({
+        "doc_id": pa.array(range(4096), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    flat, offs = _column_bytes(t.column("text"))
+    tracemalloc.start()
+    h = hash_bytes_offsets(flat, offs)
+    sh = simhash64(t)
+    sig = MinHasher().signatures(t.column("text"))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 200 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+    assert len(set(h.tolist())) == 4096  # distinct docs -> distinct hashes
+    assert sig.shape == (4096, 64)
+    assert sh.num_rows == 4096
