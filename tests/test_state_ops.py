@@ -339,3 +339,24 @@ def test_skewed_batch_hash_memory():
     assert len(set(h.tolist())) == 4096  # distinct docs -> distinct hashes
     assert sig.shape == (4096, 64)
     assert sh.num_rows == 4096
+
+
+def test_partition_checksum_covers_data(tmp_path):
+    """The manifest checksum digests column BUFFERS, not just shape:
+    same-shape different-content partitions get different digests."""
+    import json
+
+    import pyarrow as pa
+
+    t1 = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    t2 = pa.table({"a": pa.array([1, 2, 4], pa.int64())})
+    write_partition(tmp_path / "x", "p1", t1)
+    write_partition(tmp_path / "y", "p1", t2)
+    write_partition(tmp_path / "z", "p1", t1)
+
+    def digest(d):
+        f = tmp_path / d / "_manifest" / "part-p1.json"
+        return json.loads(f.read_text())["checksum"]
+
+    assert digest("x") != digest("y")
+    assert digest("x") == digest("z")
