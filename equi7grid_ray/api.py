@@ -54,6 +54,10 @@ class TileInfo:
     ll_y: float
     tile_size: float
     sampling: float
+    #: APPROXIMATE: derived from the synthetic coastline in land.py (the
+    #: reference's land.parquet blob is missing upstream); global land-T6
+    #: count is 668 vs the reference's documented 864.  Wire the real
+    #: land polygon in and bump land.LAND_VERSION when available.
     covers_land: bool
     px_origin: str = "ll"
 
@@ -117,6 +121,121 @@ class TileInfo:
         x = np.asarray(x)
         y = np.asarray(y)
         return (x >= self.ll_x) & (x <= self.ur_x) & (y >= self.ll_y) & (y <= self.ur_y)
+
+    # ------------------------------------------------------------------
+    # polygon topology vs a projected-geometry ring (the reference's
+    # shapely-backed tile topology, docs/guides/tile.ipynb "Topological
+    # operations" over core.py:39-52 tile objects).  ``geom`` is an
+    # (N, 2) ring of projected coordinates in this tile's continental
+    # CRS, or a prebuilt zones.GeoPolygon.
+    # ------------------------------------------------------------------
+
+    _EPS = 1e-6  # interior shrink (metres) for open-set tests
+
+    @staticmethod
+    def _as_poly(geom):
+        from equi7grid_ray.zones import GeoPolygon
+
+        if isinstance(geom, GeoPolygon):
+            return geom
+        ring = np.asarray(geom, dtype=np.float64)
+        return GeoPolygon([(ring, False)])
+
+    def _closed_intersects(self, poly) -> bool:
+        from equi7grid_ray.tiling_state import _rect_poly_intersects
+
+        return _rect_poly_intersects(poly, self.ll_x, self.ll_y, self.ur_x, self.ur_y)
+
+    def _interior_intersects(self, poly) -> bool:
+        from equi7grid_ray.tiling_state import _rect_poly_intersects
+
+        e = self._EPS
+        return _rect_poly_intersects(
+            poly, self.ll_x + e, self.ll_y + e, self.ur_x - e, self.ur_y - e
+        )
+
+    def intersects(self, geom) -> bool:
+        """Closed-set intersection (shares at least one point)."""
+        return self._closed_intersects(self._as_poly(geom))
+
+    def within(self, geom) -> bool:
+        """Tile entirely inside the geometry (tile subset of geom)."""
+        poly = self._as_poly(geom)
+        cx = np.array([self.ll_x, self.ll_x, self.ur_x, self.ur_x])
+        cy = np.array([self.ll_y, self.ur_y, self.ll_y, self.ur_y])
+        if not poly.contains(cx, cy).all():
+            return False
+        # no geometry-boundary edge may cross the tile interior
+        e = self._EPS
+        from equi7grid_ray.tiling_state import _rect_poly_intersects
+
+        for xy, _h in poly.rings:
+            inside = (
+                (xy[:, 0] > self.ll_x + e)
+                & (xy[:, 0] < self.ur_x - e)
+                & (xy[:, 1] > self.ll_y + e)
+                & (xy[:, 1] < self.ur_y - e)
+            )
+            if inside.any():
+                return False
+        return not self._boundary_crosses_interior(poly)
+
+    def contains_geom(self, geom) -> bool:
+        """Geometry entirely inside the tile."""
+        poly = self._as_poly(geom)
+        for xy, _h in poly.rings:
+            ok = (
+                (xy[:, 0] >= self.ll_x)
+                & (xy[:, 0] <= self.ur_x)
+                & (xy[:, 1] >= self.ll_y)
+                & (xy[:, 1] <= self.ur_y)
+            )
+            if not ok.all():
+                return False
+        return True
+
+    def overlaps(self, geom) -> bool:
+        """Interiors intersect and neither side contains the other
+        (shapely ``overlaps`` for equal-dimension geometries)."""
+        poly = self._as_poly(geom)
+        return (
+            self._interior_intersects(poly)
+            and not self.within(poly)
+            and not self.contains_geom(poly)
+        )
+
+    def touches(self, geom) -> bool:
+        """Boundaries meet but interiors do not intersect."""
+        poly = self._as_poly(geom)
+        return self._closed_intersects(poly) and not self._interior_intersects(poly)
+
+    def _boundary_crosses_interior(self, poly) -> bool:
+        """Any polygon-ring edge passing through the OPEN tile rect."""
+        e = self._EPS
+        rx0, ry0 = self.ll_x + e, self.ll_y + e
+        rx1, ry1 = self.ur_x - e, self.ur_y - e
+        x1, y1, x2, y2 = poly.x1, poly.y1, poly.x2, poly.y2
+        bb = (
+            (np.minimum(x1, x2) <= rx1)
+            & (np.maximum(x1, x2) >= rx0)
+            & (np.minimum(y1, y2) <= ry1)
+            & (np.maximum(y1, y2) >= ry0)
+        )
+        if not bb.any():
+            return False
+        x1, y1, x2, y2 = x1[bb], y1[bb], x2[bb], y2[bb]
+        dx, dy = x2 - x1, y2 - y1
+        t0 = np.zeros(len(x1))
+        t1 = np.ones(len(x1))
+        ok = np.ones(len(x1), dtype=bool)
+        for p, q in ((-dx, x1 - rx0), (dx, rx1 - x1), (-dy, y1 - ry0), (dy, ry1 - y1)):
+            zero = p == 0
+            ok &= ~(zero & (q < 0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(zero, 0.0, q / np.where(p == 0, 1.0, p))
+            t0 = np.where(~zero & (p < 0), np.maximum(t0, r), t0)
+            t1 = np.where(~zero & (p > 0), np.minimum(t1, r), t1)
+        return bool((ok & (t0 < t1)).any())
 
     @property
     def boundary_wkt(self) -> str:

@@ -330,3 +330,34 @@ def tile_geotrans(ll_x, ll_y, tile_size: float, sampling: float) -> tuple:
     """GDAL geotransform (ul_x, sx, 0, ul_y, 0, -sy)
     (consumed at /root/reference/src/equi7grid/warp.py:291)."""
     return (ll_x, sampling, 0.0, ll_y + tile_size, 0.0, -sampling)
+
+
+def pixel_to_world_coords(affine, pixel_coords) -> "np.ndarray":
+    """General 2x3 affine pixel -> world transform, vectorized.
+
+    Parity with /root/reference/src/equi7grid/warp.py:50-75: ``affine``
+    is the 6-tuple (a, b, c, d, e, f) of a rasterio-style Affine (row
+    major: x = a*col + b*row + c; y = d*col + e*row + f; a trailing
+    (0, 0, 1) row is accepted and ignored); ``pixel_coords`` is (n, 2)
+    with columns (col, row).  Returns (n, 2) world (x, y)."""
+    a, b, c, d, e, f = tuple(affine)[:6]
+    p = np.asarray(pixel_coords, dtype=np.float64)
+    out = np.empty_like(p)
+    out[:, 0] = p[:, 0] * a + p[:, 1] * b + c
+    out[:, 1] = p[:, 0] * d + p[:, 1] * e + f
+    return out
+
+
+def world_to_pixel_coords(affine, world_coords) -> "np.ndarray":
+    """Inverse of :func:`pixel_to_world_coords` (2x2 solve, vectorized)."""
+    a, b, c, d, e, f = tuple(affine)[:6]
+    det = a * e - b * d
+    if det == 0.0:
+        raise ValueError("affine transform is singular")
+    w = np.asarray(world_coords, dtype=np.float64)
+    x = w[:, 0] - c
+    y = w[:, 1] - f
+    out = np.empty_like(w)
+    out[:, 0] = (e * x - b * y) / det
+    out[:, 1] = (-d * x + a * y) / det
+    return out

@@ -155,46 +155,90 @@ def run_flagship_checkpointed(
     batch_size: int = 8192,
 ) -> dict:
     """Flagship with per-input-fragment checkpointing: each parquet
-    fragment streams through the assigner and lands atomically as its
-    own hive-partitioned output + manifest row (lineage, per-tile
-    counts); a rerun skips completed fragments (north-rule
-    resumability on the main pipeline)."""
-    import shutil
+    fragment runs as ONE Ray task (read -> assign -> atomic
+    per-(continent, tile) partitioned write + manifest row with lineage,
+    per-tile counts and a data checksum); a rerun skips completed
+    fragments.  Fragments run CONCURRENTLY (they are independent resume
+    units), the input is read once (rows_in comes from the fragment
+    metadata, not a second pass), and the output layout mirrors the
+    reference's ``EQUI7_{continent}/{tilename}/`` directory scheme
+    (warp.py:276-288) one level down in each fragment partition."""
+    import ray
 
-    import ray.data as rd
-
+    from equi7grid_ray.stages.tile_assign import make_assign_fn
     from equi7grid_ray.state.checkpoint import Manifest
 
     frags = sorted(str(p) for p in Path(input_path).glob("*.parquet"))
     if not frags:
         raise ValueError(f"no parquet fragments under {input_path}")
     man = Manifest(out_dir)
-    for frag in frags:
+    todo = [f for f in frags if not man.done(Path(f).stem)]
+    assign = make_assign_fn(tiling_id=tiling_id, decode=decode)
+
+    @ray.remote(num_cpus=1)
+    def run_fragment(frag: str) -> None:
+        import shutil
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
         pid = Path(frag).stem
-        if man.done(pid):
-            continue
         cols = ["image_id", "bytes", "w", "h", "fmt"] if decode else None
-        ds = rd.read_parquet(frag, columns=cols)
-        out = tile_assignments(ds, tiling_id=tiling_id, decode=decode,
-                               batch_size=batch_size)
-        m = out.materialize()  # bounded by fragment size (resume unit)
+        pf = pq.ParquetFile(frag)
+        rows_in = pf.metadata.num_rows  # from metadata: no second pass
+        parts = []
+        for rg in range(pf.num_row_groups):
+            parts.append(assign(pf.read_row_group(rg, columns=cols,
+                                                  use_threads=False)))
+        m = pa.concat_tables(parts)
         tmp = Path(out_dir) / f".tmp-part-{pid}"
         if tmp.exists():
             shutil.rmtree(tmp)
-        m.write_parquet(str(tmp), partition_cols=["continent"])
+        # EQUI7_{continent}/{tile}/ layout inside the fragment partition
+        cont = m.column("continent").cast(pa.string()).to_numpy(zero_copy_only=False)
+        tile = m.column("tile").cast(pa.string()).to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(cont.astype("U2"), "/"), tile.astype("U16"))
+        order = np.argsort(key, kind="stable")
+        sorted_m = m.take(pa.array(order))
+        skey = key[order]
+        cuts = np.flatnonzero(np.concatenate([[True], skey[1:] != skey[:-1]]))
+        bounds = np.concatenate([cuts, [len(skey)]])
+        for i, st in enumerate(cuts):
+            en = bounds[i + 1]
+            c, t = skey[st].split("/")
+            d = tmp / f"EQUI7_{c}" / t
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(sorted_m.slice(st, en - st), d / "data.parquet",
+                           row_group_size=65_536)
         pdir = Path(out_dir) / f"part-{pid}"
         if pdir.exists():
             shutil.rmtree(pdir)
         tmp.rename(pdir)
-        vc = m.select_columns(["tile"]).to_pandas()["tile"].astype(str).value_counts()
-        man.record(
+        vc = pc.value_counts(m.column("tile"))
+        tile_counts = {
+            str(d["values"]): int(d["counts"]) for d in vc.to_pylist()[:50]
+        }
+        import hashlib
+
+        checksum = hashlib.sha256()
+        for col in sorted(m.column_names):
+            checksum.update(col.encode())
+            for chunk in m.column(col).chunks:
+                for buf in chunk.buffers():
+                    if buf is not None:
+                        checksum.update(memoryview(buf))
+        Manifest(out_dir).record(
             pid,
             input_fragments=[frag],
-            rows_in=ds.count(),
-            rows_out=m.count(),
+            rows_in=rows_in,
+            rows_out=m.num_rows,
             n_tiles=int(len(vc)),
-            tile_counts={k: int(v) for k, v in vc.head(50).items()},
+            tile_counts=tile_counts,
+            checksum=checksum.hexdigest()[:16],
         )
+
+    # concurrent fragment jobs; each is an independent atomic resume unit
+    ray.get([run_fragment.remote(f) for f in todo])
     return Manifest(out_dir).counters()
 
 

@@ -117,3 +117,32 @@ def test_aeqd_forward_at_projection_center():
     x, y = aeqd.forward("AF", 21.5, 8.5)
     fe, fn = CONTINENTS["AF"].x_0, CONTINENTS["AF"].y_0
     np.testing.assert_allclose([float(x), float(y)], [fe, fn], atol=1e-6)
+
+
+def test_pixel_to_world_affine_general():
+    """General 2x3 affine parity (warp.py:50-75): rotation/shear terms
+    honored, round trip through the inverse."""
+    from equi7grid_ray.grid import pixel_to_world_coords, tile_geotrans, world_to_pixel_coords
+
+    # GDAL-style tuple for a T6 tile at 500 m: x = ll_x + col*500,
+    # y = ul_y - row*500  -> as rasterio Affine (a,b,c,d,e,f)
+    gt = tile_geotrans(4_800_000.0, 1_200_000.0, 600_000.0, 500.0)
+    aff = (gt[1], gt[2], gt[0], gt[4], gt[5], gt[3])
+    px = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1199.5, 333.25]])
+    w = pixel_to_world_coords(aff, px)
+    np.testing.assert_allclose(w[0], [4_800_000.0, 1_800_000.0])
+    np.testing.assert_allclose(w[1], [4_800_500.0, 1_800_000.0])
+    np.testing.assert_allclose(w[2], [4_800_000.0, 1_799_500.0])
+    back = world_to_pixel_coords(aff, w)
+    np.testing.assert_allclose(back, px, atol=1e-9)
+
+    # sheared/rotated affine (beyond the tile-axis-aligned case)
+    aff2 = (10.0, 2.0, 100.0, -1.5, -8.0, 50.0)
+    px2 = np.array([[3.0, 7.0], [-2.0, 0.5]])
+    w2 = pixel_to_world_coords(aff2, px2)
+    np.testing.assert_allclose(w2[0], [3 * 10 + 7 * 2 + 100, 3 * -1.5 + 7 * -8 + 50])
+    np.testing.assert_allclose(world_to_pixel_coords(aff2, w2), px2, atol=1e-12)
+
+    # a trailing (0, 0, 1) row is accepted
+    w3 = pixel_to_world_coords(aff2 + (0.0, 0.0, 1.0), px2)
+    np.testing.assert_allclose(w3, w2)

@@ -111,3 +111,29 @@ def test_flagship_checkpointed_resume(ray_session, tmp_path):
     c2 = run_flagship_checkpointed(str(src), str(out))
     assert c2 == c1
     assert [f.stat().st_mtime for f in sorted((out / "_manifest").glob("*.json"))] == stamps
+
+
+def test_flagship_checkpointed_tile_layout(ray_session, tmp_path):
+    """The per-fragment output mirrors the reference's
+    EQUI7_{continent}/{tilename}/ directory scheme (warp.py:276-288) and
+    every tile directory holds only its own tile's rows."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.pipelines.flagship import run_flagship_checkpointed
+
+    src = tmp_path / "frags"
+    src.mkdir()
+    pq.write_table(make_batch(0, 300), src / "f0.parquet")
+    out = tmp_path / "ckpt"
+    run_flagship_checkpointed(str(src), str(out))
+    tile_dirs = sorted((out / "part-f0").glob("EQUI7_*/**/data.parquet"))
+    assert len(tile_dirs) >= 50  # global sweep hits many tiles
+    seen_conts = set()
+    for f in tile_dirs[:20]:
+        cont = f.parent.parent.name.removeprefix("EQUI7_")
+        tile = f.parent.name
+        seen_conts.add(cont)
+        t = pq.read_table(f)
+        tiles = set(t.column("tile").cast("string").to_pylist())
+        assert tiles == {tile}
+    assert len(seen_conts) >= 1

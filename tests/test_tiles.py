@@ -111,3 +111,38 @@ def test_grid_def_roundtrip(tmp_path):
     back = GridSpec.from_file(p)
     assert back.buffered and back.continent_order == ("EU", "AS")
     assert back.tile_size("T6") == 600_000.0
+
+
+def test_tile_polygon_topology():
+    """Shapely-style topology vs projected rings (reference tile.ipynb
+    'Topological operations' over core.py:39-52 tile objects)."""
+    import numpy as np
+
+    from equi7grid_ray import api
+
+    t = api.get_tile_from_name("EU_E048N012T6")
+    x0, y0, x1, y1 = t.ll_x, t.ll_y, t.ur_x, t.ur_y
+
+    def ring(a, b, c, d):
+        return np.array([[a, b], [c, b], [c, d], [a, d], [a, b]])
+
+    big = ring(x0 - 1e5, y0 - 1e5, x1 + 1e5, y1 + 1e5)       # covers tile
+    small = ring(x0 + 1e5, y0 + 1e5, x0 + 2e5, y0 + 2e5)     # inside tile
+    part = ring(x0 - 1e5, y0 + 1e5, x0 + 1e5, y0 + 2e5)      # partial overlap
+    adjacent = ring(x1, y0, x1 + 2e5, y1)                    # shares an edge
+    far = ring(x1 + 5e5, y1 + 5e5, x1 + 6e5, y1 + 6e5)       # disjoint
+
+    assert t.within(big) and t.intersects(big)
+    assert not t.overlaps(big) and not t.touches(big)
+
+    assert t.contains_geom(small) and t.intersects(small)
+    assert not t.overlaps(small) and not t.within(small)
+
+    assert t.overlaps(part) and t.intersects(part)
+    assert not t.within(part) and not t.touches(part)
+
+    assert t.touches(adjacent) and t.intersects(adjacent)
+    assert not t.overlaps(adjacent)
+
+    assert not t.intersects(far)
+    assert not t.touches(far) and not t.overlaps(far) and not t.within(far)
