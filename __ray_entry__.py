@@ -368,6 +368,119 @@ def q_langid_docs(sf_dir: str):
     return pred.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
 
 
+def q_norm_dedup_docs(sf_dir: str):
+    """Near-exact dedup after text normalization (lowercase + strip
+    non-alphanumerics): keep min doc_id per normalized form.  SQL-oracled
+    (regexp_replace(lower(text)))."""
+    from equi7grid_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z0-9 ]", ""
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "norm": norm})
+
+    normed = ds.map_batches(normalize, batch_format="pyarrow")
+    return exact_dedup(normed, key="norm", id_col="doc_id").select_columns(["doc_id"])
+
+
+def q_token_topk(sf_dir: str):
+    """Global top-20 tokens by frequency: per-batch partial counts over
+    the exploded token column (combiner), small groupby, deterministic
+    sort+limit.  SQL-oracled via unnest(string_split(...))."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        vc = pc.value_counts(toks)
+        return pa.table({
+            "token": vc.field("values").cast(pa.string()),
+            "pn": vc.field("counts").cast(pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
+def q_supplier_revenue_topk(sf_dir: str):
+    """Top-10 suppliers by lineitem revenue with the supplier name joined
+    from the SMALL side via broadcast lookup (ray.put-free: the top-10 is
+    tiny, the supplier table is read pruned to two columns) -- the
+    broadcast-join-instead-of-shuffle-join pattern.  SQL-oracled."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        order = np.argsort(sk, kind="stable")
+        sks = sk[order]
+        cuts = np.flatnonzero(np.concatenate([[True], sks[1:] != sks[:-1]]))
+        sums = np.add.reduceat(cents[order], cuts)
+        return pa.table({
+            "l_suppkey": pa.array(sks[cuts], pa.int64()),
+            "pc_": pa.array(sums, pa.int64()),
+        })
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("pc_", alias_name="cents"))
+        .sort(["cents", "l_suppkey"], descending=[True, False])
+        .limit(10)
+    )
+
+    import pyarrow.parquet as pq
+
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    lut = dict(zip(names.column("s_suppkey").to_pylist(),
+                   names.column("s_name").to_pylist()))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_suppkey").to_pylist()
+        return pa.table({
+            "s_name": pa.array([lut[k] for k in keys], pa.string()),
+            "cents": batch.column("cents"),
+        })
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+def q_token_len_hist(sf_dir: str):
+    """Document-length histogram (token-count // 10 buckets) per lang --
+    pure integer math, SQL-oracled."""
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.stages.text import token_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = token_stats(batch)
+        b = pc.divide(t.column("n_tokens"), 10)
+        return pa.table({"lang": t.column("lang"),
+                         "bucket": pc.cast(b, pa.int64())})
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_events_sessionize(sf_dir: str):
     """Sessionization (30-min inactivity gap) per user: sorted per-group
     window logic inside map_groups (ordering assumption: within one user
@@ -903,6 +1016,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_near_dup": q_lsh_near_dup,
         "simhash_docs": q_simhash_docs,
         "langid_docs": q_langid_docs,
+        "norm_dedup_docs": q_norm_dedup_docs,
+        "token_topk": q_token_topk,
+        "supplier_revenue_topk": q_supplier_revenue_topk,
+        "token_len_hist": q_token_len_hist,
         "events_sessionize": q_events_sessionize,
         "allowed_samplings": q_allowed_samplings,
         "knn_tiles": q_knn_tiles,
@@ -921,6 +1038,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_hopping": q_events_hopping,
     }
+
+
+def _langid_oracle_sql() -> str:
+    """SQL mirror of stages.text.LangId: per-language score = number of
+    DISTINCT profile trigrams present in lower(text); best = first
+    argmax over (en, de, fr); 'und' when all scores are zero.  Built
+    from LangId._PROFILES so the two stay in sync."""
+    from equi7grid_ray.stages.text import LangId
+
+    def score(lang: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN contains(lower(text), '{g}') THEN 1 ELSE 0 END)"
+            for g in LangId._PROFILES[lang]
+        )
+        return f"({terms}) AS s_{lang}"
+
+    scores = ", ".join(score(lang) for lang in LangId._PROFILES)
+    return (
+        f"WITH s AS (SELECT lang, {scores} FROM documents), "
+        "p AS (SELECT lang, CASE "
+        "WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'und' "
+        "WHEN s_en >= s_de AND s_en >= s_fr THEN 'en' "
+        "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred FROM s) "
+        "SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -998,6 +1140,27 @@ def oracle_sql() -> dict[str, str]:
             f" + (((l_orderkey * {_LONMUL}) % {_LONMOD}) * {1 << _CELL_L}) // {_LONMOD} AS cell, "
             f"count(*) AS n FROM lineitem GROUP BY cell"
         ),
+        "norm_dedup_docs": (
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')"
+        ),
+        "token_topk": (
+            "SELECT token, CAST(count(*) AS BIGINT) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "supplier_revenue_topk": (
+            "SELECT s_name, cents FROM "
+            "(SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM lineitem GROUP BY l_suppkey ORDER BY cents DESC, l_suppkey LIMIT 10) t "
+            "JOIN supplier ON s_suppkey = l_suppkey"
+        ),
+        "token_len_hist": (
+            "SELECT lang, "
+            "(length(text) - length(replace(text, ' ', '')) + 1) // 10 AS bucket, "
+            "count(*) AS n FROM documents GROUP BY lang, bucket"
+        ),
+        "langid_docs": _langid_oracle_sql(),
         "pixel_index": (
             f"WITH d AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "
             f"(l_suppkey * {_YMUL}) % {_YMOD} AS y FROM lineitem) "
