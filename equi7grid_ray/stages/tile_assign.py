@@ -180,8 +180,11 @@ class TileAssigner:
                 )
                 px_mean[j] = img.mean()
 
-        member = self.state.zc.classify(lon, lat)  # (n, 7) in zc.order
+        # packed uint8 zone bitmask: 1 byte/row instead of a (n, 7) bool
+        # matrix (DRAM pressure at high concurrency)
+        bits = self.state.zc.classify_bits(lon, lat)
 
+        emit_xy = self.emit_xy
         out_idx: list[np.ndarray] = []
         out_rank: list[np.ndarray] = []
         out_x: list[np.ndarray] = []
@@ -193,7 +196,7 @@ class TileAssigner:
         any_miss = False
         miss_names: list[tuple[int, np.ndarray, np.ndarray, str]] = []
         for rank, (cont, zc_col) in enumerate(zip(self.continents, self.zone_cols)):
-            rows = np.flatnonzero(member[:, zc_col])
+            rows = np.flatnonzero(bits & np.uint8(1 << zc_col))
             if len(rows) == 0:
                 continue
             proj = self._proj.get(cont)
@@ -216,12 +219,13 @@ class TileAssigner:
                 )
             out_idx.append(rows)
             out_rank.append(np.full(len(rows), rank, dtype=np.int8))
-            out_x.append(x)
-            out_y.append(y)
-            out_llx.append(llx)
-            out_lly.append(lly)
             out_land.append(land)
             out_tidx.append(tidx)
+            if emit_xy:  # projected coords only concatenated when emitted
+                out_x.append(x)
+                out_y.append(y)
+                out_llx.append(llx)
+                out_lly.append(lly)
 
         if not out_idx:
             idx = np.empty(0, dtype=np.int64)
@@ -232,12 +236,13 @@ class TileAssigner:
         else:
             idx = np.concatenate(out_idx)
             rank = np.concatenate(out_rank)
-            x = np.concatenate(out_x)
-            y = np.concatenate(out_y)
-            llx = np.concatenate(out_llx)
-            lly = np.concatenate(out_lly)
             land = np.concatenate(out_land)
             tidx = np.concatenate(out_tidx)
+            if emit_xy:
+                x = np.concatenate(out_x)
+                y = np.concatenate(out_y)
+                llx = np.concatenate(out_llx)
+                lly = np.concatenate(out_lly)
 
         dict_values = self._dict_values
         if any_miss:

@@ -206,6 +206,35 @@ class ZoneClassifier:
                 out[bmask, zi] = poly.contains(lon[bmask], lat[bmask])
         return out
 
+    def classify_bits(self, lon, lat) -> np.ndarray:
+        """(n,) uint8 zone-membership bitmask (bit i = self.order[i]).
+
+        Packed variant of :meth:`classify` for the hot assignment path:
+        1 byte/row of traffic instead of 7 -- at 32-way concurrency the
+        wide bool matrix is measurable DRAM pressure."""
+        lon = np.asarray(lon, dtype=np.float64).ravel()
+        lat = np.asarray(lat, dtype=np.float64).ravel()
+        res = self.res
+        ncol = self._inside.shape[1]
+        nrow = self._inside.shape[0]
+        ci = np.clip(((lon + 180.0) / res).astype(np.int32), 0, ncol - 1)
+        ri = np.clip(((lat + 90.0) / res).astype(np.int32), 0, nrow - 1)
+        out = self._inside[ri, ci].copy()
+        bb = self._boundary[ri, ci]
+        if bb.any():
+            for zi, zone in enumerate(self.order):
+                poly = self.polys.get(zone)
+                if poly is None:
+                    continue
+                bit = np.uint8(1 << zi)
+                bmask = (bb & bit) != 0
+                if bmask.any():
+                    inside = poly.contains(lon[bmask], lat[bmask])
+                    sub = out[bmask]
+                    sub = np.where(inside, sub | bit, sub & ~bit)
+                    out[bmask] = sub
+        return out
+
     def contains(self, zone: str, lon, lat) -> np.ndarray:
         zi = self.order.index(zone)
         return self.classify(lon, lat)[:, zi]

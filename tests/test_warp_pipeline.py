@@ -155,3 +155,30 @@ def test_mercator_roundtrip():
     x, y = mercator.forward(lon, lat)
     lo, la = mercator.inverse(x, y)
     assert np.allclose(lo, lon) and np.allclose(la, lat, atol=1e-9)
+
+
+def test_naming_traffo_per_file(ray_session, tmp_path):
+    """Per-tile output naming parity (reference warp.py:243-288): each
+    tile directory is EQUI7_{continent}/{tilename}/ and holds one file
+    named by the naming_traffo hook applied to (stem, full_tilename)."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.pipelines.warp import resample_to_equi7_tiles
+    from equi7grid_ray.sources.images import make_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(make_batch(0, 40), src / "scene0.parquet")
+    out = tmp_path / "out"
+    resample_to_equi7_tiles(
+        str(src), str(out),
+        naming_traffo=lambda stem, ftile: f"V1_{stem}__{ftile}.parquet",
+    )
+    files = sorted(out.glob("part-scene0/EQUI7_*/*/*.parquet"))
+    assert files, "no tile files written"
+    for f in files[:10]:
+        cont = f.parent.parent.name.removeprefix("EQUI7_")
+        tile = f.parent.name
+        assert f.name == f"V1_scene0__{cont}_{tile}.parquet"
+        t = pq.read_table(f)
+        assert set(t.column("tile").cast("string").to_pylist()) == {tile}
