@@ -135,8 +135,11 @@ def _headline(img_dir: str, meta_dir: str) -> dict:
 
     def run_assign() -> int:
         files = sorted(_glob.glob(f"{meta_dir}/*.parquet"))
-        out = tile_assignments_from_files(files, decode=False,
-                                          emit_cell=False, emit_xy=False)
+        # projection pushdown: the tile histogram terminal never reads
+        # the id column, so neither the read nor the assign emits it
+        out = tile_assignments_from_files(files, columns=["lon", "lat"],
+                                          decode=False, emit_cell=False,
+                                          emit_xy=False, emit_id=False)
         # terminal aggregate: per-tile histogram with the combiner fused
         # into the assign task (read->assign->partial_counts is ONE task;
         # only |tiles|-row partials hit the object store / shuffle)
@@ -154,7 +157,10 @@ def _headline(img_dir: str, meta_dir: str) -> dict:
 
     for name, fn in (("assign_256m", run_assign), ("decode_assign_1m", run_decode)):
         best = float("inf")
-        trials = 2 if name == "assign_256m" else 3
+        # high concurrency levels need several passes to reach steady
+        # state (32 workers spawning + broadcast-state fetch + plasma
+        # first-touch: measured 16 -> 13 -> 10.5 -> 9.6s over trials)
+        trials = 3 if name == "assign_256m" else 4
         for _trial in range(trials):
             time.sleep(2)  # let the object store settle between heavy runs
             t0 = time.time()
@@ -243,9 +249,18 @@ def run_scaling() -> dict:
     multiplies memory bandwidth with node count and does not hit this."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # Confine each level to exactly `ncpu` HARDWARE threads: on a
+        # real N- vs 4N-node cluster, Ray's per-node system processes
+        # (raylet, GCS, driver) share every node's cores at BOTH sizes.
+        # Unconfined, the small level gets a free ride -- its raylet and
+        # driver run on the box's idle cores -- which understates true
+        # cluster scaling.  taskset puts that overhead inside the
+        # measured budget at both levels.
+        cmd = [sys.executable, "bench.py", "--headline-only"]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, "bench.py", "--headline-only"],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 

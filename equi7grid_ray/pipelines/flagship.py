@@ -34,6 +34,7 @@ def tile_assignments(
     use_actors: bool = False,
     emit_cell: bool = True,
     emit_xy: bool = True,
+    emit_id: bool = True,
 ):
     """Attach the tile-assignment stage to a Dataset of image rows.
 
@@ -43,7 +44,7 @@ def tile_assignments(
     (useful when co-tenant stages would evict the process cache)."""
     kwargs = dict(
         tiling_id=tiling_id, spec=spec, decode=decode, passthrough=passthrough,
-        emit_cell=emit_cell, emit_xy=emit_xy,
+        emit_cell=emit_cell, emit_xy=emit_xy, emit_id=emit_id,
     )
     if use_actors:
         return ds.map_batches(
@@ -107,6 +108,7 @@ def tile_assignments_from_files(
     passthrough: tuple[str, ...] = (),
     emit_cell: bool = True,
     emit_xy: bool = True,
+    emit_id: bool = True,
 ):
     """Read-in-map variant of :func:`tile_assignments`: the input Dataset
     holds file PATHS; each task reads its file with plain pyarrow and runs
@@ -128,7 +130,7 @@ def tile_assignments_from_files(
     files = [str(f) for f in files]
     assign = make_assign_fn(
         tiling_id=tiling_id, spec=spec, decode=decode, passthrough=passthrough,
-        emit_cell=emit_cell, emit_xy=emit_xy,
+        emit_cell=emit_cell, emit_xy=emit_xy, emit_id=emit_id,
     )
 
     def read_and_assign(batch: pa.Table):

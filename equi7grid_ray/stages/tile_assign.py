@@ -69,6 +69,7 @@ class TileAssigner:
         decode: bool = False,
         emit_cell: bool = True,
         emit_xy: bool = True,
+        emit_id: bool = True,
         passthrough: tuple[str, ...] = (),
         exact_projection: bool = False,
     ):
@@ -79,6 +80,11 @@ class TileAssigner:
         self.decode = decode
         self.emit_cell = emit_cell
         self.emit_xy = emit_xy
+        # emit_id=False is the projection-pushdown path for terminal
+        # aggregates (tile histogram) that never read the id column:
+        # skips an 8B read + 16B gather + 8B emit per row -- measurable
+        # against a shared memory bus at full-machine concurrency.
+        self.emit_id = emit_id
         self.passthrough = passthrough
         self.continents = self.spec.continents()
         self.zone_cols = [self.state.zc.order.index(c) for c in self.continents]
@@ -266,12 +272,12 @@ class TileAssigner:
             pa.array(rank.astype(np.int32)), self._cont_values
         )
 
-        cols: dict[str, pa.Array] = {
-            "image_id": batch.column("image_id").take(pa.array(idx)),
-            "continent": cont_col,
-            "tile": tile_col,
-            "covers_land": pa.array(land, pa.bool_()),
-        }
+        cols: dict[str, pa.Array] = {}
+        if self.emit_id:
+            cols["image_id"] = batch.column("image_id").take(pa.array(idx))
+        cols["continent"] = cont_col
+        cols["tile"] = tile_col
+        cols["covers_land"] = pa.array(land, pa.bool_())
         if self.emit_xy:  # skip for minimal tile-assignment output
             cols["continent_rank"] = pa.array(rank, pa.int8())
             cols["x"] = pa.array(x, pa.float64())
