@@ -291,13 +291,12 @@ def q_tile_assign_real(sf_dir: str):
         })
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
-    assigned = prepped.map_batches(
-        TileAssigner,
-        fn_constructor_kwargs=dict(emit_cell=False),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        num_cpus=1,
-    )
+    # broadcast-state task variant: the assigner (zone raster, atlases,
+    # interp grids, ~55 MB) is built ONCE on the driver and ray.put --
+    # an actor pool would rebuild it per fresh actor (~3 s each)
+    from equi7grid_ray.pipelines.flagship import tile_assignments
+
+    assigned = tile_assignments(prepped, emit_cell=False, batch_size=65_536)
 
     def partial(batch: pa.Table) -> pa.Table:
         # dictionary-encoded hot path: bincount the indices, no strings
@@ -528,8 +527,11 @@ def q_knn_tiles(sf_dir: str):
             "lat_udeg": pa.array(lat_u, pa.int64()),
         })
 
+    # exact_projection: at ~20k rows the Karney solve (~60 ms) is far
+    # cheaper than building interp grids in each fresh actor (~3 s)
     assigned = ds.map_batches(prep, batch_format="pyarrow").map_batches(
-        TileAssigner, fn_constructor_kwargs=dict(emit_cell=False),
+        TileAssigner,
+        fn_constructor_kwargs=dict(emit_cell=False, exact_projection=True),
         batch_format="pyarrow", concurrency=(1, 2), num_cpus=1,
     )
 
@@ -679,8 +681,11 @@ def q_distortion_stats(sf_dir: str):
             "lat_udeg": pa.array(lat_u, pa.int64()),
         })
 
+    # exact_projection: at ~20k rows the Karney solve (~60 ms) is far
+    # cheaper than building interp grids in each fresh actor (~3 s)
     assigned = ds.map_batches(prep, batch_format="pyarrow").map_batches(
-        TileAssigner, fn_constructor_kwargs=dict(emit_cell=False),
+        TileAssigner,
+        fn_constructor_kwargs=dict(emit_cell=False, exact_projection=True),
         batch_format="pyarrow", concurrency=(1, 2), num_cpus=1,
     )
 
@@ -993,7 +998,7 @@ def entry() -> Any:
 
     return ds.map_batches(prep, batch_format="pyarrow").map_batches(
         TileAssigner,
-        fn_constructor_kwargs=dict(),
+        fn_constructor_kwargs=dict(exact_projection=True),
         batch_format="pyarrow",
         concurrency=(1, 2),
         num_cpus=1,
