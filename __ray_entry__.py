@@ -480,6 +480,48 @@ def q_token_len_hist(sf_dir: str):
     )
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Two-hop dimension join: orders -> customer -> nation via the
+    broadcast-join operator (small sides ray.put once, probed per batch;
+    zero shuffle), then a keyed aggregate.  SQL-oracled."""
+    from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.stages.join import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "c_custkey": batch.column("o_custkey").cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    o = orders.map_batches(prep, batch_format="pyarrow")
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    j1 = broadcast_join(o, cust, on="c_custkey", how="inner")
+
+    def renk(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["n_nationkey" if c == "c_nationkey" else c
+             for c in batch.column_names]
+        )
+
+    j2 = broadcast_join(j1.map_batches(renk, batch_format="pyarrow"),
+                        nation, on="n_nationkey", how="inner")
+    return (
+        j2.groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
 def q_events_sessionize(sf_dir: str):
     """Sessionization (30-min inactivity gap) per user: sorted per-group
     window logic inside map_groups (ordering assumption: within one user
@@ -1025,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": q_token_topk,
         "supplier_revenue_topk": q_supplier_revenue_topk,
         "token_len_hist": q_token_len_hist,
+        "orders_by_nation": q_orders_by_nation,
         "events_sessionize": q_events_sessionize,
         "allowed_samplings": q_allowed_samplings,
         "knn_tiles": q_knn_tiles,
@@ -1159,6 +1202,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents "
             "FROM lineitem GROUP BY l_suppkey ORDER BY cents DESC, l_suppkey LIMIT 10) t "
             "JOIN supplier ON s_suppkey = l_suppkey"
+        ),
+        "orders_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "token_len_hist": (
             "SELECT lang, "

@@ -1,0 +1,179 @@
+"""Join operators over Ray Datasets.
+
+Ray Data 2.49 has no built-in join; an engine a reference user could
+switch to needs one.  Two shapes, chosen by side size:
+
+- ``broadcast_join``: the small side is collected ONCE on the driver
+  (bounded by ``max_broadcast_rows``), ``ray.put`` into the object
+  store, and probed inside ``map_batches`` with a vectorized Arrow
+  index gather -- zero shuffle, the pattern the scale guidance
+  prescribes for dimension tables.
+- ``shuffle_hash_join``: both sides are tagged and unioned, then
+  hash-partitioned by key with ``groupby(key).map_groups`` and merged
+  per partition group with a pandas merge -- the classic cogroup
+  shuffle join for two large sides.  Keys are salted only by Ray's own
+  hash partitioning; heavy skew should pre-aggregate or use the
+  broadcast path.
+
+Both return a Dataset and preserve streaming on the probe/large side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["broadcast_join", "shuffle_hash_join"]
+
+
+def broadcast_join(
+    large,
+    small,
+    *,
+    on: str,
+    how: str = "inner",
+    max_broadcast_rows: int = 5_000_000,
+    suffix: str = "_r",
+):
+    """Join ``large`` (Dataset, streamed) with ``small`` (Dataset or
+    pyarrow.Table, materialized + broadcast) on equality of ``on``.
+
+    ``how``: 'inner' or 'left'.  Small-side duplicate keys keep the
+    FIRST occurrence (dimension-table semantics)."""
+    if how not in ("inner", "left"):
+        raise ValueError("broadcast_join supports how='inner'|'left'")
+    if hasattr(small, "to_arrow_refs") or hasattr(small, "map_batches"):
+        small_tbl = pa.concat_tables(
+            pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+            for b in small.iter_batches(batch_format="pyarrow")
+        )
+    else:
+        small_tbl = small
+    if small_tbl.num_rows > max_broadcast_rows:
+        raise ValueError(
+            f"small side has {small_tbl.num_rows} rows > max_broadcast_rows="
+            f"{max_broadcast_rows}; use shuffle_hash_join"
+        )
+
+    import ray
+
+    ref = ray.put(small_tbl) if ray.is_initialized() else None
+    payload = None if ref is not None else small_tbl
+    # suffix only colliding names (like SQL join output)
+    large_names = set(large.schema().names)
+    rename = {
+        c: (c + suffix if c in large_names else c)
+        for c in small_tbl.column_names
+        if c != on
+    }
+
+    class _Probe:
+        """Stateful probe: builds the key->row-index hash map once per
+        worker from the broadcast table."""
+
+        def __init__(self):
+            tbl = ray.get(ref) if ref is not None else payload
+            keys = tbl.column(on).to_pandas()
+            # first occurrence wins for duplicate small-side keys
+            self.index = pd.Index(keys).drop_duplicates()
+            first = ~keys.duplicated(keep="first")
+            self.tbl = tbl.filter(pa.array(first.to_numpy()))
+            self.cols = [c for c in tbl.column_names if c != on]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            probe = batch.column(on).to_pandas()
+            pos = self.index.get_indexer(probe)
+            hit = pos >= 0
+            if how == "inner":
+                keep = np.flatnonzero(hit)
+                batch = batch.take(pa.array(keep))
+                pos = pos[keep]
+                take = pa.array(pos, pa.int64())
+            else:  # left: misses become nulls
+                take = pa.array(
+                    np.where(hit, pos, -1), pa.int64()
+                )
+                take = pc.if_else(
+                    pc.greater_equal(take, 0), take, pa.scalar(None, pa.int64())
+                )
+            out = batch
+            for c in self.cols:
+                out = out.append_column(
+                    rename.get(c, c), self.tbl.column(c).take(take)
+                )
+            return out
+
+    return large.map_batches(
+        _Probe, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+
+
+def shuffle_hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Cogroup shuffle join: tag both sides, union, hash-partition by the
+    key (Ray groupby), merge each key group with pandas.
+
+    Works for two large sides; the shuffle moves every row once."""
+    if how not in ("inner", "left"):
+        raise ValueError("shuffle_hash_join supports how='inner'|'left'")
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = [c for c in lschema.names if c != on]
+    rcols_orig = [c for c in rschema.names if c != on]
+    rmap = {c: (c + suffix if c in lcols else c) for c in rcols_orig}
+    rcols = [rmap[c] for c in rcols_orig]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = {rmap[c]: t for c, t in zip(rschema.names, rschema.types) if c != on}
+    rtypes_on = dict(zip(rschema.names, rschema.types))[on]
+
+    # union requires one schema: project both sides into the superset
+    # (key, left cols, renamed right cols, side tag) with null fills
+    super_fields = (
+        [(on, ltypes.get(on, rtypes_on))]
+        + [(c, ltypes[c]) for c in lcols]
+        + [(c, rtypes[c]) for c in rcols]
+        + [("__side", pa.int8())]
+    )
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in super_fields:
+                if name == "__side":
+                    cols[name] = pa.array(np.full(n, side, np.int8))
+                elif side == 0 and name in batch.column_names:
+                    cols[name] = batch.column(name).cast(typ)
+                elif side == 1:
+                    src = on if name == on else next(
+                        (c for c, r in rmap.items() if r == name), None
+                    )
+                    if src is not None and src in batch.column_names:
+                        cols[name] = batch.column(src).cast(typ)
+                    else:
+                        cols[name] = pa.nulls(n, typ)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(project(0), batch_format="pyarrow")
+    rt = right.map_batches(project(1), batch_format="pyarrow")
+    unioned = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["__side"] == 0][[on] + lcols]
+        gr = g[g["__side"] == 1][[on] + rcols]
+        return gl.merge(gr, on=on, how=how)
+
+    return unioned.groupby(on).map_groups(merge, batch_format="pandas")
