@@ -72,7 +72,8 @@ def _column_bytes(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def hash_bytes_offsets(
-    flat: np.ndarray, offs: np.ndarray, seed: np.uint64 = _SEED
+    flat: np.ndarray, offs: np.ndarray, seed: np.uint64 = _SEED,
+    chunk: int = 1 << 20,
 ) -> np.ndarray:
     """64-bit content hash per segment ``[offs[i], offs[i+1])`` of one
     flat byte buffer: polynomial sum H_i = sum_j flat[j] * p^(j-start_i)
@@ -86,7 +87,7 @@ def hash_bytes_offsets(
     n = len(offs) - 1
     lens = np.diff(offs)
     H = np.zeros(n, dtype=np.uint64)
-    CHUNK = 1 << 20
+    CHUNK = int(chunk)
     a = int(offs[0])
     end = int(offs[-1])
     with np.errstate(over="ignore"):

@@ -90,3 +90,40 @@ def test_tile_floor_contains_point(x, y):
     llx, lly = tile_ll_from_xy(x, y, 600_000.0)
     assert float(llx) <= x < float(llx) + 600_000.0
     assert float(lly) <= y < float(lly) + 600_000.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=30),
+)
+def test_hash_bytes_offsets_matches_scalar_reference(texts):
+    """The chunked offset-buffer hash equals a direct scalar evaluation
+    of the same polynomial+splitmix definition, and is invariant to the
+    internal chunk size."""
+    from equi7grid_ray.stages import dedup as dd
+
+    flat = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    got = dd.hash_bytes_offsets(flat, offs).view(np.uint64)
+
+    # scalar reference
+    P = int(dd._PRIME)
+    M = 1 << 64
+    for i, t in enumerate(texts):
+        h = 0
+        for j, b in enumerate(t):
+            h = (h + b * pow(P, j, M)) % M
+        h = (h ^ (len(t) * P) % M ^ int(dd._SEED)) % M
+        # splitmix64
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) % M
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) % M
+        h ^= h >> 33
+        assert int(got[i]) == h, i
+
+    # chunk-size invariance: a 7-byte processing chunk crosses document
+    # boundaries arbitrarily and must produce identical hashes
+    tiny = dd.hash_bytes_offsets(flat, offs, chunk=7).view(np.uint64)
+    assert (tiny == got).all()
