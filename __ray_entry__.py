@@ -206,56 +206,28 @@ def q_punct_by_source(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    """Tumbling 1h window aggregate over the event stream (streaming-shaped
-    workload as groupby on the window key)."""
+    """Tumbling 1h window aggregate over the event stream (the
+    stages/windows.py tumbling_window operator)."""
     from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.stages.windows import tumbling_window
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
 
-    def stage(batch: pa.Table) -> pa.Table:
-        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # us
-        hour = (ts // 3_600_000_000) * 3_600_000_000
+    def add_cents(batch: pa.Table) -> pa.Table:
         cents = np.rint(batch.column("value").to_numpy() * 100.0).astype(np.int64)
         return pa.table({
+            "ts": batch.column("ts"),
             "event_type": batch.column("event_type"),
-            "window_start": pa.array(hour, pa.int64()).cast(pa.timestamp("us")),
             "cents": pa.array(cents, pa.int64()),
         })
 
-    def fix_ts(batch: pa.Table) -> pa.Table:
-        # Ray's hash-aggregate can narrow the key to timestamp[s]; the
-        # driver's value hash is dtype-sensitive, so pin us-resolution to
-        # match DuckDB's TIMESTAMP.
-        i = batch.schema.get_field_index("window_start")
-        return batch.set_column(
-            i, "window_start", batch.column(i).cast(pa.timestamp("us")))
-
-    return (
-        ds.map_batches(stage, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
-        .map_batches(fix_ts, batch_format="pyarrow")
+    return tumbling_window(
+        ds.map_batches(add_cents, batch_format="pyarrow"),
+        ts_col="ts", width_s=3600, keys=["event_type"],
+        aggs=[Count(alias_name="n"), Sum("cents", alias_name="sum_cents")],
     )
 
-
-
-def _embedding_probe(sf_dir: str, vec_id: int | None = None):
-    """Fetch the query vector (or just the dim) WITHOUT materializing the
-    embeddings table on the driver: row-filtered, column-pruned parquet
-    read -- only the matching row group(s) leave storage (round-1 verdict
-    "What's wrong" #3)."""
-    import pyarrow.parquet as pq
-
-    if vec_id is None:
-        f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-        first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
-        return len(first.column("embedding")[0])
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "=", vec_id)],
-    )
-    return np.asarray(t.column("embedding")[0].as_py())
 
 def q_knn_cosine(sf_dir: str):
     """Brute-force cosine top-10 against the vec_id=0 embedding (broadcast
@@ -523,23 +495,12 @@ def q_orders_by_nation(sf_dir: str):
 
 
 def q_events_sessionize(sf_dir: str):
-    """Sessionization (30-min inactivity gap) per user: sorted per-group
-    window logic inside map_groups (ordering assumption: within one user
-    the group is sorted by ts before diffing)."""
+    """Sessionization (30-min inactivity gap) per user via the
+    stages/windows.py sessionize operator."""
+    from equi7grid_ray.stages.windows import sessionize
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [int(gaps.sum()) + 1],
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sessionize(ds, user_col="user_id", ts_col="ts", gap_s=1800)
 
 
 def q_allowed_samplings(sf_dir: str):
@@ -837,34 +798,14 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_events_hopping(sf_dir: str):
-    """Hopping window (2h windows, 1h hop): each event explodes into its
-    two covering windows (flat explode + groupby; SQL oracle)."""
-    from ray.data.aggregate import Count
+    """Hopping window (2h windows, 1h hop) via the stages/windows.py
+    hopping_window operator (vectorized explode + keyed aggregate)."""
+    from equi7grid_ray.stages.windows import hopping_window
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
-
-    def stage(batch: pa.Table) -> pa.Table:
-        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # us
-        hour = ts // 3_600_000_000
-        starts = np.concatenate([hour, hour - 1]) * 3_600_000_000
-        take = pa.array(np.tile(np.arange(len(ts), dtype=np.int64), 2))
-        return pa.table({
-            "event_type": batch.column("event_type").take(take),
-            "window_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
-        })
-
-    def fix_ts(batch: pa.Table) -> pa.Table:
-        # Pin us-resolution after the aggregate (hash-aggregate can narrow
-        # the key to timestamp[s]; driver value hash is dtype-sensitive).
-        i = batch.schema.get_field_index("window_start")
-        return batch.set_column(
-            i, "window_start", batch.column(i).cast(pa.timestamp("us")))
-
-    return (
-        ds.map_batches(stage, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n"))
-        .map_batches(fix_ts, batch_format="pyarrow")
+    return hopping_window(
+        ds.select_columns(["ts", "event_type"]),
+        ts_col="ts", width_s=7200, hop_s=3600, keys=["event_type"],
     )
 
 

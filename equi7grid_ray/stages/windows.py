@@ -1,0 +1,116 @@
+"""Streaming-shaped window operators over event Datasets.
+
+The classic event-time windows, expressed Ray-Data-first: window keys
+are computed vectorized inside ``map_batches`` and the frame-level
+aggregate is a keyed ``groupby`` (tumbling / hopping) or a per-key
+ordered ``map_groups`` (sessions).  Partitioning assumption: sessions
+require all events of one user in one group -- Ray's hash groupby
+provides that; per-user event counts bound group memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["tumbling_window", "hopping_window", "sessionize"]
+
+_US = 1_000_000
+
+
+def tumbling_window(ds, *, ts_col: str = "ts", width_s: int = 3600,
+                    keys: list[str] | None = None, aggs=None):
+    """Assign each event to its ``width_s``-second tumbling window and
+    aggregate per (keys..., window_start).
+
+    ``aggs``: list of ray.data.aggregate.* (default Count('n'))."""
+    from ray.data.aggregate import Count
+
+    keys = keys or []
+    aggs = aggs or [Count(alias_name="n")]
+    width_us = width_s * _US
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+        start = (ts // width_us) * width_us
+        out = batch.drop_columns([ts_col])
+        return out.append_column(
+            "window_start", pa.array(start, pa.int64()).cast(pa.timestamp("us"))
+        )
+
+    def fix_ts(batch: pa.Table) -> pa.Table:
+        # Ray's hash aggregate can narrow a timestamp key to [s]
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch.column(i).cast(pa.timestamp("us"))
+        )
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby(keys + ["window_start"])
+        .aggregate(*aggs)
+        .map_batches(fix_ts, batch_format="pyarrow")
+    )
+
+
+def hopping_window(ds, *, ts_col: str = "ts", width_s: int = 7200,
+                   hop_s: int = 3600, keys: list[str] | None = None,
+                   aggs=None):
+    """Each event explodes into the ``width_s / hop_s`` windows covering
+    it (vectorized tile+repeat), then a keyed aggregate."""
+    from ray.data.aggregate import Count
+
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+    keys = keys or []
+    aggs = aggs or [Count(alias_name="n")]
+    hop_us = hop_s * _US
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy()
+        base = ts // hop_us
+        n = len(ts)
+        starts = (
+            np.concatenate([base - j for j in range(k)]) * hop_us
+        )
+        take = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+        out = batch.drop_columns([ts_col]).take(take)
+        return out.append_column(
+            "window_start", pa.array(starts, pa.int64()).cast(pa.timestamp("us"))
+        )
+
+    def fix_ts(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch.column(i).cast(pa.timestamp("us"))
+        )
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby(keys + ["window_start"])
+        .aggregate(*aggs)
+        .map_batches(fix_ts, batch_format="pyarrow")
+    )
+
+
+def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+               gap_s: int = 1800):
+    """Per-user session counts with a ``gap_s`` inactivity break.
+
+    Each user's events are sorted inside their group before diffing
+    (the per-key ordering the operator needs is established inside
+    map_groups, not assumed of the shuffle)."""
+    gap = pd.Timedelta(seconds=gap_s)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        breaks = g[ts_col].diff() > gap
+        return pd.DataFrame({
+            user_col: [g[user_col].iloc[0]],
+            "n_events": [len(g)],
+            "n_sessions": [int(breaks.sum()) + 1],
+        })
+
+    return ds.groupby(user_col).map_groups(sessions, batch_format="pandas")

@@ -1,0 +1,77 @@
+"""Window operators vs a pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from equi7grid_ray.stages.windows import hopping_window, sessionize, tumbling_window
+
+
+@pytest.fixture()
+def events():
+    rng = np.random.default_rng(9)
+    n = 5000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 86_400 * 3, n)), unit="s"
+    )
+    return pa.table({
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+    })
+
+
+def test_tumbling_matches_pandas(ray_session, events):
+    got = (
+        tumbling_window(rd.from_arrow(events), ts_col="ts", width_s=3600,
+                        keys=["event_type"])
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    df = events.to_pandas()
+    df["window_start"] = df["ts"].dt.floor("h")
+    exp = (
+        df.groupby(["event_type", "window_start"], as_index=False)
+        .size().rename(columns={"size": "n"})
+        .sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_type", "window_start", "n"]],
+        exp[["event_type", "window_start", "n"]],
+        check_dtype=False,
+    )
+
+
+def test_hopping_covers_k_windows(ray_session, events):
+    got = hopping_window(
+        rd.from_arrow(events).select_columns(["ts", "event_type"]),
+        ts_col="ts", width_s=7200, hop_s=3600, keys=["event_type"],
+    ).to_pandas()
+    # every event counted exactly twice
+    assert got["n"].sum() == 2 * events.num_rows
+
+
+def test_sessionize_matches_pandas(ray_session, events):
+    got = (
+        sessionize(rd.from_arrow(events).select_columns(["user_id", "ts"]),
+                   gap_s=1800)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    df = events.to_pandas()[["user_id", "ts"]]
+
+    def oracle(g):
+        g = g.sort_values("ts")
+        return pd.Series({
+            "n_events": len(g),
+            "n_sessions": int((g["ts"].diff() > pd.Timedelta(minutes=30)).sum()) + 1,
+        })
+
+    exp = df.groupby("user_id").apply(oracle, include_groups=False).reset_index()
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n_events", "n_sessions"]].astype("int64"),
+        exp[["user_id", "n_events", "n_sessions"]].astype("int64"),
+    )
