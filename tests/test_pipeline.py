@@ -137,3 +137,24 @@ def test_flagship_checkpointed_tile_layout(ray_session, tmp_path):
         tiles = set(t.column("tile").cast("string").to_pylist())
         assert tiles == {tile}
     assert len(seen_conts) >= 1
+
+
+def test_flagship_checkpointed_stale_tmp_recovery(ray_session, tmp_path):
+    """A crash mid-fragment leaves a stale .tmp-part dir and no manifest
+    row: the rerun must clean it up and complete the fragment."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.pipelines.flagship import run_flagship_checkpointed
+
+    src = tmp_path / "frags"
+    src.mkdir()
+    pq.write_table(make_batch(0, 200), src / "f0.parquet")
+    out = tmp_path / "ckpt"
+    stale = out / ".tmp-part-f0" / "EQUI7_XX" / "BOGUS"
+    stale.mkdir(parents=True)
+    (stale / "data.parquet").write_bytes(b"garbage")
+    c = run_flagship_checkpointed(str(src), str(out))
+    assert c["rows_out"] >= 199
+    assert not (out / ".tmp-part-f0").exists()
+    assert (out / "part-f0").exists()
+    assert not list((out / "part-f0").glob("EQUI7_XX*"))
