@@ -322,11 +322,14 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
     cand = parted.groupby("part").map_groups(
         pairs_in_partition, batch_format="pandas"
     )
-    # dedupe across bands/partitions with an aggregate (no per-group Python)
+    # dedupe across bands/partitions with an aggregate (no per-group
+    # Python).  Coalesce the tiny per-partition outputs first: Ray's
+    # sort-aggregate pays per-block costs that would dwarf the data.
     from ray.data.aggregate import Count
 
     return (
-        cand.groupby(["id_a", "id_b"])
+        cand.repartition(8)
+        .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="n_bands"))
         .select_columns(["id_a", "id_b"])
     )
