@@ -110,6 +110,11 @@ class TileInfo:
         n = self.shape[0]
         return self.rc2xy(np.arange(n), np.zeros(n), px_origin)[1]
 
+    def xy_coords(self, px_origin: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """(X, Y) coordinate meshgrids of every pixel (reference
+        RasterGeometry.xy_coords parity); shape == self.shape each."""
+        return np.meshgrid(self.x_coords(px_origin), self.y_coords(px_origin))
+
     # topology vs an axis-aligned extent or point set
     def intersects_extent(self, extent) -> bool:
         x0, y0, x1, y1 = extent

@@ -75,3 +75,33 @@ def test_tile_assignment_identical_interp_vs_exact():
     assert fast.num_rows == exact.num_rows
     assert fast.column("tile").equals(exact.column("tile"))
     assert fast.column("covers_land").equals(exact.column("covers_land"))
+
+
+def test_tile_assignment_identical_buffered_spec():
+    """Interp-vs-exact identity also holds under the buffered grid spec
+    (bigger zone polygons -> bigger interpolation grids)."""
+    from equi7grid_ray.grid import GridSpec
+    from equi7grid_ray.stages.tile_assign import TileAssigner
+
+    spec = GridSpec.standard(buffered=True)
+    rng = np.random.default_rng(13)
+    n = 20_000
+    batch = pa.table({
+        "image_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lon": pa.array(rng.uniform(-180, 180, n)),
+        "lat": pa.array(rng.uniform(-90, 90, n)),
+    })
+
+    def canon(t):
+        t = pa.table({
+            "image_id": t.column("image_id"),
+            "tile": t.column("tile").cast(pa.string()),
+        })
+        return t.sort_by([("image_id", "ascending"), ("tile", "ascending")])
+
+    fast = canon(TileAssigner(spec=spec, decode=False, emit_cell=False,
+                              emit_xy=False)(batch))
+    exact = canon(TileAssigner(spec=spec, decode=False, emit_cell=False,
+                               emit_xy=False, exact_projection=True)(batch))
+    assert fast.num_rows == exact.num_rows
+    assert fast.column("tile").equals(exact.column("tile"))

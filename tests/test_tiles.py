@@ -146,3 +146,13 @@ def test_tile_polygon_topology():
 
     assert not t.intersects(far)
     assert not t.touches(far) and not t.overlaps(far) and not t.within(far)
+
+
+def test_xy_coords_meshgrid():
+    from equi7grid_ray import api
+
+    t = api.get_tile_from_name("EU_E048N012T6")
+    X, Y = t.xy_coords()
+    assert X.shape == t.shape and Y.shape == t.shape
+    assert X[0, 0] == t.x_coords()[0] and Y[0, 0] == t.y_coords()[0]
+    assert X[5, 7] == t.x_coords()[7] and Y[5, 7] == t.y_coords()[5]
