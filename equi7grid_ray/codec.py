@@ -92,15 +92,20 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
     raise NotImplementedError(f"format {fmt!r} (real image libs not in sandbox)")
 
 
-def decode_image(buf: bytes, fmt: str, w: int, h: int, dtype="uint8") -> np.ndarray:
-    """Decode a payload to (h, w).  ``raw`` supports any numpy dtype
-    (little-endian C-order, the reference's GDAL band-dtype generality,
-    warp.py:290-330); ``png`` is 8-bit grayscale."""
+def decode_image(buf: bytes, fmt: str, w: int, h: int, dtype="uint8",
+                 bands: int = 1) -> np.ndarray:
+    """Decode a payload to (h, w) -- or (bands, h, w) when bands > 1.
+    ``raw`` supports any numpy dtype and band count (little-endian
+    C-order band-sequential, the reference's GDAL band/dtype generality,
+    warp.py:290-330); ``png`` is single-band 8-bit grayscale."""
     if fmt == "raw":
-        return np.frombuffer(buf, dtype=np.dtype(dtype)).reshape(h, w)
+        a = np.frombuffer(buf, dtype=np.dtype(dtype))
+        if bands > 1:
+            return a.reshape(bands, h, w)
+        return a.reshape(h, w)
     if fmt == "png":
-        if np.dtype(dtype) != np.uint8:
-            raise NotImplementedError("png payloads are 8-bit grayscale")
+        if np.dtype(dtype) != np.uint8 or bands != 1:
+            raise NotImplementedError("png payloads are single-band 8-bit grayscale")
         return decode_png_gray8(buf)
     raise NotImplementedError(f"format {fmt!r} (real image libs not in sandbox)")
 

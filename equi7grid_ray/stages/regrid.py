@@ -126,7 +126,7 @@ class ExpandTilePairs:
             "ll_y": pa.array(lly, pa.float64()),
         }
         for name in ("bytes", "w", "h", "fmt", "caption", "lon", "lat",
-                     "dtype", "scale", "offset"):
+                     "dtype", "bands", "scale", "offset"):
             if name in batch.column_names:
                 cols[name] = batch.column(name).take(take)
         return pa.table(cols)
@@ -188,6 +188,10 @@ class RegridStage:
             dtypes = batch.column("dtype").to_pylist()
         else:
             dtypes = [self.dtype] * n
+        if "bands" in batch.column_names:
+            bands = batch.column("bands").to_pylist()
+        else:
+            bands = [1] * n
         s = self.sampling
         npix = int(round(self.tile_size / s))
         # decode-once-per-image: a footprint covering T tiles appears in
@@ -199,7 +203,7 @@ class RegridStage:
             img = _decoded.get(ids[j])
             if img is None:
                 img = decode_image(bufs[j], fmts[j], int(w[j]), int(h[j]),
-                                   dtype=dtypes[j])
+                                   dtype=dtypes[j], bands=int(bands[j]))
                 _decoded[ids[j]] = img
             return img
 
@@ -286,15 +290,17 @@ class RegridStage:
                 else:
                     u = (glon - lon[j]) / SRC_RES_DEG + w[j] / 2.0 - 0.5
                     v = (lat[j] - glat) / SRC_RES_DEG + h[j] / 2.0 - 0.5
+                nb = 1 if img.ndim == 2 else img.shape[0]
+                img3 = img[None] if img.ndim == 2 else img
                 if self.resampling == "bilinear":
-                    out = _bilinear(img, v, u, self.nodata)
+                    out = _bilinear(img3, v, u, self.nodata)
                 else:
                     ui = np.rint(u).astype(np.int64)
                     vi = np.rint(v).astype(np.int64)
                     valid = (ui >= 0) & (ui < w[j]) & (vi >= 0) & (vi < h[j])
-                    out = np.full(len(u), self.nodata, dtype=img.dtype)
-                    out[valid] = img[vi[valid], ui[valid]]
-                pixels[j] = out.reshape(wh, ww).tobytes()
+                    out = np.full((nb, len(u)), self.nodata, dtype=img.dtype)
+                    out[:, valid] = img3[:, vi[valid], ui[valid]]
+                pixels[j] = out.reshape(nb, wh, ww).tobytes()
 
         cols = {
             "image_id": batch.column("image_id"),
@@ -306,6 +312,7 @@ class RegridStage:
             "win_w": pa.array(out_ww, pa.int32()),
             "pixels": pa.array(pixels, pa.binary()),
             "dtype": pa.array(dtypes, pa.string()),
+            "bands": pa.array(np.asarray(bands, np.int32)),
             "nodata": pa.array(np.full(n, self.nodata, np.float64)),
             "caption": batch.column("caption")
             if "caption" in batch.column_names
@@ -319,7 +326,8 @@ class RegridStage:
 
 
 def _bilinear(img: np.ndarray, v: np.ndarray, u: np.ndarray, nodata: float) -> np.ndarray:
-    h, w = img.shape
+    """Bilinear gather; ``img`` is (bands, h, w), output (bands, n)."""
+    _, h, w = img.shape
     u0 = np.floor(u).astype(np.int64)
     v0 = np.floor(v).astype(np.int64)
     fu = u - u0
@@ -328,17 +336,17 @@ def _bilinear(img: np.ndarray, v: np.ndarray, u: np.ndarray, nodata: float) -> n
     u1c = np.clip(u0 + 1, 0, w - 1)
     v0c = np.clip(v0, 0, h - 1)
     v1c = np.clip(v0 + 1, 0, h - 1)
-    a = img[v0c, u0c].astype(np.float64)
-    b = img[v0c, u1c].astype(np.float64)
-    c = img[v1c, u0c].astype(np.float64)
-    d = img[v1c, u1c].astype(np.float64)
+    a = img[:, v0c, u0c].astype(np.float64)
+    b = img[:, v0c, u1c].astype(np.float64)
+    c = img[:, v1c, u0c].astype(np.float64)
+    d = img[:, v1c, u1c].astype(np.float64)
     val = (a * (1 - fu) + b * fu) * (1 - fv) + (c * (1 - fu) + d * fu) * fv
     if np.issubdtype(img.dtype, np.integer):
         out = np.rint(val).astype(img.dtype)
     else:
         out = val.astype(img.dtype)
     inside = (u >= -0.5) & (u <= w - 0.5) & (v >= -0.5) & (v <= h - 0.5)
-    out[~inside] = nodata
+    out[:, ~inside] = nodata
     return out
 
 

@@ -300,3 +300,42 @@ def test_int16_bilinear_dtype_roundtrip():
         valid = px[px != -32768]
         if len(valid):
             assert valid.min() >= img.min() and valid.max() <= img.max()
+
+
+def test_multiband_regrid_nearest():
+    """GDAL-style multi-band generality: a 3-band int16 raster regrids
+    band-sequentially with one shared gather (nearest exact per band)."""
+    rng = np.random.default_rng(8)
+    w = h = 64
+    img = rng.integers(-100, 100, (3, h, w), dtype=np.int16)
+    batch = pa.table({
+        "image_id": pa.array(["mb"], pa.string()),
+        "bytes": pa.array([img.tobytes()], pa.binary()),
+        "w": pa.array([w], pa.int32()),
+        "h": pa.array([h], pa.int32()),
+        "fmt": pa.array(["raw"], pa.string()),
+        "dtype": pa.array(["int16"], pa.string()),
+        "bands": pa.array([3], pa.int32()),
+        "lon": pa.array([15.0], pa.float64()),
+        "lat": pa.array([47.5], pa.float64()),
+        "caption": pa.array(["mb"], pa.string()),
+    })
+    pairs = ExpandTilePairs()(batch)
+    out = RegridStage(nodata=-9999)(pairs)
+    assert out.column("bands").to_pylist() == [3] * out.num_rows
+    seen_valid = False
+    for row in range(out.num_rows):
+        wh = out.column("win_h")[row].as_py()
+        ww = out.column("win_w")[row].as_py()
+        px = np.frombuffer(out.column("pixels")[row].as_py(), np.int16)
+        px = px.reshape(3, wh, ww)
+        valid = px[:, (px != -9999).all(axis=0)]
+        if valid.size:
+            seen_valid = True
+            # each valid column must be an actual source pixel (all
+            # bands gathered from the same location)
+            flat_src = img.reshape(3, -1)
+            for col in valid.T[:50]:
+                match = (flat_src == col[:, None]).all(axis=0)
+                assert match.any()
+    assert seen_valid
