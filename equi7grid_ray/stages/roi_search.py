@@ -50,39 +50,51 @@ class BBoxTilesStage:
         lat0 = batch.column("lat_min").to_numpy(zero_copy_only=False)
         lon1 = batch.column("lon_max").to_numpy(zero_copy_only=False)
         lat1 = batch.column("lat_max").to_numpy(zero_copy_only=False)
-        # probe spacing ~<= 0.15 deg for the largest ROI in the batch
-        # (footprint-sized ROIs get the minimum 3x3)
-        k = self.k
-        if k is None:
-            span = max(
-                float(np.max(lon1 - lon0, initial=0.0)),
-                float(np.max(lat1 - lat0, initial=0.0)),
-            )
-            k = int(np.clip(np.ceil(span / 0.15) + 1, 3, 16))
-        f = np.linspace(0.0, 1.0, k)
-        # probe grid per ROI: (k*k, n)
-        pl = lon0[None, :] + np.repeat(f, k)[:, None] * (lon1 - lon0)[None, :]
-        pb = lat0[None, :] + np.tile(f, k)[:, None] * (lat1 - lat0)[None, :]
-        member = self.state.zc.classify(pl.ravel(), pb.ravel()).reshape(k * k, n, -1)
 
         out_row: list[np.ndarray] = []
         out_tidx: list[np.ndarray] = []
         out_cont: list[str] = []
-        for cont, zc_col in zip(self.continents, self.zone_cols):
-            m = member[:, :, zc_col]
-            if not m.any():
+
+        # per-ROW probe density: one batch-wide k keyed off the largest
+        # bbox over-probes mixed batches 25x (a 16x16 grid for every
+        # footprint-sized ROI), so rows are bucketed by their own span
+        # and each bucket probed at its own density
+        if self.k is not None:
+            buckets = [(np.arange(n), self.k)]
+        else:
+            span = np.maximum(lon1 - lon0, lat1 - lat0)
+            krow = np.clip(np.ceil(span / 0.15).astype(np.int64) + 1, 3, 16)
+            buckets = [
+                (np.flatnonzero(krow == kv), int(kv))
+                for kv in np.unique(krow)
+            ]
+
+        for sub, k in buckets:
+            if len(sub) == 0:
                 continue
-            pr, rows = np.nonzero(m)
-            x, y = aeqd.forward(cont, pl[pr, rows], pb[pr, rows])
-            llx, lly = tile_ll_from_xy(x, y, self.tile_size)
-            ct = self._tilings[cont]
-            pos = ct.lookup(llx, lly)
-            ok = pos >= 0
-            key = rows[ok] * np.int64(1 << 32) + pos[ok]
-            _, uniq = np.unique(key, return_index=True)
-            out_row.append(rows[ok][uniq])
-            out_tidx.append(pos[ok][uniq])
-            out_cont.append(cont)
+            f = np.linspace(0.0, 1.0, k)
+            # probe grid per ROI: (k*k, len(sub))
+            pl = lon0[sub][None, :] + np.repeat(f, k)[:, None] * (lon1 - lon0)[sub][None, :]
+            pb = lat0[sub][None, :] + np.tile(f, k)[:, None] * (lat1 - lat0)[sub][None, :]
+            member = self.state.zc.classify(pl.ravel(), pb.ravel()).reshape(
+                k * k, len(sub), -1
+            )
+            for cont, zc_col in zip(self.continents, self.zone_cols):
+                m = member[:, :, zc_col]
+                if not m.any():
+                    continue
+                pr, rows = np.nonzero(m)
+                x, y = aeqd.forward(cont, pl[pr, rows], pb[pr, rows])
+                llx, lly = tile_ll_from_xy(x, y, self.tile_size)
+                ct = self._tilings[cont]
+                pos = ct.lookup(llx, lly)
+                ok = pos >= 0
+                grows = sub[rows[ok]]  # back to batch row ids
+                key = grows * np.int64(1 << 32) + pos[ok]
+                _, uniq = np.unique(key, return_index=True)
+                out_row.append(grows[uniq])
+                out_tidx.append(pos[ok][uniq])
+                out_cont.append(cont)
 
         if not out_row:
             return pa.table({
