@@ -1,0 +1,72 @@
+"""Reference-API compatibility layer: the call shapes of
+/root/reference/tests/test_equi7grid.py work against
+equi7grid_ray.compat with the same goldens."""
+
+import numpy as np
+import numpy.testing as nptest
+
+from equi7grid_ray.compat import allowed_samplings, get_standard_equi7grid
+
+
+def test_lonlat_to_xy_like_reference():
+    grid = get_standard_equi7grid(500)
+    x, y = grid.EU.lonlat_to_xy(15.1, 45.3)
+    nptest.assert_allclose(float(x), 5138743.127891, rtol=1e-7)
+    nptest.assert_allclose(float(y), 1307029.157093, rtol=1e-6)
+    lon, lat = grid.EU.xy_to_lonlat(x, y)
+    nptest.assert_allclose([float(lon), float(lat)], [15.1, 45.3], rtol=1e-9)
+
+
+def test_search_tiles_in_roi_like_reference():
+    # test_equi7grid.py: ROI listing with full (sampling-carrying) names
+    grid = get_standard_equi7grid(500)
+    names = [t.name for t in grid.get_tiles_in_geog_bbox((16, 48, 18, 50), "T6")]
+    assert names == [
+        "EU500M_E048N012T6", "EU500M_E048N018T6",
+        "EU500M_E054N012T6", "EU500M_E054N018T6",
+    ]
+    # global count golden (test_equi7grid.py:293-298)
+    n = sum(1 for _ in grid.get_tiles_in_geog_bbox(
+        (-179.9, -89.9, 179.9, 89.9), "T6"))
+    assert n == 1801
+
+
+def test_tile_addressing_like_reference():
+    grid = get_standard_equi7grid(500)
+    # test_equi7grid.py:120-152 call shapes verbatim
+    tile = grid.EU.get_tile_from_xy(3245631, 5146545, tiling_id="T6")
+    r, c = tile.xy2rc(3166500, 5178000)
+    assert (int(r), int(c)) == (444, 333)
+    x, y = tile.rc2xy(444, 333)
+    assert (x, y) == (3166500.0, 5177500.0)
+    x, y = tile.rc2xy(444, 333, px_origin="c")
+    assert (x, y) == (3166750.0, 5177750.0)
+    tile2 = grid.EU.get_tile_from_xy(4800123, 1200123, tiling_id="T6")
+    x, y = tile2.rc2xy(tile2.n_rows - 1, 0, px_origin="ll")
+    assert (x, y) == (4800000.0, 1200000.0)
+    assert tile.n_rows == 1200 and tile.x_pixel_size == 500.0
+
+    # parent / children round trip with full names
+    parent = grid.EU.get_parent_from_name("EU500M_E049N014T1")
+    assert parent.name == "EU500M_E048N012T3"
+    kids = [t.name for t in grid.EU.get_children_from_name("EU500M_E048N012T6")]
+    assert len(kids) == 4 and all(k.endswith("T3") for k in kids)
+
+
+def test_membership_and_systems():
+    grid = get_standard_equi7grid(500)
+    assert grid.get_systems_from_lonlat(15.1, 45.3) == ["EU"]
+    assert (15.1, 45.3) in grid
+    assert grid.system_order[0] == "AF"
+    assert grid["EU"] is grid.EU
+
+
+def test_allowed_samplings_reexport():
+    assert 500.0 in allowed_samplings(600_000.0)
+
+
+def test_continent_order_and_buffered():
+    grid = get_standard_equi7grid(500, buffered=True,
+                                  continent_order=["EU", "AS"])
+    out = grid.lonlat_to_xy(51.12, 61.71)
+    assert list(out.keys()) == ["EU", "AS"]
