@@ -45,18 +45,29 @@ class DecodeImages:
         self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bufs = batch.column("bytes").to_pylist()
+        # zero-copy payload access (buffer+offset slicing, no per-row
+        # Python bytes copies -- same pattern as the assign hot path)
+        col = batch.column("bytes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cbufs = col.buffers()
+        odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        offs = np.frombuffer(cbufs[1], dtype=odt)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        data = memoryview(cbufs[2]) if cbufs[2] is not None else memoryview(b"")
         fmts = batch.column("fmt").to_pylist()
         ws = batch.column("w").to_numpy()
         hs = batch.column("h").to_numpy()
-        means = np.empty(len(bufs))
-        stds = np.empty(len(bufs))
+        means = np.empty(len(fmts))
+        stds = np.empty(len(fmts))
         thumbs: list[bytes] = []
-        for j, (b, f) in enumerate(zip(bufs, fmts)):
+        for j, f in enumerate(fmts):
             if f not in ("raw", "png"):
                 raise NotImplementedError(
                     f"image format {f!r}: real codecs unavailable in sandbox"
                 )
+            b = data[offs[j] : offs[j + 1]]
             img = decode_image(b, f, int(ws[j]), int(hs[j]))
             means[j] = img.mean()
             stds[j] = img.std()
