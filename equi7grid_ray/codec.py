@@ -41,11 +41,15 @@ def encode_png_gray8(img: np.ndarray, level: int = 6) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def decode_png_gray8(buf) -> np.ndarray:
+def decode_png_gray8(buf, copy: bool = True) -> np.ndarray:
     """Decode an 8-bit grayscale PNG produced by any filter-0/1/2 encoder.
 
     Accepts any bytes-like object (bytes, memoryview over an Arrow value
-    buffer) without copying the payload."""
+    buffer) without copying the payload.  By default the returned array
+    is an independent writable copy; hot read-only paths pass
+    ``copy=False`` to get a view into the decompressed buffer (saves one
+    full-image copy per decode, but the result is read-only and pins the
+    (h, w+1) buffer alive)."""
     buf = memoryview(buf)
     if bytes(buf[:8]) != _PNG_SIG:
         raise ValueError("not a PNG")
@@ -69,7 +73,7 @@ def decode_png_gray8(buf) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w + 1)
     filters = raw[:, 0]
     if (filters == 0).all():
-        return raw[:, 1:]  # view -- no extra copy for the common case
+        return raw[:, 1:].copy() if copy else raw[:, 1:]
     img = raw[:, 1:].copy()
     for r in range(h):  # per-scanline unfilter (sub/up only)
         f = filters[r]
@@ -93,7 +97,7 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(buf: bytes, fmt: str, w: int, h: int, dtype="uint8",
-                 bands: int = 1) -> np.ndarray:
+                 bands: int = 1, copy: bool = True) -> np.ndarray:
     """Decode a payload to (h, w) -- or (bands, h, w) when bands > 1.
     ``raw`` supports any numpy dtype and band count (little-endian
     C-order band-sequential, the reference's GDAL band/dtype generality,
@@ -106,7 +110,7 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int, dtype="uint8",
     if fmt == "png":
         if np.dtype(dtype) != np.uint8 or bands != 1:
             raise NotImplementedError("png payloads are single-band 8-bit grayscale")
-        return decode_png_gray8(buf)
+        return decode_png_gray8(buf, copy=copy)
     raise NotImplementedError(f"format {fmt!r} (real image libs not in sandbox)")
 
 

@@ -96,6 +96,11 @@ class Equi7Tile:
         return self._info.covers_land
 
     def __getattr__(self, item):  # anything else: the engine TileInfo
+        # guard dunder/underscore probes (pickle/copy look for
+        # __setstate__ etc. BEFORE _info exists -- unguarded delegation
+        # recurses forever)
+        if item.startswith("_"):
+            raise AttributeError(item)
         return getattr(self._info, item)
 
 
@@ -129,7 +134,7 @@ class Equi7TilingSystem:
     # tile accessors ---------------------------------------------------
     def get_tile_from_lonlat(self, lon, lat, tiling_id=None) -> Equi7Tile:
         return Equi7Tile(api.get_tile_from_lonlat(
-            lon, lat, tiling_id, spec=self.spec, continents=[self.continent]
+            lon, lat, tiling_id, continent=self.continent, spec=self.spec
         ))
 
     def get_tile_from_xy(self, x, y, tiling_id=None) -> Equi7Tile:

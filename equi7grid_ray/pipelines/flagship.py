@@ -154,7 +154,6 @@ def run_flagship_checkpointed(
     *,
     tiling_id: str = "T6",
     decode: bool = False,
-    batch_size: int = 8192,
 ) -> dict:
     """Flagship with per-input-fragment checkpointing: each parquet
     fragment runs as ONE Ray task (read -> assign -> atomic
@@ -179,64 +178,21 @@ def run_flagship_checkpointed(
 
     @ray.remote(num_cpus=1)
     def run_fragment(frag: str) -> None:
-        import shutil
-
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
+
+        from equi7grid_ray.state.checkpoint import write_equi7_partition
 
         pid = Path(frag).stem
         cols = ["image_id", "bytes", "w", "h", "fmt"] if decode else None
         pf = pq.ParquetFile(frag)
         rows_in = pf.metadata.num_rows  # from metadata: no second pass
-        parts = []
-        for rg in range(pf.num_row_groups):
-            parts.append(assign(pf.read_row_group(rg, columns=cols,
-                                                  use_threads=False)))
-        m = pa.concat_tables(parts)
-        tmp = Path(out_dir) / f".tmp-part-{pid}"
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        # EQUI7_{continent}/{tile}/ layout inside the fragment partition
-        cont = m.column("continent").cast(pa.string()).to_numpy(zero_copy_only=False)
-        tile = m.column("tile").cast(pa.string()).to_numpy(zero_copy_only=False)
-        key = np.char.add(np.char.add(cont.astype("U2"), "/"), tile.astype("U16"))
-        order = np.argsort(key, kind="stable")
-        sorted_m = m.take(pa.array(order))
-        skey = key[order]
-        cuts = np.flatnonzero(np.concatenate([[True], skey[1:] != skey[:-1]]))
-        bounds = np.concatenate([cuts, [len(skey)]])
-        for i, st in enumerate(cuts):
-            en = bounds[i + 1]
-            c, t = skey[st].split("/")
-            d = tmp / f"EQUI7_{c}" / t
-            d.mkdir(parents=True, exist_ok=True)
-            pq.write_table(sorted_m.slice(st, en - st), d / "data.parquet",
-                           row_group_size=65_536)
-        pdir = Path(out_dir) / f"part-{pid}"
-        if pdir.exists():
-            shutil.rmtree(pdir)
-        tmp.rename(pdir)
-        vc = pc.value_counts(m.column("tile"))
-        tile_counts = {
-            str(d["values"]): int(d["counts"]) for d in vc.to_pylist()[:50]
-        }
-        import hashlib
-
-        checksum = hashlib.sha256()
-        for col in sorted(m.column_names):
-            checksum.update(col.encode())
-            for chunk in m.column(col).chunks:
-                for buf in chunk.buffers():
-                    if buf is not None:
-                        checksum.update(memoryview(buf))
-        Manifest(out_dir).record(
-            pid,
-            input_fragments=[frag],
-            rows_in=rows_in,
-            rows_out=m.num_rows,
-            n_tiles=int(len(vc)),
-            tile_counts=tile_counts,
-            checksum=checksum.hexdigest()[:16],
+        parts = [
+            assign(pf.read_row_group(rg, columns=cols, use_threads=False))
+            for rg in range(pf.num_row_groups)
+        ]
+        m = pa.concat_tables(parts) if parts else None
+        write_equi7_partition(
+            out_dir, pid, m, input_fragments=[frag], rows_in=rows_in
         )
 
     # concurrent fragment jobs; each is an independent atomic resume unit

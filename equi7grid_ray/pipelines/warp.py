@@ -122,62 +122,27 @@ def resample_to_equi7_tiles(
             )
         # atomically per fragment: EQUI7_{continent}/{tilename}/ layout
         # with per-file names from the naming hook -- full parity with
-        # the reference's output scheme (warp.py:243-288): each tile
-        # directory gets one file named naming_traffo(stem, ftilename)
-        # (default {stem}_{continent}_{tilename}.parquet).
-        import numpy as np
+        # the reference's output scheme (warp.py:243-288) via the shared
+        # partition writer in state/checkpoint.py.
         import pyarrow.parquet as pq
 
+        from equi7grid_ray.state.checkpoint import write_equi7_partition
+
         pid = Path(frag).stem
-        tmp = Path(out_dir) / f".tmp-part-{pid}"
-        if tmp.exists():
-            shutil.rmtree(tmp)
         m = out.materialize()  # bounded by the fragment size (resume unit)
         batches = list(m.iter_batches(batch_format="pyarrow"))
-        if not batches:
-            Manifest(out_dir).record(
-                pid, input_fragments=[frag],
-                rows_in=0, rows_out=0, n_tiles=0, tile_counts={}, stem=pid,
+        mt = (
+            pa.concat_tables(
+                pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+                for b in batches
             )
-            continue
-        mt = pa.concat_tables([pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b for b in batches])
-        cont = mt.column("continent").cast(pa.string()).to_numpy(zero_copy_only=False)
-        tile = mt.column("tile").cast(pa.string()).to_numpy(zero_copy_only=False)
-        key = np.char.add(np.char.add(cont.astype("U2"), "/"), tile.astype("U16"))
-        order = np.argsort(key, kind="stable")
-        sm = mt.take(pa.array(order))
-        skey = key[order]
-        cuts = np.flatnonzero(np.concatenate([[True], skey[1:] != skey[:-1]]))
-        bounds = np.concatenate([cuts, [len(skey)]])
-        for i, st in enumerate(cuts):
-            c, t = skey[st].split("/")
-            ftile = f"{c}_{t}"
-            fname = (
-                naming_traffo(pid, ftile)
-                if naming_traffo is not None
-                else default_e7_filename(pid, ftile)
-            )
-            d = tmp / f"EQUI7_{c}" / t
-            d.mkdir(parents=True, exist_ok=True)
-            pq.write_table(sm.slice(st, bounds[i + 1] - st), d / fname,
-                           row_group_size=65_536)
-        pdir = Path(out_dir) / f"part-{pid}"
-        if pdir.exists():
-            shutil.rmtree(pdir)
-        tmp.rename(pdir)
-        stem = pid if naming_traffo is None else naming_traffo(pid, "")
-        # lineage: per-tile histogram from the (small) tile column only
-        import pyarrow.compute as pc
-
-        vc = pc.value_counts(mt.column("tile").cast(pa.string()))
-        tile_counts = {str(d_["values"]): int(d_["counts"]) for d_ in vc.to_pylist()[:50]}
-        Manifest(out_dir).record(
-            pid,
+            if batches
+            else None
+        )
+        write_equi7_partition(
+            out_dir, pid, mt,
             input_fragments=[frag],
             rows_in=pq.ParquetFile(frag).metadata.num_rows,
-            rows_out=mt.num_rows,
-            n_tiles=int(len(vc)),
-            tile_counts=tile_counts,
-            stem=stem,
+            naming_traffo=naming_traffo,
         )
     return Manifest(out_dir).counters()

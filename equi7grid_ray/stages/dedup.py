@@ -355,11 +355,22 @@ def simhash64(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -
     values = toks.values  # flat token strings
     flat, offs = _column_bytes(values)
     th = hash_bytes_offsets(flat, offs).view(np.uint64)
-    # whitespace splitting can yield empty tokens (leading/trailing space);
-    # they hash like everything else and vote symmetrically -- acceptable.
+    # Arrow's split keeps empty edge tokens for leading/trailing
+    # whitespace; Python str.split() (the documented tokenizer) drops
+    # them.  Zero empty tokens out of the vote and the per-doc counts so
+    # whitespace-variant near-duplicates keep identical fingerprints.
+    tok_lens = np.diff(offs)
+    empty_tok = tok_lens == 0
     bits = np.arange(64, dtype=np.uint64)
     out = np.zeros(n, dtype=np.uint64)
-    ntok = np.diff(list_offs)
+    if empty_tok.any():
+        seg = np.minimum(list_offs[:-1], max(len(empty_tok) - 1, 0))
+        ntok_part = np.add.reduceat((~empty_tok).astype(np.int64), seg) \
+            if len(empty_tok) else np.zeros(n, np.int64)
+        ntok_part[np.diff(list_offs) == 0] = 0
+        ntok = ntok_part
+    else:
+        ntok = np.diff(list_offs)
     if len(th):
         # tokens per pass: the shift produces a transient (CHUNK x 64)
         # uint64 before the uint8 cast, so keep CHUNK small (33 MB peak)
@@ -368,6 +379,8 @@ def simhash64(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -
         for a in range(0, len(th), CHUNK):
             b = min(a + CHUNK, len(th))
             votes = ((th[a:b, None] >> bits[None, :]) & np.uint64(1)).astype(np.uint8)
+            if empty_tok.any():
+                votes[empty_tok[a:b]] = 0
             lo = int(np.searchsorted(list_offs, a, side="right")) - 1
             hi = int(np.searchsorted(list_offs, b, side="left"))
             seg = np.clip(list_offs[lo : hi + 1], a, b)

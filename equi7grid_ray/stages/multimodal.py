@@ -68,7 +68,7 @@ class DecodeImages:
                     f"image format {f!r}: real codecs unavailable in sandbox"
                 )
             b = data[offs[j] : offs[j + 1]]
-            img = decode_image(b, f, int(ws[j]), int(hs[j]))
+            img = decode_image(b, f, int(ws[j]), int(hs[j]), copy=False)
             means[j] = img.mean()
             stds[j] = img.std()
             if self.thumb:

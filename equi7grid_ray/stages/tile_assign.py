@@ -154,9 +154,16 @@ class TileAssigner:
             odt = np.int64 if width == 8 else np.int32
             offs = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + n + 1]
             data = memoryview(bufs[2])
-            is_png = pc.equal(batch.column("fmt"), "png").to_numpy(
-                zero_copy_only=False
-            )
+            fmt_col = batch.column("fmt")
+            known = pc.is_in(fmt_col, value_set=pa.array(["png", "raw"]))
+            if not pc.all(known).as_py():
+                bad = pc.unique(pc.drop_null(
+                    pc.if_else(known, pa.scalar(None, pa.string()), fmt_col)
+                )).to_pylist()
+                raise NotImplementedError(
+                    f"image format(s) {bad}: real codecs unavailable in sandbox"
+                )
+            is_png = pc.equal(fmt_col, "png").to_numpy(zero_copy_only=False)
             ws = batch.column("w").to_numpy()
             hs = batch.column("h").to_numpy()
             px_mean = np.empty(n, dtype=np.float64)
@@ -165,24 +172,45 @@ class TileAssigner:
             # (no per-row Python, no copies)
             raw_rows = np.flatnonzero(~is_png)
             if len(raw_rows):
+                lens = (offs[raw_rows + 1] - offs[raw_rows]).astype(np.int64)
+                expect = ws[raw_rows].astype(np.int64) * hs[raw_rows].astype(np.int64)
+                if (lens != expect).any():
+                    j = raw_rows[int(np.flatnonzero(lens != expect)[0])]
+                    raise ValueError(
+                        f"raw payload length mismatch at row {j}: "
+                        f"{int(offs[j+1]-offs[j])} bytes for w*h="
+                        f"{int(ws[j])*int(hs[j])}"
+                    )
                 values = np.frombuffer(data, dtype=np.uint8)
                 bounds = np.empty(2 * len(raw_rows), dtype=np.int64)
                 bounds[0::2] = offs[raw_rows]
                 bounds[1::2] = offs[raw_rows + 1]
-                # reduceat sums [bounds[i], bounds[i+1]) -- even slots are
-                # the payload sums (reduceat can't take an index == len)
-                last_empty = bounds[-1] >= len(values)
-                if last_empty:
-                    bounds[-1] = len(values) - 1
-                sums = np.add.reduceat(values, bounds, dtype=np.int64)[0::2]
-                if last_empty:
-                    sums[-1] += int(values[-1])
-                px_mean[raw_rows] = sums / (
-                    ws[raw_rows].astype(np.float64) * hs[raw_rows]
+                # reduceat sums [bounds[i], bounds[i+1]); it cannot take an
+                # index == len, so a final payload touching the buffer end
+                # is summed separately (never clamp+re-add: a 1-byte final
+                # payload would be double-counted)
+                tail_sum = 0
+                n_pairs = len(raw_rows)
+                if bounds[-1] >= len(values):
+                    s_last, e_last = int(bounds[-2]), int(bounds[-1])
+                    tail_sum = int(values[s_last:e_last].sum(dtype=np.int64))
+                    bounds = bounds[:-2]
+                    n_pairs -= 1
+                if n_pairs:
+                    sums = np.add.reduceat(values, bounds, dtype=np.int64)[0::2]
+                    # an empty segment makes reduceat return values[idx]
+                    sums[bounds[0::2] == bounds[1::2]] = 0
+                else:
+                    sums = np.empty(0, np.int64)
+                if n_pairs < len(raw_rows):
+                    sums = np.append(sums, tail_sum)
+                px_mean[raw_rows] = sums / np.maximum(
+                    ws[raw_rows].astype(np.float64) * hs[raw_rows], 1.0
                 )
             for j in np.flatnonzero(is_png):
                 img = decode_image(
-                    data[offs[j] : offs[j + 1]], "png", int(ws[j]), int(hs[j])
+                    data[offs[j] : offs[j + 1]], "png", int(ws[j]), int(hs[j]),
+                    copy=False,  # read-only mean over a view
                 )
                 px_mean[j] = img.mean()
 
@@ -334,6 +362,11 @@ def make_assign_fn(broadcast: bool = True, **kwargs):
                 ta = ray.get(ref)
             else:
                 ta = TileAssigner(**kwargs)
+            # bounded cache: every make_assign_fn call carries a fresh
+            # ObjectRef in its key, so long-lived workers would otherwise
+            # accumulate one ~50 MB assigner per pipeline construction
+            while len(_PROC_CACHE) >= 4:
+                _PROC_CACHE.pop(next(iter(_PROC_CACHE)))
             _PROC_CACHE[key] = ta
         return ta(batch)
 

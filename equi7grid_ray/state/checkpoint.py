@@ -27,7 +27,15 @@ import shutil
 import time
 from pathlib import Path
 
-__all__ = ["Manifest", "write_partition", "pending_partitions", "CounterActor", "get_counter"]
+__all__ = [
+    "Manifest",
+    "write_partition",
+    "write_equi7_partition",
+    "table_checksum",
+    "pending_partitions",
+    "CounterActor",
+    "get_counter",
+]
 
 ENGINE_VERSION = 1
 
@@ -88,19 +96,8 @@ def write_partition(
         shutil.rmtree(pdir)
     tmp.rename(pdir)
 
-    # real DATA checksum: digest every Arrow buffer of every column (in
-    # sorted column order), not just names + row count -- truncated or
-    # altered contents with the same shape change the digest (advisor
-    # round-1 fix)
-    checksum = hashlib.sha256()
-    for col in sorted(table.column_names):
-        checksum.update(col.encode())
-        chunked = table.column(col)
-        for chunk in chunked.chunks:
-            for buf in chunk.buffers():
-                if buf is not None:
-                    checksum.update(memoryview(buf))
-    checksum.update(str(table.num_rows).encode())
+    # real DATA checksum (advisor round-1 fix): see table_checksum
+    digest = table_checksum(table)
     tile_counts = {}
     if "tile" in table.column_names:
         import pyarrow.compute as pc
@@ -116,7 +113,106 @@ def write_partition(
         rows_out=table.num_rows,
         n_tiles=len(tile_counts),
         tile_counts=tile_counts,
-        checksum=checksum.hexdigest()[:16],
+        checksum=digest,
+        **(extra or {}),
+    )
+    return str(pdir)
+
+
+def table_checksum(table) -> str:
+    """sha256 over every Arrow buffer of every column (sorted column
+    order) + the row count -- a real DATA digest, not a schema hash."""
+    checksum = hashlib.sha256()
+    for col in sorted(table.column_names):
+        checksum.update(col.encode())
+        for chunk in table.column(col).chunks:
+            for buf in chunk.buffers():
+                if buf is not None:
+                    checksum.update(memoryview(buf))
+    checksum.update(str(table.num_rows).encode())
+    return checksum.hexdigest()[:16]
+
+
+def write_equi7_partition(
+    out_dir: str | Path,
+    partition_id: str,
+    table,
+    *,
+    input_fragments: list[str] | None = None,
+    rows_in: int | None = None,
+    naming_traffo=None,
+    row_group_size: int = 65_536,
+    extra: dict | None = None,
+) -> str | None:
+    """Atomically write one fragment partition in the reference's
+    ``EQUI7_{continent}/{tilename}/`` layout (warp.py:276-288), one file
+    per tile named ``naming_traffo(stem, f"{continent}_{tile}")``
+    (default ``{stem}_{continent}_{tile}.parquet``), plus a manifest row
+    with lineage, per-tile counts and a data checksum.
+
+    The shared implementation behind run_flagship_checkpointed and
+    resample_to_equi7_tiles (previously triplicated).  ``table`` must
+    carry ``continent`` and ``tile`` columns.  Returns the partition
+    path, or None when the manifest says it is already complete."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    man = Manifest(out_dir)
+    if man.done(partition_id):
+        return None
+    pid = partition_id
+    stem = pid if naming_traffo is None else naming_traffo(pid, "")
+    tmp = man.root / f".tmp-part-{pid}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    if table is None or table.num_rows == 0:
+        pdir = man.root / f"part-{pid}"
+        if pdir.exists():
+            shutil.rmtree(pdir)
+        tmp.rename(pdir)
+        man.record(pid, input_fragments=input_fragments or [],
+                   rows_in=rows_in or 0, rows_out=0, n_tiles=0,
+                   tile_counts={}, checksum="", stem=stem, **(extra or {}))
+        return str(pdir)
+
+    cont = table.column("continent").cast(pa.string()).to_numpy(zero_copy_only=False)
+    tile = table.column("tile").cast(pa.string()).to_numpy(zero_copy_only=False)
+    key = np.char.add(np.char.add(cont.astype("U2"), "/"), tile.astype("U16"))
+    order = np.argsort(key, kind="stable")
+    sm = table.take(pa.array(order))
+    skey = key[order]
+    cuts = np.flatnonzero(np.concatenate([[True], skey[1:] != skey[:-1]]))
+    bounds = np.concatenate([cuts, [len(skey)]])
+    for i, st in enumerate(cuts):
+        c, t = skey[st].split("/")
+        ftile = f"{c}_{t}"
+        fname = (
+            naming_traffo(pid, ftile)
+            if naming_traffo is not None
+            else f"{pid}_{ftile}.parquet"
+        )
+        d = tmp / f"EQUI7_{c}" / t
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(sm.slice(st, int(bounds[i + 1] - st)), d / fname,
+                       row_group_size=row_group_size)
+    pdir = man.root / f"part-{pid}"
+    if pdir.exists():
+        shutil.rmtree(pdir)
+    tmp.rename(pdir)
+    vc = pc.value_counts(table.column("tile").cast(pa.string()))
+    tile_counts = {str(d_["values"]): int(d_["counts"]) for d_ in vc.to_pylist()[:50]}
+    man.record(
+        pid,
+        input_fragments=input_fragments or [],
+        rows_in=rows_in if rows_in is not None else table.num_rows,
+        rows_out=table.num_rows,
+        n_tiles=len(vc),
+        tile_counts=tile_counts,
+        checksum=table_checksum(table),
+        stem=stem,
         **(extra or {}),
     )
     return str(pdir)

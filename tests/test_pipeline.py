@@ -126,7 +126,7 @@ def test_flagship_checkpointed_tile_layout(ray_session, tmp_path):
     pq.write_table(make_batch(0, 300), src / "f0.parquet")
     out = tmp_path / "ckpt"
     run_flagship_checkpointed(str(src), str(out))
-    tile_dirs = sorted((out / "part-f0").glob("EQUI7_*/**/data.parquet"))
+    tile_dirs = sorted((out / "part-f0").glob("EQUI7_*/**/*.parquet"))
     assert len(tile_dirs) >= 50  # global sweep hits many tiles
     seen_conts = set()
     for f in tile_dirs[:20]:
@@ -158,3 +158,63 @@ def test_flagship_checkpointed_stale_tmp_recovery(ray_session, tmp_path):
     assert not (out / ".tmp-part-f0").exists()
     assert (out / "part-f0").exists()
     assert not list((out / "part-f0").glob("EQUI7_XX*"))
+
+
+def test_decode_batch_edge_cases():
+    """Review round-2 regressions: 1-byte final raw payload must not be
+    double-counted; unknown formats raise; payload/size mismatch raises."""
+    import pyarrow as pa
+    import pytest
+
+    from equi7grid_ray.stages.tile_assign import TileAssigner
+
+    ta = TileAssigner(decode=True, emit_cell=False, emit_xy=False,
+                      exact_projection=True)
+
+    def mkbatch(payloads, fmts, ws, hs):
+        n = len(payloads)
+        return pa.table({
+            "image_id": pa.array([f"img{i:012d}" for i in range(n)]),
+            "bytes": pa.array(payloads, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "lon": pa.array([10.0] * n),
+            "lat": pa.array([48.0] * n),
+        })
+
+    # 1-byte raw payload at the very end of the buffer
+    out = ta(mkbatch([bytes([40, 60]), bytes([200])],
+                     ["raw", "raw"], [2, 1], [1, 1]))
+    means = dict(zip(
+        out.column("image_id").to_pylist(),
+        out.column("px_mean").to_pylist(),
+    ))
+    assert means["img000000000000"] == 50.0
+    assert means["img000000000001"] == 200.0  # was 400.0 (double count)
+
+    with pytest.raises(NotImplementedError):
+        ta(mkbatch([b"xx"], ["jpeg"], [1, ], [2, ]))
+
+    with pytest.raises(ValueError):
+        ta(mkbatch([bytes(5)], ["raw"], [2], [2]))  # 5 bytes for w*h=4
+
+
+def test_checkpointed_empty_fragment(ray_session, tmp_path):
+    """A zero-row input fragment completes with an empty manifest row
+    instead of crashing concat_tables (review round-2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.pipelines.flagship import run_flagship_checkpointed
+
+    src = tmp_path / "frags"
+    src.mkdir()
+    pq.write_table(make_batch(0, 100), src / "f0.parquet")
+    empty = make_batch(0, 1).slice(0, 0)
+    pq.write_table(empty, src / "f1.parquet")
+    out = tmp_path / "ckpt"
+    c = run_flagship_checkpointed(str(src), str(out))
+    assert c["rows_out"] >= 99
+    files = sorted((out / "_manifest").glob("*.json"))
+    assert len(files) == 2
