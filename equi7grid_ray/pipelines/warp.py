@@ -16,7 +16,7 @@ from pathlib import Path
 
 from equi7grid_ray import roi as roi_mod
 from equi7grid_ray.grid import GridSpec, parse_tile_names
-from equi7grid_ray.stages.regrid import default_e7_filename, regrid_pipeline
+from equi7grid_ray.stages.regrid import regrid_pipeline
 
 __all__ = ["get_overlapping_tiles", "ftilenames_to_tiles", "resample_to_equi7_tiles"]
 
@@ -81,7 +81,6 @@ def resample_to_equi7_tiles(
     reference's explicit-tiles path); ``naming_traffo(stem, ftilename)``
     customizes partition file stems (warp.py:243-248 hook).
     Returns the manifest counter summary."""
-    import pyarrow.dataset as pads
     import ray.data as rd
 
     from equi7grid_ray.state.checkpoint import Manifest
@@ -95,8 +94,6 @@ def resample_to_equi7_tiles(
     keep = None
     if ftilenames:
         keep = set(ftilenames)
-
-    import shutil
 
     import pyarrow as pa
 
