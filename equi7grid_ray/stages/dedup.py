@@ -208,16 +208,27 @@ class MinHasher:
                 for j in range(k):  # in-place Horner: no per-pass temporaries
                     np.multiply(h, _PRIME, out=h)
                     np.add(h, fl[j : W + j], out=h, casting="unsafe")
+                # Windows that straddle a document boundary must never win
+                # a minimum.  Masking them to u64max in RAW hash space is
+                # WRONG: the affine permutation maps u64max to the constant
+                # (b_i - a_i) mod 2^64 -- identical across all documents and
+                # small for some permutations, poisoning signatures with a
+                # shared value (round-2 advisor, high).  Track the invalid
+                # mask and apply it AFTER the permutation instead.
+                invalid = np.zeros(W, dtype=bool)
                 doc_of = np.repeat(np.arange(n, dtype=np.int32), lens)[:W]
                 ends = (offs[1:] - base).astype(np.int64) - k
                 for a2 in range(0, W, 1 << 21):  # chunked straddle mask
                     b2 = min(a2 + (1 << 21), W)
-                    mask = np.arange(a2, b2, dtype=np.int64) > ends[doc_of[a2:b2]]
-                    h[a2:b2][mask] = np.iinfo(np.uint64).max
+                    invalid[a2:b2] = (
+                        np.arange(a2, b2, dtype=np.int64) > ends[doc_of[a2:b2]]
+                    )
                 del doc_of, ends
-                # sentinel max element: docs starting past the last window
-                # clamp onto it instead of stealing a neighbor's window
-                h = np.append(h, np.iinfo(np.uint64).max)
+                # sentinel element: docs starting past the last window clamp
+                # onto it instead of stealing a neighbor's window; it is
+                # invalid by construction
+                h = np.append(h, np.uint64(0))
+                invalid = np.append(invalid, True)
                 W += 1
                 starts = np.minimum((offs[:-1] - base).astype(np.int64), W - 1)
                 bounds = np.append(starts, W)  # n+1 segment bounds over h
@@ -234,6 +245,9 @@ class MinHasher:
                     vals = vals_buf[: b - a]
                     np.multiply(h[a:b, None], self.a[None, :], out=vals)
                     np.add(vals, self.b[None, :], out=vals)
+                    inv = invalid[a:b]
+                    if inv.any():
+                        vals[inv] = np.iinfo(np.uint64).max
                     idx = np.minimum(seg[:-1] - a, max(b - a - 1, 0)).astype(np.int64)
                     part = np.minimum.reduceat(vals, idx, axis=0)
                     part[np.diff(seg) == 0] = np.iinfo(np.uint64).max
@@ -349,7 +363,10 @@ def simhash64(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     n = len(toks)
-    list_offs = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+    # large_string input => large_list output with int64 offsets; reading
+    # them as int32 would garble per-document token boundaries
+    lodt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+    list_offs = np.frombuffer(toks.buffers()[1], dtype=lodt)[
         toks.offset : toks.offset + n + 1
     ].astype(np.int64)
     values = toks.values  # flat token strings

