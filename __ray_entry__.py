@@ -804,16 +804,18 @@ def q_zone_multi_hit_buffered(sf_dir: str):
 
 
 def q_ann_ivf_topk(sf_dir: str):
-    """IVF (clustered) ANN search: sample-trained coarse quantizer ->
-    list assignment -> probed scoring -> tiny merge (similarity scale
-    path; rows-only)."""
-    import pyarrow.parquet as pq
-
-    from equi7grid_ray.stages.ann_ivf import ivf_topk
+    """IVF (clustered) ANN search: coarse quantizer -> list assignment ->
+    probed scoring -> tiny merge (similarity scale path).  Uses the
+    data-independent seeded quantizer so the DuckDB oracle can inline
+    the identical centroid literals (sample-trained k-means centroids
+    remain the ivf_topk default elsewhere)."""
+    from equi7grid_ray.stages.ann_ivf import ivf_topk, random_centroids
 
     q = _embedding_probe(sf_dir, 0)
+    dim = _embedding_probe(sf_dir)
+    cent = random_centroids(16, dim)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, q, n_lists=16, n_probe=6, k=10).select_columns(["vec_id"])
+    return ivf_topk(ds, q, n_probe=6, k=10, centroids=cent).select_columns(["vec_id"])
 
 
 def q_events_hopping(sf_dir: str):
@@ -1073,6 +1075,18 @@ def _langid_oracle_sql() -> str:
     )
 
 
+def _sqlgen():
+    from equi7grid_ray import sqlgen
+
+    return sqlgen
+
+
+def _ivf_oracle_sql() -> str:
+    from equi7grid_ray.stages.ann_ivf import random_centroids
+
+    return _sqlgen().ivf_topk_sql(random_centroids(16, 64), n_probe=6, k=10)
+
+
 def oracle_sql() -> dict[str, str]:
     tile_expr = (
         f"printf('E%03dN%03dT6', ((l_orderkey * {_XMUL}) % {_XMOD}) // 600000 * 6, "
@@ -1175,6 +1189,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n FROM documents GROUP BY lang, bucket"
         ),
         "langid_docs": _langid_oracle_sql(),
+        "simhash_docs": _sqlgen().simhash_sql(),
+        "lsh_near_dup": _sqlgen().lsh_pairs_sql(),
+        "image_stats": _sqlgen().image_stats_sql(500),
+        "frame_sample": _sqlgen().frame_sample_sql(100),
+        "ann_lsh_buckets": _sqlgen().ann_lsh_buckets_sql(dim=64, n_planes=8),
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "pixel_index": (
             f"WITH d AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "
             f"(l_suppkey * {_YMUL}) % {_YMOD} AS y FROM lineitem) "

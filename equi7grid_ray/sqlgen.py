@@ -1,0 +1,270 @@
+"""DuckDB SQL generators that mirror the engine's hash/LSH/ANN operators
+bit-exactly, so the driver's oracle gate can hash-verify them.
+
+Each generator returns ONE SQL statement (chained CTEs, no macros --
+the driver runs a single ``con.sql(oracle)``).  64-bit modular
+arithmetic rides on HUGEINT (int128) with explicit ``% 2^64`` folds and
+UBIGINT for the bitwise steps; the constants are the same ones
+``stages/dedup.py`` uses (FNV-ish polynomial prime, splitmix64
+finalizer, seeded permutations).
+
+Scope note: these oracles assume the ASCII corpus the driver ships
+(``length(text) == octet_length(text)``); the engine itself hashes raw
+UTF-8 bytes and needs no such assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = 1 << 64
+_PRIME = 1099511628211
+_SEED = 1469598103934665603
+_MIX1 = 0xFF51AFD7ED558CCD
+_MIX2 = 0xC4CEB9FE1A85EC53
+_BANDP = 0x100000001B3
+
+
+def _pow_values(n: int) -> str:
+    """(j, p^j mod 2^64) literal table."""
+    p = 1
+    rows = []
+    for j in range(n):
+        rows.append(f"({j}, {p}::UBIGINT)")
+        p = (p * _PRIME) % U64
+    return ", ".join(rows)
+
+
+def _bit_values() -> str:
+    """(b, 2^b) literal table for bit extraction / assembly."""
+    return ", ".join(f"({b}, {1 << b}::UBIGINT)" for b in range(64))
+
+
+def _mulc(x: str, c: int) -> str:
+    """``(x * c) mod 2^64`` for UBIGINT ``x`` and a full 64-bit constant
+    ``c`` without overflowing HUGEINT (int128): split c into 32-bit
+    halves so every intermediate stays < 2^96."""
+    c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+    lo = f"({x}::HUGEINT * {c_lo})"
+    hi = f"((({x}::HUGEINT * {c_hi}) % {1 << 32}) * {1 << 32})"
+    return f"CAST(({lo} + {hi}) % {U64} AS UBIGINT)"
+
+
+def _mix64_ctes(src: str, col: str, keep: str) -> str:
+    """CTE chain applying splitmix64 to ``col`` (UBIGINT) of ``src``;
+    final CTE is ``mixed`` with columns ``{keep}, h``."""
+    return f"""
+m1 AS (SELECT {keep}, xor({col}, {col} >> 33) AS h FROM {src}),
+m2 AS (SELECT {keep}, {_mulc('h', _MIX1)} AS h FROM m1),
+m3 AS (SELECT {keep}, xor(h, h >> 33) AS h FROM m2),
+m4 AS (SELECT {keep}, {_mulc('h', _MIX2)} AS h FROM m3),
+mixed AS (SELECT {keep}, xor(h, h >> 33) AS h FROM m4)"""
+
+
+def simhash_sql(max_token_len: int = 64) -> str:
+    """Mirror of stages/dedup.py:simhash64 over ``documents``:
+    whitespace tokens -> polynomial byte hash + splitmix64 -> per-doc
+    64-bit majority vote.  Output (doc_id BIGINT, simhash BIGINT)."""
+    return f"""
+WITH pw(j, p) AS (VALUES {_pow_values(max_token_len)}),
+bits(b, pw2) AS (VALUES {_bit_values()}),
+toks AS (
+  SELECT doc_id, u.tok
+  FROM documents, UNNEST(regexp_split_to_array(text, '\\s')) AS u(tok)
+  WHERE u.tok <> ''),
+uniq AS (SELECT DISTINCT tok FROM toks),
+chars AS (
+  SELECT tok, CAST(i AS INT) AS i, ascii(substring(tok, CAST(i AS INT), 1))::UBIGINT AS byte
+  FROM uniq, UNNEST(range(1, length(tok) + 1)) AS r(i)),
+poly AS (
+  SELECT c.tok,
+    CAST(SUM((c.byte::HUGEINT * pw.p) % {U64}) % {U64} AS UBIGINT) AS hraw,
+    CAST(max(c.i) AS UBIGINT) AS blen
+  FROM chars c JOIN pw ON pw.j = c.i - 1 GROUP BY c.tok),
+seeded AS (
+  SELECT tok, xor(xor(hraw, CAST((blen::HUGEINT * {_PRIME}) % {U64} AS UBIGINT)), {_SEED}::UBIGINT) AS h
+  FROM poly),
+{_mix64_ctes('seeded', 'h', 'tok')},
+occ AS (SELECT t.doc_id, m.h FROM toks t JOIN mixed m ON m.tok = t.tok),
+ntok AS (SELECT doc_id, count(*) AS n FROM occ GROUP BY doc_id),
+votes AS (
+  SELECT o.doc_id, b.b, b.pw2,
+    SUM(CASE WHEN (o.h >> b.b) & 1 = 1 THEN 1 ELSE 0 END) AS cnt
+  FROM occ o CROSS JOIN bits b GROUP BY o.doc_id, b.b, b.pw2),
+fp AS (
+  SELECT v.doc_id,
+    CAST(SUM(CASE WHEN 2 * v.cnt >= n.n THEN v.pw2::HUGEINT ELSE 0 END) % {U64} AS HUGEINT) AS u
+  FROM votes v JOIN ntok n USING (doc_id) GROUP BY v.doc_id)
+SELECT d.doc_id,
+  CAST(CASE WHEN COALESCE(f.u, 0) >= {1 << 63} THEN COALESCE(f.u, 0) - {U64} ELSE COALESCE(f.u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
+
+
+def minhash_constants(num_perm: int = 64, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """The SAME permutation constants MinHasher(seed 42) builds."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def lsh_pairs_sql(num_perm: int = 64, bands: int = 16, shingle: int = 8,
+                  max_bucket: int = 200) -> str:
+    """Mirror of stages/dedup.py lsh_candidate_pairs over ``documents``:
+    char-shingle Horner hashes -> 64 seeded affine-permutation minima ->
+    banded FNV fold -> bucket join -> distinct candidate pairs
+    (id_a BIGINT, id_b BIGINT).
+
+    Valid for corpora where every doc has length >= shingle (the driver
+    corpus: min 48); the engine additionally handles shorter docs."""
+    a, b = minhash_constants(num_perm)
+    perm_rows = ", ".join(
+        f"({p}, {p // (num_perm // bands)}, {p % (num_perm // bands)}, "
+        f"{int(a[p])}::UBIGINT, {int(b[p])}::UBIGINT)"
+        for p in range(num_perm)
+    )
+    # Horner over k bytes: h = sum byte_{i+j} * p^(k-1-j)
+    hp = [pow(_PRIME, shingle - 1 - j, U64) for j in range(shingle)]
+    horner_rows = ", ".join(f"({j}, {hp[j]}::UBIGINT)" for j in range(shingle))
+    r = num_perm // bands
+    # band fold bh = ((s0*P ^ s1)*P ^ s2)... over r slots ordered by perm
+    fold = "s[1]"
+    for j in range(2, r + 1):
+        fold = (
+            f"xor(CAST((({fold})::HUGEINT * {_BANDP}) % {U64} AS UBIGINT), s[{j}])"
+        )
+    return f"""
+WITH perms(p, band, slot, pa, pb) AS (VALUES {perm_rows}),
+hp(j, pw) AS (VALUES {horner_rows}),
+docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= {shingle}),
+wins AS (
+  SELECT doc_id, CAST(i AS INT) AS i
+  FROM docs, UNNEST(range(1, length(text) - {shingle} + 2)) AS r(i)),
+chars AS (
+  SELECT w.doc_id, w.i, hp.j,
+    (ascii(substring(d.text, w.i + hp.j, 1))::HUGEINT * hp.pw) % {U64} AS term
+  FROM wins w JOIN docs d USING (doc_id) CROSS JOIN hp),
+wh AS (
+  SELECT doc_id, i, CAST(SUM(term) % {U64} AS UBIGINT) AS h
+  FROM chars GROUP BY doc_id, i),
+sigs AS (
+  SELECT wh.doc_id, pm.p, pm.band, pm.slot,
+    MIN(CAST((wh.h::HUGEINT * pm.pa + pm.pb) % {U64} AS UBIGINT)) AS sig
+  FROM wh CROSS JOIN perms pm GROUP BY wh.doc_id, pm.p, pm.band, pm.slot),
+bandsig AS (
+  SELECT doc_id, band, list(sig ORDER BY slot) AS s FROM sigs
+  GROUP BY doc_id, band),
+bh AS (
+  SELECT doc_id, band,
+    CAST(CASE WHEN {fold} >= {1 << 63}::UBIGINT
+         THEN ({fold})::HUGEINT - {U64} ELSE ({fold})::HUGEINT END AS BIGINT) AS band_hash
+  FROM bandsig),
+sized AS (
+  SELECT band, band_hash, count(*) AS n FROM bh GROUP BY band, band_hash),
+ok AS (
+  SELECT bh.* FROM bh JOIN sized USING (band, band_hash)
+  WHERE sized.n >= 2 AND sized.n <= {max_bucket})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM ok a JOIN ok b ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def image_stats_sql(n_images: int = 500) -> str:
+    """Mirror of sources/images.py make_batch + DecodeImages px_mean:
+    pixel (r, c) of image i is ((r*h + c*w + i) % 256); DuckDB avg over
+    integers and numpy uint8 mean are both exact-rational sum/count in
+    float64, verified bit-identical."""
+    return f"""
+WITH img AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+px AS (
+  SELECT i, ((r.r * h + c.c * w + i) % 256) AS v
+  FROM img,
+  LATERAL (SELECT unnest(range(h)) AS r) r,
+  LATERAL (SELECT unnest(range(w)) AS c) c)
+SELECT printf('img%012d', i) AS image_id, avg(v) AS px_mean
+FROM px GROUP BY i
+"""
+
+
+def frame_sample_sql(n_videos: int = 100, every: int = 5, n_frames: int = 20) -> str:
+    """Mirror of stages/multimodal.py FrameSampler group-count: the fake
+    demux emits frame indices range(0, n_frames, every) for every video,
+    so each sampled index appears exactly n_videos times."""
+    return (
+        f"SELECT CAST({every} * k AS BIGINT) AS frame_index, "
+        f"CAST({n_videos} AS BIGINT) AS n "
+        f"FROM range({(n_frames + every - 1) // every}) t(k)"
+    )
+
+
+def _plane_literals(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """The SAME hyperplane matrix HyperplaneLSH(dim, n_planes, seed)
+    draws (rng.standard_normal((dim, n_planes)))."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def ann_lsh_buckets_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """Mirror of stages/similarity.py HyperplaneLSH bucket histogram:
+    bucket bit j (MSB-first) = sign of dot(embedding, plane_j).  Both
+    sides compute the dot in float64; the corpus' minimum |dot| margin
+    (~3e-4) is far above summation-order ulps."""
+    planes = _plane_literals(dim, n_planes, seed)
+    exprs = []
+    for j in range(n_planes):
+        lits = ", ".join(repr(v) for v in planes[:, j])
+        exprs.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{lits}]) > 0 "
+            f"THEN {1 << (n_planes - 1 - j)} ELSE 0 END)"
+        )
+    return (
+        f"SELECT ({' + '.join(exprs)})::BIGINT AS bucket, count(*) AS n "
+        "FROM embeddings GROUP BY bucket"
+    )
+
+
+def _centroid_values(cent: np.ndarray) -> str:
+    rows = []
+    for i, c in enumerate(cent):
+        lits = ", ".join(repr(float(v)) for v in c)
+        rows.append(f"({i}, [{lits}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+def ivf_topk_sql(cent: np.ndarray, n_probe: int = 6, k: int = 10,
+                 query_vec_id: int = 0) -> str:
+    """Mirror of stages/ann_ivf.py with a FIXED (data-independent)
+    centroid matrix: assign each vector to its argmax-dot centroid
+    (first index wins ties, like np.argmax), probe the query's n_probe
+    closest lists, exact cosine over members, global top-k by
+    (cosine DESC, vec_id)."""
+    return f"""
+WITH cent(cid, c) AS (VALUES {_centroid_values(cent)}),
+qn AS (
+  SELECT list_transform(embedding::DOUBLE[],
+         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS q
+  FROM embeddings WHERE vec_id = {query_vec_id}),
+en AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS e
+  FROM embeddings),
+assign AS (
+  SELECT vec_id, e, cid,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_dot_product(e, c) DESC, cid) AS rk
+  FROM en CROSS JOIN cent),
+lists AS (SELECT vec_id, e, cid AS ivf_list FROM assign WHERE rk = 1),
+probed AS (
+  SELECT cid FROM cent, qn ORDER BY list_dot_product(qn.q, c) DESC, cid
+  LIMIT {n_probe})
+SELECT vec_id FROM (
+  SELECT l.vec_id, list_dot_product(l.e, qn.q) AS cosine
+  FROM lists l JOIN probed p ON l.ivf_list = p.cid, qn
+  ORDER BY cosine DESC, l.vec_id LIMIT {k})
+"""

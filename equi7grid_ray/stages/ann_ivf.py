@@ -51,6 +51,16 @@ def train_centroids(
     return cent
 
 
+def random_centroids(n_lists: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Data-independent coarse quantizer: seeded random unit directions.
+    Slightly worse recall than k-means-trained centroids but fully
+    deterministic given (n_lists, dim, seed) -- the variant the driver
+    oracle mirrors with inlined literals (same RNG draw)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
 class IVFAssign:
     """map_batches: append the nearest-centroid list id (the IVF
     partition key)."""
@@ -103,14 +113,18 @@ class IVFQuery:
 
 def ivf_topk(ds, query: np.ndarray, *, n_lists: int = 16, n_probe: int = 4,
              k: int = 10, train_sample: int = 2048, col: str = "embedding",
-             id_col: str = "vec_id"):
-    """End-to-end IVF search over a Dataset: sample-train -> assign ->
-    probed scoring -> tiny global merge."""
+             id_col: str = "vec_id", centroids: np.ndarray | None = None):
+    """End-to-end IVF search over a Dataset: sample-train (or caller-
+    provided ``centroids``) -> assign -> probed scoring -> tiny global
+    merge."""
     import pyarrow as pa_
 
-    sample = ds.limit(train_sample).to_pandas()
-    vecs = np.vstack(sample[col].to_numpy())
-    cent = train_centroids(vecs, n_lists=n_lists)
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        sample = ds.limit(train_sample).to_pandas()
+        vecs = np.vstack(sample[col].to_numpy())
+        cent = train_centroids(vecs, n_lists=n_lists)
 
     assigned = ds.map_batches(
         IVFAssign, fn_constructor_kwargs=dict(centroids=cent, col=col),
