@@ -268,3 +268,49 @@ SELECT vec_id FROM (
   FROM lists l JOIN probed p ON l.ivf_list = p.cid, qn
   ORDER BY cosine DESC, l.vec_id LIMIT {k})
 """
+
+
+def embedding_near_dup_sql(dim: int = 64, bands: int = 8, r: int = 4,
+                           threshold: float = 0.4, max_bucket: int = 500,
+                           seed: int = 42) -> str:
+    """Mirror of stages/similarity.py embedding_near_dup_pairs: banded
+    hyperplane buckets (same seeded plane draw as BandedLSH) -> bucket
+    co-occupant pairs (size-capped) -> exact-cosine >= threshold ->
+    distinct (id_a, id_b).  The corpus margin at the threshold (~1e-4)
+    dwarfs float64 summation-order ulps."""
+    planes = _plane_literals(dim, bands * r, seed)
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for j in range(r):
+            lits = ", ".join(repr(v) for v in planes[:, b * r + j])
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{lits}]) > 0 "
+                f"THEN {1 << (r - 1 - j)} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    sigs = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, ({bucket_expr(b)})::BIGINT AS bucket "
+        "FROM embeddings"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS ({sigs}),
+sized AS (SELECT band, bucket, count(*) AS n FROM sig GROUP BY band, bucket),
+ok AS (
+  SELECT sig.* FROM sig JOIN sized USING (band, bucket)
+  WHERE sized.n >= 2 AND sized.n <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id),
+en AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS e
+  FROM embeddings)
+SELECT id_a, id_b FROM cand
+JOIN en ea ON ea.vec_id = cand.id_a
+JOIN en eb ON eb.vec_id = cand.id_b
+WHERE list_dot_product(ea.e, eb.e) >= {threshold!r}
+"""

@@ -464,3 +464,39 @@ def test_table_checksum_is_logical():
     t5 = pa.table({"a": pa.array([1, 2, 4], pa.int64()),
                    "s": pa.array(["x", "yy", "zzz"])})
     assert table_checksum(t5) != d
+
+
+def test_banded_lsh_near_dup_recall(ray_session):
+    """OR-amplified banded LSH must recover >=90% of planted near-dup
+    pairs (cosine >= 0.95) and emit NO below-threshold pair."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    base = rng.standard_normal((60, dim))
+    planted = []
+    rows = [base]
+    for i in range(20):  # duplicate of vector i with tiny noise
+        dup = base[i] + 0.02 * rng.standard_normal(dim)
+        rows.append(dup[None, :])
+        planted.append((i, 60 + i))
+    emb = np.vstack(rows)
+    t = pa.table({
+        "vec_id": pa.array(range(len(emb)), pa.int64()),
+        "embedding": pa.array(emb.astype(np.float32).tolist(), pa.list_(pa.float32())),
+    })
+    out = embedding_near_dup_pairs(
+        rd.from_arrow(t), dim, threshold=0.95, bands=8, r=4
+    ).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    # verify planted pairs really clear the threshold, then check recall
+    n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    truly = [(a, b) for a, b in planted if n[a] @ n[b] >= 0.95]
+    assert len(truly) >= 15
+    recall = sum(1 for p in truly if p in got) / len(truly)
+    assert recall >= 0.9, f"recall {recall:.2f}, got {len(got)} pairs"
+    # no emitted pair may be below threshold
+    for a, b in got:
+        assert n[a] @ n[b] >= 0.95
