@@ -612,11 +612,15 @@ def q_regrid_sample(sf_dir: str):
     out = regrid_pipeline(ds, concurrency=(1, 2))
 
     def summarize(batch: pa.Table) -> pa.Table:
-        px = batch.column("pixels").to_pylist()
-        sums = np.array(
-            [int(np.frombuffer(b, np.uint8).sum()) if b else 0 for b in px],
-            dtype=np.int64,
-        )
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("pixels"))
+        flat = np.frombuffer(data, np.uint8)
+        # one reduceat over the concatenated payload buffer, no per-row copies
+        idx = np.minimum(offs[:-1], max(len(flat) - 1, 0))
+        sums = (np.add.reduceat(flat.astype(np.int64), idx)
+                if len(flat) else np.zeros(batch.num_rows, np.int64))
+        sums[np.diff(offs) == 0] = 0
         return pa.table({
             "tile": batch.column("tile"),
             "px_sum": pa.array(sums, pa.int64()),
@@ -672,14 +676,22 @@ def q_regrid_int16(sf_dir: str):
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
-        px = batch.column("pixels").to_pylist()
-        sums = np.empty(len(px), np.int64)
-        nval = np.empty(len(px), np.int64)
-        for j, b in enumerate(px):
-            a = np.frombuffer(b, np.int16) if b else np.empty(0, np.int16)
-            v = a[a != -9999]
-            sums[j] = int(v.sum())
-            nval[j] = len(v)
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("pixels"))
+        flat = np.frombuffer(data, np.int16).astype(np.int64)
+        valid = flat != -9999
+        o2 = offs // 2  # int16 element offsets
+        idx = np.minimum(o2[:-1], max(len(flat) - 1, 0))
+        if len(flat):
+            sums = np.add.reduceat(np.where(valid, flat, 0), idx)
+            nval = np.add.reduceat(valid.astype(np.int64), idx)
+        else:
+            sums = np.zeros(batch.num_rows, np.int64)
+            nval = np.zeros(batch.num_rows, np.int64)
+        empty = np.diff(o2) == 0
+        sums[empty] = 0
+        nval[empty] = 0
         return pa.table({
             "tile": batch.column("tile"),
             "px_sum": pa.array(sums, pa.int64()),
@@ -739,16 +751,18 @@ def q_distortion_stats(sf_dir: str):
     )
 
     def kcalc(batch: pa.Table) -> pa.Table:
-        cont = np.asarray(batch.column("continent").to_pylist())
+        from equi7grid_ray.arrowutil import continent_codes
+
+        codes, cdict = continent_codes(batch.column("continent"))
         x = batch.column("x").to_numpy()
         y = batch.column("y").to_numpy()
         k = np.empty(len(x))
-        for c in np.unique(cont):
-            m = cont == c
-            k[m] = aeqd.length_distortion_planar(str(c), x[m], y[m])
+        for code in np.unique(codes):
+            m = codes == code
+            k[m] = aeqd.length_distortion_planar(cdict[int(code)], x[m], y[m])
         kb = np.clip((np.nan_to_num(k, nan=1.0) - 1.0) * 100, 0, 99).astype(np.int64)
         return pa.table({
-            "continent": pa.array(cont.tolist(), pa.string()),
+            "continent": batch.column("continent").cast(pa.string()),
             "k_pct_bucket": pa.array(kb, pa.int64()),
         })
 
@@ -1002,8 +1016,11 @@ def entry() -> Any:
         lon_u, lat_u = _derive_udeg(batch)
         ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        ids = np.asarray(ok, np.int64) * 100000 + np.asarray(pk, np.int64)
+        # vectorized id build (no per-row f-string): zero-pad to 12 digits
+        id_str = np.char.add("img", np.char.zfill(ids.astype("U12"), 12))
         return pa.table({
-            "image_id": pa.array([f"img{int(o)*100000+int(p):012d}" for o, p in zip(ok, pk)], pa.string()),
+            "image_id": pa.array(id_str.tolist(), pa.string()),
             "lon_udeg": pa.array(lon_u, pa.int64()),
             "lat_udeg": pa.array(lat_u, pa.int64()),
         })

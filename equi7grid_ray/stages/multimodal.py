@@ -103,14 +103,17 @@ class AudioFeatures:
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bufs = batch.column("bytes").to_pylist()
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
         n_windows = []
         rms = []
-        for b in bufs:
+        for j in range(batch.num_rows):
             if not self.use_fake:
                 raise NotImplementedError(
                     "audio decode needs codec libraries absent from this sandbox"
                 )
+            b = data[offs[j] : offs[j + 1]]
             samples = fake_decode(b, 8 * self.window).astype(np.float64) - 127.5
             wins = samples.reshape(-1, self.window)
             r = np.sqrt((wins**2).mean(axis=1))
@@ -138,15 +141,18 @@ class FrameSampler:
         self.use_fake = use_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bufs = batch.column("bytes").to_pylist()
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
         ids = []
         frame_i = []
         frames = []
-        for row, b in enumerate(bufs):
+        for row in range(batch.num_rows):
             if not self.use_fake:
                 raise NotImplementedError(
                     "video demux needs av/ffmpeg absent from this sandbox"
                 )
+            b = bytes(data[offs[row] : offs[row + 1]])
             for fi in range(0, self.n_frames, self.every):
                 payload = fake_decode(b + fi.to_bytes(2, "little"),
                                       self.frame_px * self.frame_px)

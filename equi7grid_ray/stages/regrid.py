@@ -180,7 +180,6 @@ class RegridStage:
         h = batch.column("h").to_numpy()
         llx = batch.column("ll_x").to_numpy()
         lly = batch.column("ll_y").to_numpy()
-        conts = np.asarray(batch.column("continent").to_pylist())
         # zero-copy payload access: memoryview slices over the Arrow value
         # buffer (same pattern as multimodal.DecodeImages) -- no per-row
         # Python bytes copies of the image payloads
@@ -223,10 +222,11 @@ class RegridStage:
         out_c0 = np.zeros(n, np.int32)
         out_wh = np.zeros(n, np.int32)
         out_ww = np.zeros(n, np.int32)
-        windows: list[tuple] = [None] * n
-        per_cont: dict[str, list[int]] = {}
-        for j in range(n):
-            per_cont.setdefault(conts[j], []).append(j)
+        from equi7grid_ray.arrowutil import continent_codes
+
+        codes, cdict = continent_codes(batch.column("continent"))
+        per_cont = {cdict[int(k)]: np.flatnonzero(codes == k)
+                    for k in np.unique(codes)}
 
         pixels: list[bytes] = [b""] * n
         for cont, idx_list in per_cont.items():

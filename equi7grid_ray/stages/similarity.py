@@ -172,14 +172,17 @@ class knn_tiles:
             self.names[c] = full_names(c, ct.ll_x, ct.ll_y, tiling_id)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cont = np.asarray(batch.column("continent").to_pylist())
+        from equi7grid_ray.arrowutil import continent_codes
+
+        codes, cdict = continent_codes(batch.column("continent"))
         x = batch.column("x").to_numpy()
         y = batch.column("y").to_numpy()
         n = len(x)
         out_id, out_rank, out_tile, out_dist = [], [], [], []
         ids = batch.column("image_id")
-        for c in np.unique(cont):
-            rows = np.flatnonzero(cont == c)
+        for code in np.unique(codes):
+            c = cdict[int(code)]
+            rows = np.flatnonzero(codes == code)
             d, i = self.trees[c].query(np.column_stack([x[rows], y[rows]]), self.k)
             kk = d.shape[1]
             out_id.append(np.repeat(rows, kk))

@@ -69,3 +69,31 @@ def test_shuffle_hash_join_matches_pandas(ray_session, sides):
     pd.testing.assert_frame_equal(
         got[["k", "v", "w"]].astype("int64"), exp[["k", "v", "w"]].astype("int64")
     )
+
+
+def test_shuffle_join_high_cardinality(ray_session):
+    """Partition-level cogroup: 5k distinct keys join correctly (one
+    vectorized merge per hash partition, not per key) and no internal
+    __part/__side columns leak into the output."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    n = 5000
+    left = pa.table({"k": pa.array(np.arange(n), pa.int64()),
+                     "lv": pa.array(np.arange(n) * 2, pa.int64())})
+    right = pa.table({"k": pa.array(np.arange(0, n, 2), pa.int64()),
+                      "rv": pa.array(np.arange(0, n, 2) * 3, pa.int64())})
+    out = shuffle_hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), on="k", how="inner"
+    ).to_pandas()
+    exp = left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+    assert sorted(out.columns) == ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        out.sort_values("k").reset_index(drop=True),
+        exp.sort_values("k").reset_index(drop=True),
+        check_like=True,
+    )
