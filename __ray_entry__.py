@@ -707,6 +707,119 @@ def q_regrid_int16(sf_dir: str):
     )
 
 
+def q_regrid_equi7(sf_dir: str):
+    """Equi7->Equi7 regrid (source raster already in the target
+    continental plane, north-up at 1000 m/px; resampled to the 500 m T6
+    tile grid): pure affine nearest gather -- no geodesic work -- so the
+    DuckDB oracle rederives window math, gather indices and the int16
+    pixel pattern exactly.  Exercises RegridStage's src_crs='equi7' path
+    (grid-to-grid resampling, reference warp.py:205-330 semantics with
+    an Equi7 input grid)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.stages.regrid import RegridStage
+
+    n_img, w, h, res = 200, 64, 64, 1000.0
+    half = w * res / 2.0
+    idx = np.arange(n_img, dtype=np.int64)
+    # quarter-pixel offset keeps every gather coordinate off the .5
+    # rounding boundary (exact dyadic fractions in both numpy and SQL)
+    cx = ((idx * _XMUL) % _XMOD).astype(np.float64) + 125.0
+    cy = ((idx * _YMUL) % _YMOD).astype(np.float64) + 125.0
+    payloads = []
+    for i in idx:
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        img = ((r * 131 + c * 17 + int(i) * 7) % 5003 - 2500).astype(np.int16)
+        payloads.append(img.tobytes())
+    t = pa.table({
+        "image_id": pa.array([f"e7{int(i):09d}" for i in idx], pa.string()),
+        "bytes": pa.array(payloads, pa.binary()),
+        "w": pa.array(np.full(n_img, w, np.int32)),
+        "h": pa.array(np.full(n_img, h, np.int32)),
+        "fmt": pa.array(["raw"] * n_img, pa.string()),
+        "dtype": pa.array(["int16"] * n_img, pa.string()),
+        "cx": pa.array(cx, pa.float64()),
+        "cy": pa.array(cy, pa.float64()),
+    })
+
+    def expand(batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.grid import partial_names
+
+        S = 600_000
+        bcx = batch.column("cx").to_numpy()
+        bcy = batch.column("cy").to_numpy()
+        x0 = np.maximum(bcx - half, 0.0)
+        x1 = np.minimum(bcx + half, float(_XMOD - 1))
+        y0 = np.maximum(bcy - half, 0.0)
+        y1 = np.minimum(bcy + half, float(_YMOD - 1))
+        tx0 = np.floor(x0 / S).astype(np.int64)
+        tx1 = np.floor(x1 / S).astype(np.int64)
+        ty0 = np.floor(y0 / S).astype(np.int64)
+        ty1 = np.floor(y1 / S).astype(np.int64)
+        nx, ny = tx1 - tx0 + 1, ty1 - ty0 + 1
+        cnt = nx * ny
+        total = int(cnt.sum())
+        rows = np.repeat(np.arange(len(bcx), dtype=np.int64), cnt)
+        off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ny_r = np.repeat(ny, cnt)
+        tx = np.repeat(tx0, cnt) + off // ny_r
+        ty = np.repeat(ty0, cnt) + off % ny_r
+        names = partial_names((tx * S).astype(np.float64),
+                              (ty * S).astype(np.float64), "T6")
+        take = pa.array(rows)
+        cols = {
+            "image_id": batch.column("image_id").take(take),
+            "continent": pa.array(np.full(total, "GR", "U2")),
+            "tile": pa.array([f"GR_{nm}" for nm in names], pa.string()),
+            "ll_x": pa.array((tx * S).astype(np.float64)),
+            "ll_y": pa.array((ty * S).astype(np.float64)),
+        }
+        for name in ("bytes", "w", "h", "fmt", "dtype", "cx", "cy"):
+            cols[name] = batch.column(name).take(take)
+        return pa.table(cols)
+
+    ds = rd.from_arrow(t)
+    pairs = ds.map_batches(expand, batch_format="pyarrow")
+    out = pairs.map_batches(
+        RegridStage,
+        fn_constructor_kwargs=dict(src_crs="equi7", src_res_m=res, nodata=-9999),
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=1,
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("pixels"))
+        flat = np.frombuffer(data, np.int16).astype(np.int64)
+        valid = flat != -9999
+        o2 = offs // 2
+        idx2 = np.minimum(o2[:-1], max(len(flat) - 1, 0))
+        if len(flat):
+            sums = np.add.reduceat(np.where(valid, flat, 0), idx2)
+            nval = np.add.reduceat(valid.astype(np.int64), idx2)
+        else:
+            sums = np.zeros(batch.num_rows, np.int64)
+            nval = np.zeros(batch.num_rows, np.int64)
+        empty = np.diff(o2) == 0
+        sums[empty] = 0
+        nval[empty] = 0
+        return pa.table({
+            "tile": batch.column("tile"),
+            "px_sum": pa.array(sums, pa.int64()),
+            "n_valid": pa.array(nval, pa.int64()),
+        })
+
+    return (
+        out.map_batches(summarize, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Count(alias_name="n_windows"),
+                   Sum("px_sum", alias_name="px_sum"),
+                   Sum("n_valid", alias_name="n_valid"))
+    )
+
+
 def q_ann_lsh_buckets(sf_dir: str):
     """Hyperplane-LSH bucketing of the embedding column (ANN scale path):
     bucket -> member count."""
@@ -1061,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_tiles_geodesic": q_knn_tiles_geodesic,
         "regrid_sample": q_regrid_sample,
         "regrid_int16": q_regrid_int16,
+        "regrid_equi7": q_regrid_equi7,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "distortion_stats": q_distortion_stats,
         "grid_tiles_export": q_grid_tiles_export,
@@ -1248,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _sqlgen().frame_sample_sql(100),
         "ann_lsh_buckets": _sqlgen().ann_lsh_buckets_sql(dim=64, n_planes=8),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "regrid_equi7": _sqlgen().regrid_equi7_sql(),
         "embedding_near_dup": _sqlgen().embedding_near_dup_sql(dim=64, bands=8, r=4, threshold=0.4),
         "pixel_index": (
             f"WITH d AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "

@@ -314,3 +314,60 @@ JOIN en ea ON ea.vec_id = cand.id_a
 JOIN en eb ON eb.vec_id = cand.id_b
 WHERE list_dot_product(ea.e, eb.e) >= {threshold!r}
 """
+
+
+def regrid_equi7_sql(n_img: int = 200, w: int = 64, h: int = 64,
+                     res: int = 1000, s: int = 500, tile: int = 600_000,
+                     xmod: int = 8_640_000, ymod: int = 6_000_000,
+                     xmul: int = 97_003, ymul: int = 53_003) -> str:
+    """Mirror of q_regrid_equi7: synthetic int16 rasters at derived
+    projected centers (quarter-pixel offset keeps gather coordinates off
+    the .5 rounding boundary, so DuckDB round() and numpy rint agree),
+    grid floor-sweep pairs, RegridStage's affine window math and nearest
+    gather, per-tile (n_windows, px_sum, n_valid)."""
+    half = w * res // 2
+    npix = tile // s
+    return f"""
+WITH img AS (
+  SELECT i, ((i * {xmul}) % {xmod}) + 125.0 AS cx,
+            ((i * {ymul}) % {ymod}) + 125.0 AS cy
+  FROM range({n_img}) t(i)),
+pairs AS (
+  SELECT i, cx, cy, tx.a AS tx, ty.b AS ty,
+         tx.a * {tile} AS llx, ty.b * {tile} AS lly
+  FROM img,
+  UNNEST(range(CAST(floor(greatest(cx - {half}, 0.0) / {tile}) AS BIGINT),
+               CAST(floor(least(cx + {half}, {xmod - 1}.0) / {tile}) AS BIGINT) + 1)) AS tx(a),
+  UNNEST(range(CAST(floor(greatest(cy - {half}, 0.0) / {tile}) AS BIGINT),
+               CAST(floor(least(cy + {half}, {ymod - 1}.0) / {tile}) AS BIGINT) + 1)) AS ty(b)),
+win AS (
+  SELECT i, cx, cy, tx, ty, llx, lly,
+    greatest(0, CAST(floor((greatest(cx - {half}, llx) - llx) / {s}) AS BIGINT)) AS c0,
+    least({npix}, CAST(ceil((least(cx + {half}, llx + {tile}) - llx) / {s}) AS BIGINT)) AS c1,
+    greatest(0, CAST(floor((lly + {tile} - least(cy + {half}, lly + {tile})) / {s}) AS BIGINT)) AS r0,
+    least({npix}, CAST(ceil((lly + {tile} - greatest(cy - {half}, lly)) / {s}) AS BIGINT)) AS r1
+  FROM pairs),
+px AS (
+  SELECT win.i, win.tx, win.ty,
+    round((win.llx + (win.c0 + cc.c + 0.5) * {s} - win.cx) / {res} + {w / 2} - 0.5) AS ui,
+    round((win.cy - (win.lly + {tile} - (win.r0 + rr.r + 0.5) * {s})) / {res} + {h / 2} - 0.5) AS vi
+  FROM win,
+  UNNEST(range(greatest(0, win.r1 - win.r0))) AS rr(r),
+  UNNEST(range(greatest(0, win.c1 - win.c0))) AS cc(c)),
+vals AS (
+  SELECT i, tx, ty,
+    CASE WHEN ui >= 0 AND ui < {w} AND vi >= 0 AND vi < {h}
+         THEN CAST((vi * 131 + ui * 17 + i * 7) % 5003 - 2500 AS BIGINT)
+         ELSE NULL END AS v
+  FROM px),
+per_pair AS (
+  SELECT w2.i, w2.tx, w2.ty,
+    COALESCE(SUM(v.v), 0) AS px_sum, COUNT(v.v) AS n_valid
+  FROM win w2 LEFT JOIN vals v ON v.i = w2.i AND v.tx = w2.tx AND v.ty = w2.ty
+  GROUP BY w2.i, w2.tx, w2.ty)
+SELECT printf('GR_E%03dN%03dT6', tx * 6, ty * 6) AS tile,
+  count(*) AS n_windows,
+  CAST(SUM(px_sum) AS BIGINT) AS px_sum,
+  CAST(SUM(n_valid) AS BIGINT) AS n_valid
+FROM per_pair GROUP BY tile
+"""

@@ -175,7 +175,14 @@ class RegridStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        lon, lat = derive_lonlat(batch)
+        if self.src_crs == "equi7":
+            # source raster already lives in the target continental plane
+            # (Equi7 -> Equi7 resampling between samplings/grids): rows
+            # carry projected centers, no geodesic work at all
+            lon = batch.column("cx").to_numpy(zero_copy_only=False)
+            lat = batch.column("cy").to_numpy(zero_copy_only=False)
+        else:
+            lon, lat = derive_lonlat(batch)
         w = batch.column("w").to_numpy()
         h = batch.column("h").to_numpy()
         llx = batch.column("ll_x").to_numpy()
@@ -239,7 +246,14 @@ class RegridStage:
             # the old code called aeqd.forward on 5-element arrays inside
             # a per-pair Python loop)
             mcx = mcy = None
-            if self.src_crs == "webmercator":
+            if self.src_crs == "equi7":
+                half_w = w[idxs] * self.src_res_m / 2.0
+                half_h = h[idxs] * self.src_res_m / 2.0
+                cx = np.stack([lo - half_w, lo + half_w, lo - half_w,
+                               lo + half_w, lo])
+                cy = np.stack([la - half_h, la - half_h, la + half_h,
+                               la + half_h, la])
+            elif self.src_crs == "webmercator":
                 from equi7grid_ray import mercator
 
                 mcx, mcy = mercator.forward(lo, la)
@@ -260,9 +274,10 @@ class RegridStage:
                     ).ravel(),
                     -90.0, 90.0,
                 )
-            cx, cy = aeqd.forward(cont, clon, clat)
-            cx = cx.reshape(5, m)
-            cy = cy.reshape(5, m)
+            if self.src_crs != "equi7":
+                cx, cy = aeqd.forward(cont, clon, clat)
+                cx = cx.reshape(5, m)
+                cy = cy.reshape(5, m)
             # projected footprint bbox clipped to each pair's tile, then
             # the target pixel window -- all vectorized over the pairs
             x0 = np.maximum(cx.min(axis=0), tllx)
@@ -296,7 +311,10 @@ class RegridStage:
                 continue
             tx = np.concatenate(tgt_x_all)
             ty = np.concatenate(tgt_y_all)
-            tlon, tlat = aeqd.inverse(cont, tx, ty)  # one vectorized call
+            if self.src_crs == "equi7":
+                tlon, tlat = tx, ty  # identity: source plane == target plane
+            else:
+                tlon, tlat = aeqd.inverse(cont, tx, ty)  # one vectorized call
             offs = np.concatenate([[0], np.cumsum(whv * wwv)])
             for k, j in enumerate(idxs):
                 wh, ww = int(whv[k]), int(wwv[k])
@@ -315,6 +333,9 @@ class RegridStage:
                     gx, gy = mercator.forward(glon, glat)
                     u = (gx - mcx[k]) / self.src_res_m + w[j] / 2.0 - 0.5
                     v = (mcy[k] - gy) / self.src_res_m + h[j] / 2.0 - 0.5
+                elif self.src_crs == "equi7":
+                    u = (glon - lon[j]) / self.src_res_m + w[j] / 2.0 - 0.5
+                    v = (lat[j] - glat) / self.src_res_m + h[j] / 2.0 - 0.5
                 else:
                     u = (glon - lon[j]) / SRC_RES_DEG + w[j] / 2.0 - 0.5
                     v = (lat[j] - glat) / SRC_RES_DEG + h[j] / 2.0 - 0.5

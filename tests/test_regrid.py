@@ -357,3 +357,47 @@ def test_nodata_unrepresentable_fails_loudly():
         _nodata_as(-9999, np.uint8)
     with pytest.raises(ValueError, match="not representable"):
         _nodata_as(0.5, np.int16)
+
+
+def test_regrid_equi7_identity_gather():
+    """src_crs='equi7' (source already in the target plane): nearest
+    gather must equal the direct affine index computation."""
+    import numpy as np
+    import pyarrow as pa
+
+    from equi7grid_ray.stages.regrid import RegridStage
+
+    w = h = 16
+    res = 1000.0
+    cx, cy = 300_125.0, 300_125.0  # inside tile E000N000, off .5 boundaries
+    img = ((np.arange(h)[:, None] * 131 + np.arange(w)[None, :] * 17) % 5003
+           - 2500).astype(np.int16)
+    batch = pa.table({
+        "image_id": pa.array(["a"]),
+        "continent": pa.array(["GR"]),
+        "tile": pa.array(["GR_E000N000T6"]),
+        "ll_x": pa.array([0.0]),
+        "ll_y": pa.array([0.0]),
+        "bytes": pa.array([img.tobytes()], pa.binary()),
+        "w": pa.array([w], pa.int32()),
+        "h": pa.array([h], pa.int32()),
+        "fmt": pa.array(["raw"]),
+        "dtype": pa.array(["int16"]),
+        "cx": pa.array([cx]),
+        "cy": pa.array([cy]),
+    })
+    out = RegridStage(src_crs="equi7", src_res_m=res, nodata=-9999)(batch)
+    r0 = out.column("r0")[0].as_py()
+    c0 = out.column("c0")[0].as_py()
+    wh = out.column("win_h")[0].as_py()
+    ww = out.column("win_w")[0].as_py()
+    got = np.frombuffer(out.column("pixels")[0].as_py(), np.int16).reshape(wh, ww)
+    s = 500.0
+    for rr in range(wh):
+        for cc in range(ww):
+            gx = 0.0 + (c0 + cc + 0.5) * s
+            gy = 0.0 + 600_000.0 - (r0 + rr + 0.5) * s
+            ui = int(np.rint((gx - cx) / res + w / 2 - 0.5))
+            vi = int(np.rint((cy - gy) / res + h / 2 - 0.5))
+            exp = img[vi, ui] if 0 <= ui < w and 0 <= vi < h else -9999
+            assert got[rr, cc] == exp, (rr, cc, got[rr, cc], exp)
