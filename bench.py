@@ -37,6 +37,10 @@ N_DECODE_FILES = 128
 N_ASSIGN_FILES = 64
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# float32-coordinate input variant (half the bytes/row on the assign
+# sweep): a measured data point for the DRAM-bandwidth analysis, NOT the
+# default (round-2 advisor discussion)
+COORD_F32 = os.environ.get("GRAFT_COORD_F32") == "1"
 
 
 def _gen_inputs() -> tuple[str, str]:
@@ -70,7 +74,10 @@ def _gen_inputs() -> tuple[str, str]:
                  for s in range(0, N_DECODE_ROWS, step)])
         (img_dir / "_DONE").touch()
 
-    meta_dir = Path(f"/tmp/e7r_bench_meta_{N_ASSIGN_ROWS}_f{N_ASSIGN_FILES}")
+    meta_dir = Path(
+        f"/tmp/e7r_bench_meta_{N_ASSIGN_ROWS}_f{N_ASSIGN_FILES}"
+        + ("_f32" if COORD_F32 else "")
+    )
     if not (meta_dir / "_DONE").exists():
         import ray
 
@@ -85,6 +92,9 @@ def _gen_inputs() -> tuple[str, str]:
                 return
             idx = np.arange(s, e, dtype=np.int64)
             lon, lat = centers_for_index(idx)
+            if os.environ.get("GRAFT_COORD_F32") == "1":
+                lon = lon.astype(np.float32)
+                lat = lat.astype(np.float32)
             tmp = f.with_suffix(f".{s}.tmp")
             pq.write_table(
                 pa.table({"image_id": pa.array(idx, pa.int64()),
@@ -279,6 +289,8 @@ def run_scaling() -> dict:
     multiplies memory bandwidth with node count and does not hit this."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        if COORD_F32:
+            env["GRAFT_COORD_F32"] = "1"
         # Confine each level to exactly `ncpu` HARDWARE threads: on a
         # real N- vs 4N-node cluster, Ray's per-node system processes
         # (raylet, GCS, driver) share every node's cores at BOTH sizes.
@@ -294,9 +306,10 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    results = {n: run(n) for n in (4, 16, 8, 32)}
+    levels = (8, 32) if COORD_F32 else (4, 16, 8, 32)
+    results = {n: run(n) for n in levels}
     pairs = {}
-    for lo_n, hi_n in ((4, 16), (8, 32)):
+    for lo_n, hi_n in (((8, 32),) if COORD_F32 else ((4, 16), (8, 32))):
         t_lo = results[lo_n]["value"]
         t_hi = results[hi_n]["value"]
         pairs[f"{lo_n}to{hi_n}"] = {
@@ -310,9 +323,11 @@ def run_scaling() -> dict:
     md.parent.mkdir(exist_ok=True)
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     with md.open("a") as f:
-        f.write(f"\n## Scaling run {stamp}\n\n")
+        f.write(f"\n## Scaling run {stamp}"
+                + (" (float32-coordinate input variant)" if COORD_F32 else "")
+                + "\n\n")
         f.write("| num_cpus | headline sec | assign rows/s | decode rows/s |\n|---|---|---|---|\n")
-        for n in (4, 8, 16, 32):
+        for n in sorted(levels):
             r = results[n]
             f.write(f"| {n} | {r['value']} | {r['rows_per_sec']['assign_rows_per_sec']} | {r['rows_per_sec']['decode_rows_per_sec']} |\n")
         for k, p in pairs.items():

@@ -150,10 +150,14 @@ class RegridStage:
         src_res_m: float = 1000.0,
         dtype: str = "uint8",
     ):
-        """``src_crs``: 'geog' (north-up lon/lat grid at SRC_RES_DEG) or
+        """``src_crs``: 'geog' (north-up lon/lat grid at SRC_RES_DEG),
         'webmercator' (EPSG:3857 grid at ``src_res_m`` m/pixel centered
         at the row's lon/lat) -- the two source CRS families the
-        reference's warp tests exercise (tests/test_warp.py:43-124).
+        reference's warp tests exercise (tests/test_warp.py:43-124) --
+        or 'equi7' (source already in the target continental plane,
+        north-up at ``src_res_m``; rows carry projected centers cx/cy
+        instead of lon/lat: Equi7->Equi7 resampling between samplings,
+        pure affine gather with no geodesic work).
 
         ``dtype``/``nodata`` carry the reference's band-dtype + nodata
         sentinel generality (warp.py:290-330; int16 fixtures at
