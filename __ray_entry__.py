@@ -339,6 +339,18 @@ def q_lsh_near_dup(sf_dir: str):
     return lsh_candidate_pairs(ds)
 
 
+def q_lsh_near_dup_verified(sf_dir: str):
+    """Full near-dup pipeline: banded MinHash-LSH candidates -> exact
+    character-trigram Jaccard verification >= 0.8 -> confirmed pairs.
+    The corpus' candidate Jaccard distribution is bimodal (gap 0.67 to
+    0.93), so 0.8 cleanly separates true near-duplicates from band
+    collisions; the DuckDB oracle mirrors candidates AND verification."""
+    from equi7grid_ray.stages.dedup import verified_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return verified_near_dup_pairs(ds, threshold=0.8)
+
+
 def q_simhash_docs(sf_dir: str):
     """64-bit SimHash fingerprints for every document."""
     from equi7grid_ray.stages.dedup import simhash64
@@ -1161,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign_real": q_tile_assign_real,
         "roi_tiles_global": q_roi_tiles_global,
         "lsh_near_dup": q_lsh_near_dup,
+        "lsh_near_dup_verified": q_lsh_near_dup_verified,
         "simhash_docs": q_simhash_docs,
         "langid_docs": q_langid_docs,
         "norm_dedup_docs": q_norm_dedup_docs,
@@ -1358,6 +1371,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_docs": _sqlgen().simhash_sql(),
         "lsh_near_dup": _sqlgen().lsh_pairs_sql(),
+        "lsh_near_dup_verified": _sqlgen().lsh_verified_pairs_sql(threshold=0.8),
         "image_stats": _sqlgen().image_stats_sql(500),
         "frame_sample": _sqlgen().frame_sample_sql(100),
         "ann_lsh_buckets": _sqlgen().ann_lsh_buckets_sql(dim=64, n_planes=8),

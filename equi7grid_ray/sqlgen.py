@@ -371,3 +371,40 @@ SELECT printf('GR_E%03dN%03dT6', tx * 6, ty * 6) AS tile,
   CAST(SUM(n_valid) AS BIGINT) AS n_valid
 FROM per_pair GROUP BY tile
 """
+
+
+def lsh_verified_pairs_sql(threshold: float = 0.8, n: int = 3,
+                           num_perm: int = 64, bands: int = 16,
+                           shingle: int = 8, max_bucket: int = 200) -> str:
+    """Mirror of stages/dedup.py verified_near_dup_pairs: the full LSH
+    candidate SQL (lsh_pairs_sql) extended with exact distinct-n-gram
+    Jaccard verification >= threshold.  The corpus' candidate Jaccard
+    distribution is bimodal (0.67 | 0.93 gap), so the 0.8 threshold has
+    a huge float margin."""
+    base = lsh_pairs_sql(num_perm=num_perm, bands=bands, shingle=shingle,
+                         max_bucket=max_bucket)
+    head, final = base.rsplit("SELECT DISTINCT a.doc_id AS id_a", 1)
+    cand_select = "SELECT DISTINCT a.doc_id AS id_a" + final
+    return f"""{head.rstrip()},
+cand AS ({cand_select}),
+cids AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand)),
+grams AS (
+  SELECT DISTINCT d.doc_id, substring(d.text, CAST(i AS INT), {n}) AS gm
+  FROM documents d JOIN cids ON cids.id = d.doc_id,
+  UNNEST(range(1, length(d.text) - {n} + 2)) AS r(i)),
+gcnt AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gm = ga.gm
+  GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b FROM cand c
+JOIN gcnt na ON na.doc_id = c.id_a
+JOIN gcnt nb ON nb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE CAST(COALESCE(i.ni, 0) AS DOUBLE)
+      / (na.ng + nb.ng - COALESCE(i.ni, 0)) >= {threshold!r}
+"""

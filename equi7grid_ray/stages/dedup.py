@@ -22,6 +22,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash64",
     "ngram_jaccard",
+    "verified_near_dup_pairs",
 ]
 
 
@@ -427,3 +428,60 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def verified_near_dup_pairs(ds, *, threshold: float = 0.8, n: int = 3,
+                            num_perm: int = 64, bands: int = 16,
+                            shingle: int = 8, id_col: str = "doc_id",
+                            text_col: str = "text", max_bucket: int = 200):
+    """LSH candidates -> exact character-n-gram Jaccard verification ->
+    pairs with similarity >= ``threshold`` (the full near-dup dedup
+    pipeline: cheap banded recall, exact precision).
+
+    Scale shape: the candidate set is bounded by the banded-LSH design
+    (mega-buckets cut at ``max_bucket``), i.e. proportional to the true
+    duplicate mass, not to the corpus -- so pairs are collected driver-
+    side, the corpus is SCANNED ONCE with a broadcast id-set filter, and
+    only candidate texts (a tiny slice) leave the stream.  For corpora
+    where even the duplicate mass is too large to collect, run the same
+    verify as two shuffle_hash_joins plus a map_batches -- the operators
+    exist; this path optimizes the common case."""
+    import pyarrow.compute as pc
+    import ray
+
+    pairs_tbl = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in lsh_candidate_pairs(
+            ds, num_perm=num_perm, bands=bands, shingle=shingle,
+            id_col=id_col, text_col=text_col, max_bucket=max_bucket,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    ida = pairs_tbl.column("id_a").to_numpy(zero_copy_only=False)
+    idb = pairs_tbl.column("id_b").to_numpy(zero_copy_only=False)
+    want = np.unique(np.concatenate([ida, idb])) if len(ida) else np.empty(0, np.int64)
+    want_ref = ray.put(want) if ray.is_initialized() else want
+
+    def filter_docs(batch: pa.Table) -> pa.Table:
+        w = ray.get(want_ref) if ray.is_initialized() else want_ref
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, w)
+        return batch.select([id_col, text_col]).filter(pa.array(keep))
+
+    import ray.data as rd
+
+    texts_tbl = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.map_batches(filter_docs, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    lut = dict(zip(texts_tbl.column(id_col).to_pylist(),
+                   texts_tbl.column(text_col).to_pylist()))
+    keep_a, keep_b = [], []
+    for a, b in zip(ida.tolist(), idb.tolist()):
+        if ngram_jaccard(lut[a], lut[b], n) >= threshold:
+            keep_a.append(a)
+            keep_b.append(b)
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(keep_a, pa.int64()),
+        "id_b": pa.array(keep_b, pa.int64()),
+    }))

@@ -500,3 +500,24 @@ def test_banded_lsh_near_dup_recall(ray_session):
     # no emitted pair may be below threshold
     for a, b in got:
         assert n[a] @ n[b] >= 0.95
+
+
+def test_verified_near_dup_pairs(ray_session):
+    """LSH candidates -> exact Jaccard verify: the planted near-dup pair
+    survives, unrelated band collisions are filtered out."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.dedup import verified_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [" ".join(rng.choice(words, 40).tolist()) + f" tail{i}" for i in range(25)]
+    docs.append(docs[3] + " x")  # 25 is a near-dup of 3
+    t = pa.table({"doc_id": pa.array(range(26), pa.int64()),
+                  "text": pa.array(docs)})
+    out = verified_near_dup_pairs(rd.from_arrow(t), threshold=0.9).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    assert (3, 25) in got
+    from equi7grid_ray.stages.dedup import ngram_jaccard
+    for a, b in got:
+        assert ngram_jaccard(docs[a], docs[b]) >= 0.9
