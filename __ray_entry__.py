@@ -1114,22 +1114,42 @@ def q_roi_search_batch(sf_dir: str):
     grid arithmetic (the reference's get_tiles_in_bbox floor sweep sans
     zone filter), so the DuckDB oracle rederives it integer-exactly; the
     geodesic lon/lat variant runs as roi_search_geodesic (rows-only)."""
-    from equi7grid_ray.stages.roi_search import bbox_tile_counts
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     R = 250_000
+    S = 600_000
+    ny = -(-_YMOD // S)
+    nx = -(-_XMOD // S)
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def stage(batch: pa.Table) -> pa.Table:
+        # fused expand+count: the per-ROI floor sweep (the
+        # projected_bbox_tiles math) lands directly in a dense bincount
+        # over the bounded tile domain -- per-(roi, tile) rows never
+        # materialize when only counts are wanted.  The row-emitting
+        # general stage is stages/roi_search.projected_bbox_tiles.
         x, y = _derive_xy(batch)
-        return pa.table({
-            "roi_id": batch.column("l_orderkey"),
-            "x_min": pa.array(np.maximum(x - R, 0), pa.int64()),
-            "y_min": pa.array(np.maximum(y - R, 0), pa.int64()),
-            "x_max": pa.array(np.minimum(x + R, _XMOD - 1), pa.int64()),
-            "y_max": pa.array(np.minimum(y + R, _YMOD - 1), pa.int64()),
-        })
+        tx0 = np.maximum(x - R, 0) // S
+        tx1 = np.minimum(x + R, _XMOD - 1) // S
+        ty0 = np.maximum(y - R, 0) // S
+        ty1 = np.minimum(y + R, _YMOD - 1) // S
+        cnt = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+        total = int(cnt.sum())
+        off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ny_r = np.repeat(ty1 - ty0 + 1, cnt)
+        tx = np.repeat(tx0, cnt) + off // ny_r
+        ty = np.repeat(ty0, cnt) + off % ny_r
+        counts = np.bincount(tx * ny + ty, minlength=nx * ny)
+        nz = np.flatnonzero(counts)
+        names = _grid_names("T6", S)
+        return pa.table({"tile": pa.array(names[nz].tolist(), pa.string()),
+                         "pn": pa.array(counts[nz], pa.int64())})
 
-    return bbox_tile_counts(ds.map_batches(prep, batch_format="pyarrow"))
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
 
 
 def q_roi_search_geodesic(sf_dir: str):
