@@ -675,15 +675,9 @@ def q_regrid_sample(sf_dir: str):
     out = regrid_pipeline(ds, concurrency=(1, 2))
 
     def summarize(batch: pa.Table) -> pa.Table:
-        from equi7grid_ray.arrowutil import binary_view
+        from equi7grid_ray.arrowutil import payload_sums
 
-        data, offs = binary_view(batch.column("pixels"))
-        flat = np.frombuffer(data, np.uint8)
-        # one reduceat over the concatenated payload buffer, no per-row copies
-        idx = np.minimum(offs[:-1], max(len(flat) - 1, 0))
-        sums = (np.add.reduceat(flat.astype(np.int64), idx)
-                if len(flat) else np.zeros(batch.num_rows, np.int64))
-        sums[np.diff(offs) == 0] = 0
+        sums, _ = payload_sums(batch.column("pixels"), np.uint8)
         return pa.table({
             "tile": batch.column("tile"),
             "px_sum": pa.array(sums, pa.int64()),
@@ -739,22 +733,9 @@ def q_regrid_int16(sf_dir: str):
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
-        from equi7grid_ray.arrowutil import binary_view
+        from equi7grid_ray.arrowutil import payload_sums
 
-        data, offs = binary_view(batch.column("pixels"))
-        flat = np.frombuffer(data, np.int16).astype(np.int64)
-        valid = flat != -9999
-        o2 = offs // 2  # int16 element offsets
-        idx = np.minimum(o2[:-1], max(len(flat) - 1, 0))
-        if len(flat):
-            sums = np.add.reduceat(np.where(valid, flat, 0), idx)
-            nval = np.add.reduceat(valid.astype(np.int64), idx)
-        else:
-            sums = np.zeros(batch.num_rows, np.int64)
-            nval = np.zeros(batch.num_rows, np.int64)
-        empty = np.diff(o2) == 0
-        sums[empty] = 0
-        nval[empty] = 0
+        sums, nval = payload_sums(batch.column("pixels"), np.int16, nodata=-9999)
         return pa.table({
             "tile": batch.column("tile"),
             "px_sum": pa.array(sums, pa.int64()),
@@ -852,22 +833,9 @@ def q_regrid_equi7(sf_dir: str):
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
-        from equi7grid_ray.arrowutil import binary_view
+        from equi7grid_ray.arrowutil import payload_sums
 
-        data, offs = binary_view(batch.column("pixels"))
-        flat = np.frombuffer(data, np.int16).astype(np.int64)
-        valid = flat != -9999
-        o2 = offs // 2
-        idx2 = np.minimum(o2[:-1], max(len(flat) - 1, 0))
-        if len(flat):
-            sums = np.add.reduceat(np.where(valid, flat, 0), idx2)
-            nval = np.add.reduceat(valid.astype(np.int64), idx2)
-        else:
-            sums = np.zeros(batch.num_rows, np.int64)
-            nval = np.zeros(batch.num_rows, np.int64)
-        empty = np.diff(o2) == 0
-        sums[empty] = 0
-        nval[empty] = 0
+        sums, nval = payload_sums(batch.column("pixels"), np.int16, nodata=-9999)
         return pa.table({
             "tile": batch.column("tile"),
             "px_sum": pa.array(sums, pa.int64()),
@@ -1219,7 +1187,7 @@ def entry() -> Any:
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
         ids = np.asarray(ok, np.int64) * 100000 + np.asarray(pk, np.int64)
         # vectorized id build (no per-row f-string): zero-pad to 12 digits
-        id_str = np.char.add("img", np.char.zfill(ids.astype("U12"), 12))
+        id_str = np.char.add("img", np.char.zfill(ids.astype("U20"), 12))
         return pa.table({
             "image_id": pa.array(id_str.tolist(), pa.string()),
             "lon_udeg": pa.array(lon_u, pa.int64()),

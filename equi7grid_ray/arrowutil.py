@@ -37,3 +37,25 @@ def continent_codes(col) -> tuple[np.ndarray, list[str]]:
     codes = np.asarray(col.indices)
     dictionary = col.dictionary.to_pylist()
     return codes, dictionary
+
+
+def payload_sums(col, dtype, nodata=None) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (sum, count) over a binary column of C-order numeric
+    payloads: ONE reduceat pass over the concatenated value buffer, no
+    per-row copies.  ``nodata`` values are excluded from both sum and
+    count when given; empty payloads yield (0, 0)."""
+    dt = np.dtype(dtype)
+    data, offs = binary_view(col)
+    flat = np.frombuffer(data, dt).astype(np.int64)
+    oe = offs // dt.itemsize  # element offsets
+    n = len(oe) - 1
+    if not len(flat):
+        return np.zeros(n, np.int64), np.zeros(n, np.int64)
+    valid = (flat != nodata) if nodata is not None else np.ones(len(flat), bool)
+    idx = np.minimum(oe[:-1], len(flat) - 1)
+    sums = np.add.reduceat(np.where(valid, flat, 0), idx)
+    cnts = np.add.reduceat(valid.astype(np.int64), idx)
+    empty = np.diff(oe) == 0
+    sums[empty] = 0
+    cnts[empty] = 0
+    return sums, cnts

@@ -446,19 +446,24 @@ def verified_near_dup_pairs(ds, *, threshold: float = 0.8, n: int = 3,
     where even the duplicate mass is too large to collect, run the same
     verify as two shuffle_hash_joins plus a map_batches -- the operators
     exist; this path optimizes the common case."""
-    import pyarrow.compute as pc
     import ray
+    import ray.data as rd
 
-    pairs_tbl = pa.concat_tables(
+    _empty = pa.table({"id_a": pa.array([], pa.int64()),
+                       "id_b": pa.array([], pa.int64())})
+    batches = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for b in lsh_candidate_pairs(
             ds, num_perm=num_perm, bands=bands, shingle=shingle,
             id_col=id_col, text_col=text_col, max_bucket=max_bucket,
         ).iter_batches(batch_format="pyarrow")
-    )
+    ]
+    pairs_tbl = pa.concat_tables(batches) if batches else _empty
+    if pairs_tbl.num_rows == 0:  # clean corpus: nothing to verify
+        return rd.from_arrow(_empty)
     ida = pairs_tbl.column("id_a").to_numpy(zero_copy_only=False)
     idb = pairs_tbl.column("id_b").to_numpy(zero_copy_only=False)
-    want = np.unique(np.concatenate([ida, idb])) if len(ida) else np.empty(0, np.int64)
+    want = np.unique(np.concatenate([ida, idb]))
     want_ref = ray.put(want) if ray.is_initialized() else want
 
     def filter_docs(batch: pa.Table) -> pa.Table:
@@ -466,8 +471,6 @@ def verified_near_dup_pairs(ds, *, threshold: float = 0.8, n: int = 3,
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         keep = np.isin(ids, w)
         return batch.select([id_col, text_col]).filter(pa.array(keep))
-
-    import ray.data as rd
 
     texts_tbl = pa.concat_tables(
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])

@@ -210,8 +210,12 @@ def shuffle_hash_join(
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         gl = g[g["__side"] == 0][[on] + lcols]
         gr = g[g["__side"] == 1][[on] + rcols]
-        gl = gl.astype({c: np_types[c] for c in gl.columns if c in np_types})
-        gr = gr.astype({c: np_types[c] for c in gr.columns if c in np_types})
+        # a column with GENUINE nulls keeps the float upcast (pre-split
+        # behavior) -- astype would raise IntCastingNaNError on the NaN
+        gl = gl.astype({c: np_types[c] for c in gl.columns
+                        if c in np_types and not gl[c].isna().any()})
+        gr = gr.astype({c: np_types[c] for c in gr.columns
+                        if c in np_types and not gr[c].isna().any()})
         return gl.merge(gr, on=on, how=how)
 
     return parted.groupby("__part").map_groups(merge, batch_format="pandas")

@@ -192,15 +192,10 @@ class RegridStage:
         llx = batch.column("ll_x").to_numpy()
         lly = batch.column("ll_y").to_numpy()
         # zero-copy payload access: memoryview slices over the Arrow value
-        # buffer (same pattern as multimodal.DecodeImages) -- no per-row
-        # Python bytes copies of the image payloads
-        bcol = batch.column("bytes")
-        if isinstance(bcol, pa.ChunkedArray):
-            bcol = bcol.combine_chunks()
-        bb = bcol.buffers()
-        odt = np.int64 if pa.types.is_large_binary(bcol.type) else np.int32
-        boffs = np.frombuffer(bb[1], dtype=odt)[bcol.offset : bcol.offset + n + 1]
-        bdata = memoryview(bb[2]) if bb[2] is not None else memoryview(b"")
+        # buffer -- no per-row Python bytes copies of the image payloads
+        from equi7grid_ray.arrowutil import binary_view
+
+        bdata, boffs = binary_view(batch.column("bytes"))
         fmts = batch.column("fmt").to_pylist()
         ids = batch.column("image_id").to_pylist()
         if "dtype" in batch.column_names:
