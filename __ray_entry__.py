@@ -1158,6 +1158,33 @@ def q_image_stats(sf_dir: str):
     return out.select_columns(["image_id", "px_mean"])
 
 
+def q_image_dhash(sf_dir: str):
+    """Perceptual difference-hash over DECODED pixels (image axis):
+    point-sampled 9x8 dHash, bit-exact vs sqlgen.image_dhash_sql."""
+    import ray.data as rd
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.multimodal import DHashImages
+
+    ds = rd.from_arrow(make_batch(0, 500))
+    return ds.map_batches(
+        DHashImages, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1
+    )
+
+
+def q_image_dhash_pairs(sf_dir: str):
+    """Image near-duplicate pairs: banded dHash (4x16-bit, exact for
+    Hamming <= 3 by pigeonhole) -> popcount verify.  The SQL oracle
+    brute-forces all O(n^2) pairs, so equality proves recall = 1."""
+    import ray.data as rd
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.multimodal import dhash_near_dup
+
+    ds = rd.from_arrow(make_batch(0, 500))
+    return dhash_near_dup(ds, max_dist=3)
+
+
 def q_frame_sample(sf_dir: str):
     """Video frame-sampling plumbing (deterministic fake demux;
     rows-only)."""
@@ -1238,6 +1265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pixel_index": q_pixel_index,
         "zone_multi_hit_buffered": q_zone_multi_hit_buffered,
         "image_stats": q_image_stats,
+        "image_dhash": q_image_dhash,
+        "image_dhash_pairs": q_image_dhash_pairs,
         "frame_sample": q_frame_sample,
         "roi_search_batch": q_roi_search_batch,
         "roi_search_geodesic": q_roi_search_geodesic,
@@ -1417,6 +1446,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_near_dup": _sqlgen().lsh_pairs_sql(),
         "lsh_near_dup_verified": _sqlgen().lsh_verified_pairs_sql(threshold=0.8),
         "image_stats": _sqlgen().image_stats_sql(500),
+        "image_dhash": _sqlgen().image_dhash_sql(500),
+        "image_dhash_pairs": _sqlgen().image_dhash_pairs_sql(500, max_dist=3),
         "frame_sample": _sqlgen().frame_sample_sql(100),
         "ann_lsh_buckets": _sqlgen().ann_lsh_buckets_sql(dim=64, n_planes=8),
         "ann_ivf_topk": _ivf_oracle_sql(),

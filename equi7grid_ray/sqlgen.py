@@ -192,6 +192,55 @@ FROM px GROUP BY i
 """
 
 
+def _dhash_ctes(n_images: int) -> str:
+    """CTE chain regenerating stages/multimodal.py DHashImages: the
+    synthetic pixel at (r, c) of image i is ((r*h + c*w + i) % 256);
+    dHash point-samples a 9x8 grid (row r*h//8, col c*w//9) and sets bit
+    k = r*8 + c (MSB-first) when grid[r, c+1] > grid[r, c].  Pure
+    integer math on both sides -- bit-exact."""
+    return f"""
+img AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+grid AS (
+  SELECT i, r.r AS r, c.c AS c,
+    ((((r.r * h) // 8) * h + ((c.c * w) // 9) * w + i) % 256) AS v
+  FROM img,
+  LATERAL (SELECT unnest(range(8)) AS r) r,
+  LATERAL (SELECT unnest(range(9)) AS c) c),
+bits AS (
+  SELECT a.i AS i, a.r * 8 + a.c AS k,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b ON b.i = a.i AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8),
+dh AS (
+  SELECT i, (CASE WHEN u >= {1 << 63}::HUGEINT
+             THEN u - {U64}::HUGEINT ELSE u END)::BIGINT AS dhash
+  FROM (SELECT i, sum(bit * (1::HUGEINT << (63 - k))) AS u
+        FROM bits GROUP BY i))"""
+
+
+def image_dhash_sql(n_images: int = 500) -> str:
+    """Mirror of the DHashImages stage output (image_id, dhash)."""
+    return (f"WITH {_dhash_ctes(n_images)} "
+            "SELECT printf('img%012d', i) AS image_id, dhash FROM dh")
+
+
+def image_dhash_pairs_sql(n_images: int = 500, max_dist: int = 3) -> str:
+    """O(n^2) brute-force mirror of dhash_near_dup: every pair within
+    Hamming distance ``max_dist``.  The engine's banded pre-filter is
+    EXACT for max_dist <= 3 (pigeonhole over 4 16-bit bands), so the
+    two pair sets must be identical, not merely overlapping."""
+    return f"""
+WITH {_dhash_ctes(n_images)}
+SELECT printf('img%012d', a.i) AS id_a, printf('img%012d', b.i) AS id_b
+FROM dh a JOIN dh b ON a.i < b.i
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_dist}
+"""
+
+
 def frame_sample_sql(n_videos: int = 100, every: int = 5, n_frames: int = 20) -> str:
     """Mirror of stages/multimodal.py FrameSampler group-count: the fake
     demux emits frame indices range(0, n_frames, every) for every video,

@@ -18,7 +18,8 @@ import pyarrow as pa
 
 from equi7grid_ray.codec import decode_image
 
-__all__ = ["DecodeImages", "AudioFeatures", "FrameSampler", "fake_decode"]
+__all__ = ["DecodeImages", "DHashImages", "dhash_near_dup", "AudioFeatures",
+           "FrameSampler", "fake_decode"]
 
 
 def fake_decode(payload: bytes, n: int) -> np.ndarray:
@@ -86,6 +87,140 @@ class DecodeImages:
                 "thumb": pa.array(thumbs, pa.binary()),
             }
         )
+
+
+class DHashImages:
+    """Actor-pool stage: perceptual difference-hash (dHash) over DECODED
+    pixels -- the image-payload counterpart of the text fingerprints.
+
+    Classic dHash downsamples to a 9x8 grid and emits bit[r, c] =
+    grid[r, c+1] > grid[r, c] (64 bits, MSB-first).  This implementation
+    point-samples the grid (nearest-neighbour downsample: row r of 8 at
+    pixel row ``r*h//8``, col c of 9 at pixel col ``c*w//9``) instead of
+    area-averaging, so the hash is pure integer math on 72 pixels --
+    deterministic across platforms and exactly mirrorable in SQL
+    (sqlgen.image_dhash_sql).  Sample-index grids are cached per (w, h)
+    in actor state; decode is zero-copy for 'raw' payloads."""
+
+    GRID_W = 9
+    GRID_H = 8
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+        self._idx_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def _sample_idx(self, w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+        key = (w, h)
+        hit = self._idx_cache.get(key)
+        if hit is None:
+            ri = np.arange(self.GRID_H) * h // self.GRID_H
+            ci = np.arange(self.GRID_W) * w // self.GRID_W
+            hit = (ri, ci)
+            self._idx_cache[key] = hit
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        grids = np.empty((n, self.GRID_H, self.GRID_W), dtype=np.uint8)
+        for j, f in enumerate(fmts):
+            if f not in ("raw", "png"):
+                raise NotImplementedError(
+                    f"image format {f!r}: real codecs unavailable in sandbox"
+                )
+            img = decode_image(data[offs[j] : offs[j + 1]], f,
+                               int(ws[j]), int(hs[j]), copy=False)
+            ri, ci = self._sample_idx(int(ws[j]), int(hs[j]))
+            grids[j] = img[np.ix_(ri, ci)]
+        # one vectorized compare + packbits over the whole batch:
+        # bit k = r*8 + c (MSB-first) = grid[r, c+1] > grid[r, c]
+        bits = grids[:, :, 1:] > grids[:, :, :-1]  # (n, 8, 8) bool
+        packed = np.packbits(bits.reshape(n, 64), axis=1)  # (n, 8) u8 MSB-first
+        dhash = packed.copy().view(">u8").astype(np.uint64).view(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "dhash": pa.array(dhash.reshape(-1), pa.int64()),
+            }
+        )
+
+
+def dhash_near_dup(ds, max_dist: int = 3, id_col: str = "image_id",
+                   n_partitions: int = 64, max_bucket: int = 2000,
+                   concurrency=(1, 8)):
+    """images -> EXACT Hamming-near-duplicate pairs via banded dHash.
+
+    The 64-bit dHash is split into 4 bands of 16 bits; by pigeonhole any
+    pair within Hamming distance ``max_dist`` <= 3 agrees on at least
+    one full band, so banding here is an exact pre-filter, not an
+    approximation: recall is 1.0 by construction (asserted against
+    brute force in tests, and against an O(n^2) SQL oracle).
+
+    Scale shape mirrors lsh_candidate_pairs (dedup.py): band rows are
+    hash-partitioned so one vectorized self-merge + popcount handles
+    many buckets per partition (no Python-per-bucket); pairs are
+    deduped across bands with an aggregate.  Shuffle payload is
+    (id, band, band_key, dhash) -- never pixels."""
+    if not 0 <= max_dist <= 3:
+        raise ValueError("max_dist must be in [0, 3] for exact 4-band recall")
+    import pandas as pd
+
+    hashed = ds.map_batches(DHashImages, fn_constructor_kwargs={"id_col": id_col},
+                            batch_format="pyarrow", concurrency=concurrency)
+
+    def band_expand(batch: pa.Table) -> pa.Table:
+        dh = batch.column("dhash").to_numpy().view(np.uint64)
+        n = len(dh)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = (48 - 16 * band).astype(np.uint64)
+        key = ((np.repeat(dh, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        part = ((key * np.int64(4) + band) % n_partitions).astype(np.int32)
+        ids = batch.column(id_col).take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), 4)))
+        return pa.table(
+            {
+                id_col: ids,
+                "dhash": pa.array(np.repeat(dh.view(np.int64), 4), pa.int64()),
+                "band": pa.array(band, pa.int32()),
+                "band_key": pa.array(key, pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    parted = hashed.map_batches(band_expand, batch_format="pyarrow")
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band", "band_key"])[id_col].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_bucket)]
+        if g.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object)})
+        m = g.merge(g, on=["band", "band_key"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        x = m["dhash_a"].to_numpy().astype(np.int64).view(np.uint64) ^ \
+            m["dhash_b"].to_numpy().astype(np.int64).view(np.uint64)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        m = m[ham <= max_dist]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        out.columns = ["id_a", "id_b"]
+        return out
+
+    cand = parted.groupby("part").map_groups(pairs_in_partition,
+                                             batch_format="pandas")
+    # dedupe across bands (a close pair can collide in several bands)
+    from ray.data.aggregate import Count
+
+    return (
+        cand.repartition(4)
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["id_a", "id_b"])
+    )
 
 
 class AudioFeatures:
