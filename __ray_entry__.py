@@ -232,6 +232,25 @@ def q_token_stats_by_lang(sf_dir: str):
     )
 
 
+def q_bpe_token_stats(sf_dir: str):
+    """BPE-ish (GPT-2 pre-tokenizer regex) token counting rolled up by
+    language -- one RE2 kernel per batch, combiner-free keyed aggregate
+    (|langs| groups)."""
+    from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.stages.text import bpe_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return (
+        ds.map_batches(bpe_token_count, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_bpe_tokens", alias_name="sum_bpe_tokens"),
+        )
+    )
+
+
 def q_punct_by_source(sf_dir: str):
     """Quality-scoring features (punctuation counts) rolled up by source."""
     from ray.data.aggregate import Count, Sum
@@ -1238,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "children_expand": q_children_expand,
         "dedup_exact_docs": q_dedup_exact_docs,
         "token_stats_by_lang": q_token_stats_by_lang,
+        "bpe_token_stats": q_bpe_token_stats,
         "punct_by_source": q_punct_by_source,
         "events_hourly": q_events_hourly,
         "knn_cosine": q_knn_cosine,
@@ -1275,6 +1295,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_hopping": q_events_hopping,
     }
+
+
+def _bpe_token_stats_sql() -> str:
+    """SQL mirror of stages.text.bpe_token_count: DuckDB's
+    regexp_extract_all runs the SAME RE2 engine as Arrow's
+    count_substring_regex, so counting matches of the shared
+    BPE_SPLIT_RE constant is exact (unicode classes included)."""
+    from equi7grid_ray.stages.text import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return (
+        "SELECT lang, count(*) AS n_docs, "
+        f"CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) "
+        "AS sum_bpe_tokens FROM documents GROUP BY lang"
+    )
 
 
 def _langid_oracle_sql() -> str:
@@ -1348,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens, "
             "CAST(sum(length(text)) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
         ),
+        "bpe_token_stats": _bpe_token_stats_sql(),
         "punct_by_source": (
             "SELECT source, count(*) AS n_docs, "
             "CAST(sum(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS BIGINT) AS sum_punct "

@@ -12,7 +12,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_stats", "quality_score", "LangId", "fingerprint64"]
+__all__ = ["token_stats", "bpe_token_count", "quality_score", "LangId",
+           "fingerprint64", "BPE_SPLIT_RE"]
+
+# GPT-2-style pre-tokenizer split pattern (contractions, letter runs,
+# digit runs, punctuation runs, whitespace) -- the "BPE-ish regex" token
+# counter of the training-data brief.  RE2 syntax: Arrow's
+# count_substring_regex and DuckDB's regexp_extract_all both run RE2,
+# so the SQL oracle is exactly this pattern (verified parity incl.
+# unicode \p{L} classes).
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
 def token_stats(batch: pa.Table) -> pa.Table:
@@ -31,6 +40,22 @@ def token_stats(batch: pa.Table) -> pa.Table:
             "source": batch.column("source"),
             "n_chars": pc.cast(n_chars, pa.int64()),
             "n_tokens": pc.cast(n_tokens, pa.int64()),
+        }
+    )
+
+
+def bpe_token_count(batch: pa.Table) -> pa.Table:
+    """Sub-word-ish token count per document: one RE2 kernel
+    (count of BPE_SPLIT_RE pre-tokenizer matches), no Python loop.
+    A real BPE vocab merge only splits these pieces further, so this is
+    the standard cheap estimator for tokens-per-doc budgeting."""
+    text = batch.column("text")
+    n_bpe = pc.count_substring_regex(text, BPE_SPLIT_RE)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
         }
     )
 

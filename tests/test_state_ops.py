@@ -521,3 +521,19 @@ def test_verified_near_dup_pairs(ray_session):
     from equi7grid_ray.stages.dedup import ngram_jaccard
     for a, b in got:
         assert ngram_jaccard(docs[a], docs[b]) >= 0.9
+
+
+def test_bpe_token_count():
+    """GPT-2-style pre-tokenizer counts (contraction split, letter/digit
+    runs, punctuation runs, whitespace runs -- incl. unicode \\p{L})."""
+    from equi7grid_ray.stages.text import bpe_token_count
+
+    texts = ["Hello world, its 2026!", "a  b", "", "naive café 42x",
+             "don't stop-me now", "   ", "Ümlaut ärger 3.14"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+    })
+    out = bpe_token_count(t)
+    assert out.column("n_bpe_tokens").to_pylist() == [6, 3, 0, 4, 6, 1, 5]
