@@ -151,21 +151,28 @@ class DHashImages:
 
 
 def dhash_near_dup(ds, max_dist: int = 3, id_col: str = "image_id",
-                   n_partitions: int = 64, max_bucket: int = 2000,
+                   n_partitions: int = 64, max_bucket: int | None = 2000,
                    concurrency=(1, 8)):
     """images -> EXACT Hamming-near-duplicate pairs via banded dHash.
 
     The 64-bit dHash is split into 4 bands of 16 bits; by pigeonhole any
     pair within Hamming distance ``max_dist`` <= 3 agrees on at least
-    one full band, so banding here is an exact pre-filter, not an
-    approximation: recall is 1.0 by construction (asserted against
-    brute force in tests, and against an O(n^2) SQL oracle).
+    one full band, so banding is an exact pre-filter, not an
+    approximation: with ``max_bucket=None`` recall is 1.0 by
+    construction (asserted against brute force in tests, and against an
+    O(n^2) SQL oracle).  A finite ``max_bucket`` drops buckets larger
+    than the cap -- the standard mega-bucket valve for corpora with
+    near-identical spam clusters, where the TRUE pair set is itself
+    quadratic and not worth emitting.
 
     Scale shape mirrors lsh_candidate_pairs (dedup.py): band rows are
     hash-partitioned so one vectorized self-merge + popcount handles
-    many buckets per partition (no Python-per-bucket); pairs are
-    deduped across bands with an aggregate.  Shuffle payload is
-    (id, band, band_key, dhash) -- never pixels."""
+    many buckets per partition (no Python-per-bucket).  Each pair is
+    emitted only by its FIRST matching band (earlier-band xor segments
+    checked vectorized), so the output is globally unique with NO
+    cross-band dedupe shuffle; the wide merge carries only integers
+    (local index codes), ids are gathered for the surviving pairs only.
+    Shuffle payload is (id, band, band_key, dhash) -- never pixels."""
     if not 0 <= max_dist <= 3:
         raise ValueError("max_dist must be in [0, 3] for exact 4-band recall")
     import pandas as pd
@@ -193,34 +200,48 @@ def dhash_near_dup(ds, max_dist: int = 3, id_col: str = "image_id",
         )
 
     parted = hashed.map_batches(band_expand, batch_format="pyarrow")
+    _empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                           "id_b": pd.Series([], dtype=object)})
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby(["band", "band_key"])[id_col].transform("size")
-        g = g[(sizes >= 2) & (sizes <= max_bucket)]
-        if g.empty:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                                 "id_b": pd.Series([], dtype=object)})
-        m = g.merge(g, on=["band", "band_key"], suffixes=("_a", "_b"))
-        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        mask = sizes >= 2
+        if max_bucket is not None:
+            mask &= sizes <= max_bucket
+        ids = g[id_col].to_numpy(dtype=str)  # '<U' array: vectorized compares
+        # integer-only frame for the wide self-merge (no string payload)
+        g2 = pd.DataFrame({
+            "band": g["band"].to_numpy(),
+            "band_key": g["band_key"].to_numpy(),
+            "dhash": g["dhash"].to_numpy(),
+            "ix": np.arange(len(g), dtype=np.int64),
+        })[mask.to_numpy()]
+        if g2.empty:
+            return _empty.copy()
+        m = g2.merge(g2, on=["band", "band_key"], suffixes=("_a", "_b"))
+        m = m[m["ix_a"].to_numpy() < m["ix_b"].to_numpy()]
         x = m["dhash_a"].to_numpy().astype(np.int64).view(np.uint64) ^ \
             m["dhash_b"].to_numpy().astype(np.int64).view(np.uint64)
         ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        m = m[ham <= max_dist]
-        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
-        out.columns = ["id_a", "id_b"]
-        return out
+        keep = ham <= max_dist
+        # first-matching-band rule: a pair colliding in several bands is
+        # emitted only where band == its lowest matching band, so pairs
+        # are globally unique without a dedupe shuffle
+        band = m["band"].to_numpy()
+        prior = np.zeros(len(x), dtype=bool)
+        for k in range(3):
+            segk = ((x >> np.uint64(48 - 16 * k)) & np.uint64(0xFFFF)) == 0
+            prior |= segk & (band > k)
+        keep &= ~prior
+        ia = m["ix_a"].to_numpy()[keep]
+        ib = m["ix_b"].to_numpy()[keep]
+        a, b = ids[ia], ids[ib]
+        lo = a <= b  # '<U' comparison is vectorized (minimum/maximum are not)
+        return pd.DataFrame({"id_a": np.where(lo, a, b),
+                             "id_b": np.where(lo, b, a)})
 
-    cand = parted.groupby("part").map_groups(pairs_in_partition,
+    return parted.groupby("part").map_groups(pairs_in_partition,
                                              batch_format="pandas")
-    # dedupe across bands (a close pair can collide in several bands)
-    from ray.data.aggregate import Count
-
-    return (
-        cand.repartition(4)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["id_a", "id_b"])
-    )
 
 
 class AudioFeatures:
