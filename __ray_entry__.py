@@ -1220,6 +1220,134 @@ def q_frame_sample(sf_dir: str):
     return out.groupby("frame_index").aggregate(Count(alias_name="n"))
 
 
+_ASOF_GAP_W = 21_600_000_000  # 6 h in microseconds (range-join window)
+
+
+def q_events_asof_click(sf_dir: str):
+    """Point-in-time join: each 'purchase' event matched to the SAME
+    user's most recent 'click' at-or-before it (asof_join operator:
+    hash-partition by user, one pandas.merge_asof per partition), then
+    per-user totals.  SQL-oracled via DuckDB ASOF LEFT JOIN."""
+    from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.stages.join import asof_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(kind: str, carry: str | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch.column("event_type"), kind)
+            b = batch.filter(keep)
+            ts_us = pc.cast(b.column("ts"), pa.int64())
+            cols = {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "ts_us": ts_us,
+            }
+            if carry:
+                # merge_asof consumes the 'on' column; carry a copy so
+                # the matched right timestamp survives into the output
+                cols[carry] = ts_us
+            return pa.table(cols)
+
+        return fn
+
+    purchases = ev.map_batches(prep("purchase", None), batch_format="pyarrow")
+    clicks = ev.map_batches(prep("click", "click_ts_us"), batch_format="pyarrow")
+    j = asof_join(purchases, clicks, on="ts_us", by="user_id",
+                  direction="backward", n_partitions=16)
+
+    def post(batch: pa.Table) -> pa.Table:
+        click = batch.column("click_ts_us")
+        matched = pc.cast(pc.is_valid(click), pa.int64())
+        # unmatched rows null-upcast the column to float64; epoch-us
+        # values are < 2^53 so the round-trip back to int64 is exact
+        click_i = pc.cast(pc.fill_null(click, 0), pa.int64())
+        ts_i = pc.cast(batch.column("ts_us"), pa.int64())
+        gap = pc.multiply(pc.subtract(ts_i, click_i), matched)
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "matched": matched,
+            "gap_us": gap,
+        })
+
+    return (
+        j.map_batches(post, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_purchases"),
+            Sum("matched", alias_name="n_matched"),
+            Sum("gap_us", alias_name="sum_gap_us"),
+        )
+    )
+
+
+def q_events_range_join(sf_dir: str):
+    """Interval self-join: for every event, the same user's events in
+    the 6 h AFTER it (strictly later), counted by (earlier, later)
+    event-type pair.  range_join operator: bucket-replicated intervals,
+    one vectorized merge per bucket, no dedup needed.  SQL-oracled by a
+    plain inequality self-join."""
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.stages.join import range_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "type_b": batch.column("event_type"),
+        })
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "ts_lo": pc.add(ts_us, 1),
+            "ts_hi": pc.add(ts_us, _ASOF_GAP_W),
+            "type_a": batch.column("event_type"),
+        })
+
+    left = ev.map_batches(prep_left, batch_format="pyarrow")
+    right = ev.map_batches(prep_right, batch_format="pyarrow")
+    j = range_join(left, right, left_on="ts_us", right_lo="ts_lo",
+                   right_hi="ts_hi", by="user_id",
+                   bucket_width=float(_ASOF_GAP_W))
+    return (
+        j.select_columns(["type_a", "type_b"])
+        .groupby(["type_a", "type_b"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality-score histogram: integer-bucketed mean-token-length,
+    digit/punct deciles and stopword rate per lang (the counts under
+    stages.text.quality_score's float ratios, bucketed in pure integer
+    arithmetic so the SQL oracle is bit-exact)."""
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.stages.text import quality_buckets
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = docs.map_batches(quality_buckets, batch_format="pyarrow")
+    return (
+        out.groupby(["lang", "mtl_bucket", "digit_decile", "stop_pm_bucket"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_fingerprint_docs(sf_dir: str):
+    """Per-document 64-bit rolling polynomial fingerprint
+    (stages.text.fingerprint64, offset-buffer pass).  SQL-oracled by a
+    HUGEINT mod-2^64 mirror of the byte polynomial + splitmix64."""
+    from equi7grid_ray.stages.text import fingerprint64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(fingerprint64, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship smoke: sf0.001 lineitem -> derived global coordinates ->
     zone PIP -> AEQD forward -> tile assignment rows."""
@@ -1294,6 +1422,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_index_salted": q_cell_index_salted,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_hopping": q_events_hopping,
+        "events_asof_click": q_events_asof_click,
+        "events_range_join": q_events_range_join,
+        "doc_quality": q_doc_quality,
+        "fingerprint_docs": q_fingerprint_docs,
     }
 
 
@@ -1341,6 +1473,31 @@ def _sqlgen():
     from equi7grid_ray import sqlgen
 
     return sqlgen
+
+
+def _doc_quality_sql() -> str:
+    """SQL mirror of stages.text.quality_buckets: all-integer bucket
+    arithmetic, stopword hits via non-overlapping replace counting
+    (same greedy left-to-right scan as Arrow's count_substring)."""
+    from equi7grid_ray.stages.text import STOPWORDS
+
+    hits = " + ".join(
+        f"(length(text) - length(replace(text, '{sw}', ''))) // {len(sw)}"
+        for sw in STOPWORDS
+    )
+    return (
+        "WITH q AS (SELECT lang, "
+        "length(text) AS n_chars, "
+        "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens, "
+        "length(replace(text, ' ', '')) AS nonspace, "
+        "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits, "
+        f"({hits}) AS hits FROM documents) "
+        "SELECT lang, nonspace // n_tokens AS mtl_bucket, "
+        "(digits * 10) // greatest(n_chars, 1) AS digit_decile, "
+        "(hits * 1000) // n_tokens AS stop_pm_bucket, "
+        "count(*) AS n FROM q "
+        "GROUP BY lang, mtl_bucket, digit_decile, stop_pm_bucket"
+    )
 
 
 def _ivf_oracle_sql() -> str:
@@ -1489,6 +1646,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle_sql(),
         "regrid_equi7": _sqlgen().regrid_equi7_sql(),
         "embedding_near_dup": _sqlgen().embedding_near_dup_sql(dim=64, bands=8, r=4, threshold=0.4),
+        "events_asof_click": (
+            "WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT p.user_id, count(*) AS n_purchases, "
+            "count(c.ts_us) AS n_matched, "
+            "CAST(COALESCE(sum(p.ts_us - c.ts_us), 0) AS BIGINT) AS sum_gap_us "
+            "FROM p ASOF LEFT JOIN c "
+            "ON p.user_id = c.user_id AND p.ts_us >= c.ts_us "
+            "GROUP BY p.user_id"
+        ),
+        "events_range_join": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us "
+            "FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "count(*) AS n FROM e a JOIN e b ON a.user_id = b.user_id "
+            f"AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + {_ASOF_GAP_W} "
+            "GROUP BY type_a, type_b"
+        ),
+        "doc_quality": _doc_quality_sql(),
+        "fingerprint_docs": _sqlgen().fingerprint_sql(),
         "pixel_index": (
             f"WITH d AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "
             f"(l_suppkey * {_YMUL}) % {_YMOD} AS y FROM lineitem) "

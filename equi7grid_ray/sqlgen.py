@@ -101,6 +101,60 @@ FROM documents d LEFT JOIN fp f USING (doc_id)
 """
 
 
+def _mulv(x: str, y: str) -> str:
+    """``(x * y) mod 2^64`` for two UBIGINT SQL expressions: split y
+    into 32-bit halves so intermediates stay < 2^97 (HUGEINT-safe)."""
+    lo = f"({x}::HUGEINT * ({y} % {1 << 32}))"
+    hi = f"((({x}::HUGEINT * ({y} >> 32)) % {1 << 32}) * {1 << 32})"
+    return f"CAST(({lo} + {hi}) % {U64} AS UBIGINT)"
+
+
+FP_SEED = 0x9E3779B97F4A7C15  # fingerprint64's seed (distinct from dedup)
+
+
+def fingerprint_sql(max_len: int = 4096) -> str:
+    """Mirror of stages/text.py:fingerprint64 over ``documents``:
+    H = sum_j byte_j * PRIME^j (mod 2^64) over the raw bytes, then
+    splitmix64(H xor len*PRIME xor seed).  Powers factor two-level
+    (PRIME^j = PRIME^(j%64) * (PRIME^64)^(j//64)) so the literal tables
+    stay at 64 + max_len/64 rows.  Valid for ASCII docs up to
+    ``max_len`` chars (driver corpus max 553)."""
+    p64 = pow(_PRIME, 64, U64)
+    pw2_rows = ", ".join(
+        f"({q}, {pow(p64, q, U64)}::UBIGINT)"
+        for q in range(max_len // 64 + 1)
+    )
+    pp = _mulv("p1.p", "p2.p")
+    return f"""
+WITH pw1(r, p) AS (VALUES {_pow_values(64)}),
+pw2(q, p) AS (VALUES {pw2_rows}),
+chars AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+    ascii(substring(text, CAST(i AS INT), 1))::UBIGINT AS byte
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)),
+terms AS (
+  SELECT c.doc_id,
+    (c.byte::HUGEINT * {pp}) % {U64} AS term
+  FROM chars c
+  JOIN pw1 p1 ON p1.r = (c.i - 1) % 64
+  JOIN pw2 p2 ON p2.q = (c.i - 1) // 64),
+hsum AS (
+  SELECT doc_id, CAST(SUM(term) % {U64} AS UBIGINT) AS hraw
+  FROM terms GROUP BY doc_id),
+seeded AS (
+  SELECT d.doc_id,
+    xor(xor(COALESCE(h.hraw, 0),
+            CAST((length(d.text)::HUGEINT * {_PRIME}) % {U64} AS UBIGINT)),
+        {FP_SEED}::UBIGINT) AS h
+  FROM documents d LEFT JOIN hsum h USING (doc_id)),
+{_mix64_ctes('seeded', 'h', 'doc_id')}
+SELECT doc_id,
+  CAST(CASE WHEN h >= {1 << 63}::UBIGINT
+       THEN h::HUGEINT - {U64} ELSE h::HUGEINT END AS BIGINT) AS fingerprint
+FROM mixed
+"""
+
+
 def minhash_constants(num_perm: int = 64, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """The SAME permutation constants MinHasher(seed 42) builds."""
     rng = np.random.default_rng(seed)

@@ -16,6 +16,24 @@ switch to needs one.  Two shapes, chosen by side size:
   broadcast path.
 
 Both return a Dataset and preserve streaming on the probe/large side.
+
+Two more shapes the Dataset API lacks outright (custom operators per
+the brief; each documents its partitioning assumption):
+
+- ``asof_join``: for every left row, the single right row with the
+  greatest ``on`` value <= (or >=) the left's, within the same ``by``
+  key -- the classic point-in-time join (reference users run this for
+  "sensor reading at acquisition time" lookups).  Partitioning
+  assumption: all rows of one ``by`` key land in one hash partition;
+  within a partition the merge is ONE ``pandas.merge_asof`` (sort +
+  galloping scan, vectorized), not a per-key Python loop.
+- ``range_join``: inner join on ``left.on BETWEEN right.lo AND
+  right.hi`` (plus an optional ``by`` equality).  Partitioning
+  assumption: values are bucketed by a fixed width; each right
+  interval is replicated to every bucket it overlaps while each left
+  row goes to exactly ONE bucket, so a matching pair meets in exactly
+  one bucket and no post-join dedup is needed.  Bucket width trades
+  replication (wide intervals) against bucket count.
 """
 
 from __future__ import annotations
@@ -25,7 +43,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["broadcast_join", "shuffle_hash_join"]
+__all__ = ["broadcast_join", "shuffle_hash_join", "asof_join", "range_join"]
 
 
 def broadcast_join(
@@ -110,6 +128,30 @@ def broadcast_join(
     )
 
 
+def _add_part_fn(on: str, n_partitions: int):
+    """map_batches body appending ``__part = mix64(key) % n_partitions``
+    (int keys hashed directly, strings via the offset-buffer hash)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.stages.dedup import (
+            _column_bytes,
+            _mix64,
+            hash_bytes_offsets,
+        )
+
+        col = batch.column(on)
+        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _mix64(k.view(np.uint64))
+        else:
+            flat, offs = _column_bytes(col.cast(pa.string()))
+            h = hash_bytes_offsets(flat, offs).view(np.uint64)
+        part = (h % np.uint64(n_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part, pa.int32()))
+
+    return add_part
+
+
 def shuffle_hash_join(
     left,
     right,
@@ -177,24 +219,9 @@ def shuffle_hash_join(
     rt = right.map_batches(project(1), batch_format="pyarrow")
     unioned = lt.union(rt)
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        from equi7grid_ray.stages.dedup import (
-            _column_bytes,
-            _mix64,
-            hash_bytes_offsets,
-        )
-
-        col = batch.column(on)
-        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
-            k = col.to_numpy(zero_copy_only=False).astype(np.int64)
-            h = _mix64(k.view(np.uint64))
-        else:
-            flat, offs = _column_bytes(col.cast(pa.string()))
-            h = hash_bytes_offsets(flat, offs).view(np.uint64)
-        part = (h % np.uint64(n_partitions)).astype(np.int32)
-        return batch.append_column("__part", pa.array(part, pa.int32()))
-
-    parted = unioned.map_batches(add_part, batch_format="pyarrow")
+    parted = unioned.map_batches(
+        _add_part_fn(on, n_partitions), batch_format="pyarrow"
+    )
 
     # side-filtered frames are null-free on their own columns, so restore
     # the original dtypes (the union's null fill upcasts ints to float64
@@ -219,3 +246,198 @@ def shuffle_hash_join(
         return gl.merge(gr, on=on, how=how)
 
     return parted.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
+def _tag_union(left, right, lkeep: list[str], rkeep: list[str],
+               rename: dict[str, str]):
+    """Project both sides into one superset schema (side tag + null
+    fills) and union them -- the shared first half of every cogroup
+    shuffle here.  ``rename`` maps right-side source -> output name."""
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    super_fields = (
+        [(c, ltypes[c]) for c in lkeep]
+        + [(rename.get(c, c), rtypes[c]) for c in rkeep
+           if rename.get(c, c) not in dict((x, None) for x in lkeep)]
+        + [("__side", pa.int8())]
+    )
+    back = {rename.get(c, c): c for c in rkeep}
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in super_fields:
+                if name == "__side":
+                    cols[name] = pa.array(np.full(n, side, np.int8))
+                elif side == 0 and name in lkeep:
+                    cols[name] = batch.column(name).cast(typ)
+                elif side == 1 and back.get(name) in batch.column_names:
+                    cols[name] = batch.column(back[name]).cast(typ)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(project(0), batch_format="pyarrow")
+    rt = right.map_batches(project(1), batch_format="pyarrow")
+    return lt.union(rt), super_fields
+
+
+def _np_types(super_fields) -> dict:
+    out = {}
+    for name, typ in super_fields:
+        if name != "__side":
+            try:
+                out[name] = typ.to_pandas_dtype()
+            except NotImplementedError:
+                pass
+    return out
+
+
+def _restore_dtypes(df: pd.DataFrame, np_types: dict) -> pd.DataFrame:
+    """Undo the union null-fill float upcast on null-free columns."""
+    return df.astype({c: np_types[c] for c in df.columns
+                      if c in np_types and not df[c].isna().any()})
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    suffix: str = "_r",
+    n_partitions: int = 64,
+):
+    """Point-in-time join: for each left row, the ONE right row with the
+    closest ``on`` value at-or-before it ('backward') / at-or-after it
+    ('forward'), matching on ``by`` equality; left rows with no match
+    keep nulls (left-join semantics, like pandas.merge_asof and DuckDB
+    ASOF LEFT JOIN).
+
+    Shuffle shape: both sides hash-partitioned by ``by`` (every row
+    moves once); each partition is merged by ONE ``pandas.merge_asof``
+    -- a sort + per-key galloping scan over the whole partition, so
+    Python-call count is O(n_partitions), not O(keys) or O(rows).
+    Ties on (by, on) keep pandas' semantics (last right row wins);
+    pre-dedupe the right side per (by, on) for full determinism."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("asof_join: direction must be backward|forward")
+    lkeep = list(left.schema().names)
+    rkeep = list(right.schema().names)
+    rename = {c: (c + suffix if c in lkeep and c not in (on, by) else c)
+              for c in rkeep}
+    # on/by are equality/ordering inputs shared by both sides: the right
+    # side's copies are not re-emitted
+    rdata = [c for c in rkeep if c not in (on, by)]
+    unioned, super_fields = _tag_union(
+        left, right, lkeep, [on, by] + rdata, rename
+    )
+    parted = unioned.map_batches(
+        _add_part_fn(by, n_partitions), batch_format="pyarrow"
+    )
+    np_types = _np_types(super_fields)
+    rout = [rename.get(c, c) for c in rdata]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["__side"] == 0][lkeep]
+        gr = g[g["__side"] == 1][[by, on] + rout]
+        gl = _restore_dtypes(gl, np_types)
+        gr = _restore_dtypes(gr, np_types)
+        gl = gl.sort_values(on, kind="stable")
+        gr = gr.sort_values(on, kind="stable")
+        return pd.merge_asof(
+            gl, gr, on=on, by=by, direction=direction,
+            allow_exact_matches=allow_exact_matches,
+        )
+
+    return parted.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
+def range_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    right_lo: str,
+    right_hi: str,
+    by: str | None = None,
+    bucket_width: float,
+    suffix: str = "_r",
+):
+    """Interval join: left rows paired with every right row whose
+    ``[right_lo, right_hi]`` range contains ``left.left_on`` (inclusive
+    both ends), optionally also requiring ``by`` equality.
+
+    Shuffle shape: buckets of ``bucket_width`` on the join value.  Each
+    LEFT row goes to exactly one bucket (its value's); each RIGHT
+    interval is replicated to every bucket it overlaps -- so a matching
+    pair meets exactly once and the output needs no dedup.  Replication
+    factor = interval span / bucket_width; pick the width near the
+    typical span.  Within a bucket the match is one vectorized pandas
+    merge (on bucket [+ by]) then a range filter."""
+    lkeep = list(left.schema().names)
+    rkeep = list(right.schema().names)
+    rename = {c: (c + suffix if c in lkeep else c) for c in rkeep}
+    unioned, super_fields = _tag_union(left, right, lkeep, rkeep, rename)
+    rout = [rename.get(c, c) for c in rkeep]
+    np_types = _np_types(super_fields)
+    w = float(bucket_width)
+    lo_o, hi_o = rename.get(right_lo, right_lo), rename.get(right_hi, right_hi)
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:
+            return batch.append_column("__bucket", pa.array([], pa.int64()))
+        v = batch.column(left_on).to_numpy(zero_copy_only=False)
+        if (side == 0).all():
+            b = np.floor(v.astype(np.float64) / w).astype(np.int64)
+            return batch.append_column("__bucket", pa.array(b))
+        # right side: replicate each interval to all buckets it overlaps
+        # (left rows carry null lo/hi in mixed batches -- zero-fill so the
+        # int cast below is defined; their reps/bucket come from lb)
+        lo = np.nan_to_num(
+            batch.column(lo_o).to_numpy(zero_copy_only=False).astype(np.float64))
+        hi = np.nan_to_num(
+            batch.column(hi_o).to_numpy(zero_copy_only=False).astype(np.float64))
+        b0 = np.floor(lo / w).astype(np.int64)
+        b1 = np.floor(hi / w).astype(np.int64)
+        reps = np.where(side == 1, b1 - b0 + 1, 1)
+        idx = np.repeat(np.arange(batch.num_rows), reps)
+        out = batch.take(pa.array(idx))
+        # bucket number within each replicated run
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        offs = np.arange(len(idx)) - np.repeat(starts, reps)
+        lb = np.floor(np.nan_to_num(
+            batch.column(left_on).to_numpy(zero_copy_only=False)[idx]
+            .astype(np.float64)) / w
+        ).astype(np.int64)
+        bucket = np.where(side[idx] == 1, b0[idx] + offs, lb)
+        return out.append_column("__bucket", pa.array(bucket))
+
+    bucketed = unioned.map_batches(to_buckets, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["__side"] == 0][lkeep]
+        gr = g[g["__side"] == 1][rout]
+        gl = _restore_dtypes(gl, np_types)
+        gr = _restore_dtypes(gr, np_types)
+        keys = [by] if by else []
+        if keys:
+            m = gl.merge(gr, left_on=keys, right_on=[rename.get(by, by)]
+                         if rename.get(by, by) in gr.columns else keys,
+                         how="inner")
+        else:
+            m = gl.assign(__x=1).merge(gr.assign(__x=1), on="__x").drop(
+                columns="__x")
+        m = m[(m[left_on] >= m[lo_o]) & (m[left_on] <= m[hi_o])]
+        return m
+
+    return bucketed.groupby("__bucket").map_groups(
+        merge, batch_format="pandas"
+    )

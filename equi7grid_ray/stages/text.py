@@ -12,8 +12,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_stats", "bpe_token_count", "quality_score", "LangId",
-           "fingerprint64", "BPE_SPLIT_RE"]
+__all__ = ["token_stats", "bpe_token_count", "quality_score",
+           "quality_buckets", "LangId", "fingerprint64", "BPE_SPLIT_RE",
+           "STOPWORDS"]
+
+# interior-occurrence stopword probes (space-padded, so only
+# mid-document occurrences count -- identical semantics to the SQL
+# oracle's replace-based counting); en/de/fr mix matching the corpus
+STOPWORDS = [" the ", " and ", " of ", " to ", " in ",
+             " der ", " die ", " und ", " les ", " et "]
 
 # GPT-2-style pre-tokenizer split pattern (contractions, letter runs,
 # digit runs, punctuation runs, whitespace) -- the "BPE-ish regex" token
@@ -86,6 +93,51 @@ def quality_score(batch: pa.Table) -> pa.Table:
         "punct_ratio",
         pc.divide(pc.cast(punct, pa.float64()), pc.cast(n_chars, pa.float64())),
     )
+
+
+def quality_buckets(batch: pa.Table) -> pa.Table:
+    """Integer-bucketed quality features (all-integer arithmetic so an
+    SQL oracle reproduces them bit-exactly; the float-ratio variant for
+    pipeline use is ``quality_score``):
+
+    - ``mtl_bucket``   = non-space chars // tokens (mean token length)
+    - ``digit_decile`` = digits * 10 // chars
+    - ``stop_pm_bucket`` = stopword hits * 1000 // tokens (per-mille)
+    """
+    text = batch.column("text")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    spaces = pc.subtract(
+        n_chars, pc.cast(
+            pc.utf8_length(pc.replace_substring(text, " ", "")), pa.int64())
+    )
+    n_tokens = pc.add(spaces, 1)
+    nonspace = pc.subtract(n_chars, spaces)
+    digits = pc.subtract(
+        n_chars,
+        pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(text, r"[0-9]", "")), pa.int64()),
+    )
+    hits = None
+    for sw in STOPWORDS:
+        c = pc.cast(pc.count_substring(text, sw), pa.int64())
+        hits = c if hits is None else pc.add(hits, c)
+    # int64/int64 pc.divide truncates; operands are non-negative, so
+    # truncation == floor == the SQL oracle's // (no float round-trip)
+    def idiv(a, b):
+        return pc.divide(a, b)
+
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "lang": batch.column("lang"),
+        "mtl_bucket": idiv(nonspace, n_tokens),
+        # max(chars,1): empty docs land in decile 0 instead of dividing
+        # by zero (n_tokens is always >= 1)
+        "digit_decile": idiv(pc.multiply(digits, pa.scalar(10, pa.int64())),
+                             pc.max_element_wise(
+                                 n_chars, pa.scalar(1, pa.int64()))),
+        "stop_pm_bucket": idiv(
+            pc.multiply(hits, pa.scalar(1000, pa.int64())), n_tokens),
+    })
 
 
 class LangId:

@@ -97,3 +97,93 @@ def test_shuffle_join_high_cardinality(ray_session):
         exp.sort_values("k").reset_index(drop=True),
         check_like=True,
     )
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    from equi7grid_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    left = pa.table({
+        "u": pa.array(rng.integers(0, 20, n_l), pa.int64()),
+        "t": pa.array(rng.integers(0, 10_000, n_l), pa.int64()),
+        "lv": pa.array(np.arange(n_l, dtype=np.int64)),
+    })
+    right = pa.table({
+        "u": pa.array(rng.integers(0, 20, n_r), pa.int64()),
+        "t": pa.array(rng.integers(0, 10_000, n_r), pa.int64()),
+        "rv": pa.array(np.arange(n_r, dtype=np.int64) * 7),
+    })
+    # dedupe right per (u, t): merge_asof tie-handling would otherwise
+    # depend on input order (documented in the operator docstring)
+    rdf = (right.to_pandas().sort_values(["u", "t", "rv"])
+           .drop_duplicates(["u", "t"], keep="last"))
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(rd.from_arrow(left),
+                      rd.from_arrow(pa.Table.from_pandas(rdf)),
+                      on="t", by="u", direction=direction, n_partitions=8)
+            .to_pandas().sort_values(["u", "t", "lv"]).reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.to_pandas().sort_values("t", kind="stable"),
+            rdf.sort_values("t", kind="stable"),
+            on="t", by="u", direction=direction,
+        ).sort_values(["u", "t", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["u", "t", "lv", "rv"]], exp[["u", "t", "lv", "rv"]],
+            check_dtype=False,
+        )
+
+
+def test_range_join_matches_pandas(ray_session):
+    from equi7grid_ray.stages.join import range_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 500, 120
+    left = pa.table({
+        "u": pa.array(rng.integers(0, 10, n_l), pa.int64()),
+        "x": pa.array(rng.integers(0, 5_000, n_l), pa.int64()),
+        "lv": pa.array(np.arange(n_l, dtype=np.int64)),
+    })
+    lo = rng.integers(0, 4_500, n_r)
+    span = rng.integers(0, 900, n_r)  # spans cross bucket boundaries (w=300)
+    right = pa.table({
+        "u": pa.array(rng.integers(0, 10, n_r), pa.int64()),
+        "lo": pa.array(lo, pa.int64()),
+        "hi": pa.array(lo + span, pa.int64()),
+        "rv": pa.array(np.arange(n_r, dtype=np.int64)),
+    })
+    got = (
+        range_join(rd.from_arrow(left), rd.from_arrow(right),
+                   left_on="x", right_lo="lo", right_hi="hi", by="u",
+                   bucket_width=300.0)
+        .to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True)
+    )
+    ldf, rdf = left.to_pandas(), right.to_pandas()
+    exp = ldf.merge(rdf, on="u", how="inner")
+    exp = exp[(exp["x"] >= exp["lo"]) & (exp["x"] <= exp["hi"])]
+    exp = exp.sort_values(["lv", "rv"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["u", "x", "lv", "rv"]], exp[["u", "x", "lv", "rv"]],
+        check_dtype=False,
+    )
+
+
+def test_quality_buckets_and_fingerprint_shapes(ray_session):
+    from equi7grid_ray.stages.text import fingerprint64, quality_buckets
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["the cat and the dog 42", "", "a b c"]),
+        "lang": pa.array(["en", "en", "de"]),
+    })
+    q = quality_buckets(batch)
+    assert q.column("mtl_bucket").to_pylist()[0] == 17 // 6
+    assert q.column("digit_decile").to_pylist() == [0, 0, 0]
+    # " and " occurs once interior; " the " once (leading 'the' unpadded)
+    assert q.column("stop_pm_bucket").to_pylist()[0] == 2 * 1000 // 6
+    f = fingerprint64(batch)
+    vals = f.column("fingerprint").to_pylist()
+    assert len(set(vals)) == 3  # distinct content -> distinct fingerprints
