@@ -1204,6 +1204,36 @@ def q_image_dhash_pairs(sf_dir: str):
     return dhash_near_dup(ds, max_dist=3)
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125}
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """Deterministic per-language sample (hash-membership: same rows on
+    any run / cluster size / block layout).  SQL-oracled via the
+    splitmix64 mirror."""
+    from equi7grid_ray.stages.sample import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(docs, "lang", _SAMPLE_RATES,
+                             default_rate=0.0625)
+
+
+def q_audio_pcm_features(sf_dir: str):
+    """Real PCM DSP (no codec): payload bytes as s16le samples ->
+    integer energy / zero-crossings / peak per clip.  SQL-oracled
+    against the synthetic payload pattern (sqlgen.audio_pcm_sql)."""
+    import ray.data as rd
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.multimodal import PCMAudioFeatures
+
+    ds = rd.from_arrow(make_batch(0, 500))
+    return ds.map_batches(
+        PCMAudioFeatures, batch_format="pyarrow", concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def q_frame_sample(sf_dir: str):
     """Video frame-sampling plumbing (deterministic fake demux;
     rows-only)."""
@@ -1416,6 +1446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash": q_image_dhash,
         "image_dhash_pairs": q_image_dhash_pairs,
         "frame_sample": q_frame_sample,
+        "audio_pcm_features": q_audio_pcm_features,
+        "docs_stratified_sample": q_docs_stratified_sample,
         "roi_search_batch": q_roi_search_batch,
         "roi_search_geodesic": q_roi_search_geodesic,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1642,6 +1674,8 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _sqlgen().image_dhash_sql(500),
         "image_dhash_pairs": _sqlgen().image_dhash_pairs_sql(500, max_dist=3),
         "frame_sample": _sqlgen().frame_sample_sql(100),
+        "audio_pcm_features": _sqlgen().audio_pcm_sql(500),
+        "docs_stratified_sample": _sqlgen().stratified_sample_sql(_SAMPLE_RATES, default_rate=0.0625),
         "ann_lsh_buckets": _sqlgen().ann_lsh_buckets_sql(dim=64, n_planes=8),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "regrid_equi7": _sqlgen().regrid_equi7_sql(),

@@ -212,6 +212,9 @@ def _driver_queries() -> dict[str, float]:
         "lsh_near_dup",
         "regrid_sample",
         "pixel_index",
+        "events_asof_click",
+        "events_range_join",
+        "fingerprint_docs",
     ]
     qs = e.queries()
     for name in sel:

@@ -155,6 +155,29 @@ FROM mixed
 """
 
 
+def stratified_sample_sql(rates: dict[str, float], default_rate: float = 0.0,
+                          key_col: str = "lang") -> str:
+    """Mirror of stages/sample.py:stratified_sample over ``documents``:
+    keep iff splitmix64(doc_id xor salt) % 2^32 < threshold(key).
+    Thresholds are computed by the SAME rate_to_threshold and inlined
+    as integers, so no float crosses the SQL boundary."""
+    from equi7grid_ray.stages.sample import SAMPLE_SALT, rate_to_threshold
+
+    whens = " ".join(
+        f"WHEN '{k}' THEN {rate_to_threshold(v)}" for k, v in rates.items()
+    )
+    thr = f"CASE {key_col} {whens} ELSE {rate_to_threshold(default_rate)} END"
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, {key_col},
+    xor(doc_id::UBIGINT, {int(SAMPLE_SALT)}::UBIGINT) AS h
+  FROM documents),
+{_mix64_ctes('h0', 'h', f'doc_id, {key_col}')}
+SELECT doc_id, {key_col} FROM mixed
+WHERE h % {1 << 32} < {thr}
+"""
+
+
 def minhash_constants(num_perm: int = 64, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """The SAME permutation constants MinHasher(seed 42) builds."""
     rng = np.random.default_rng(seed)
@@ -243,6 +266,40 @@ px AS (
   LATERAL (SELECT unnest(range(w)) AS c) c)
 SELECT printf('img%012d', i) AS image_id, avg(v) AS px_mean
 FROM px GROUP BY i
+"""
+
+
+def audio_pcm_sql(n_images: int = 500) -> str:
+    """Mirror of stages/multimodal.py:PCMAudioFeatures over the
+    synthetic payload table: pixel byte p of image i is
+    ((p//w)*h + (p%w)*w + i) % 256; sample k = s16le(bytes 2k, 2k+1);
+    features are pure integer aggregates (energy, zero crossings,
+    peak)."""
+    return f"""
+WITH img AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+s AS (
+  SELECT i, CAST(k.k AS BIGINT) AS k,
+    (((2 * k.k) // w) * h + ((2 * k.k) % w) * w + i) % 256
+      + 256 * ((((2 * k.k + 1) // w) * h + ((2 * k.k + 1) % w) * w + i) % 256)
+      AS u
+  FROM img, UNNEST(range((w * h) // 2)) AS k(k)),
+sv AS (SELECT i, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM s),
+zc0 AS (
+  SELECT i, CASE WHEN (v < 0) <>
+      (lead(v) OVER (PARTITION BY i ORDER BY k) < 0)
+      THEN 1 ELSE 0 END AS f
+  FROM sv),
+zc AS (SELECT i, CAST(SUM(f) AS BIGINT) AS zcr FROM zc0 GROUP BY i)
+SELECT printf('img%012d', sv.i) AS image_id,
+  count(*) AS n_samples,
+  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+  any_value(zc.zcr) AS zcr,
+  CAST(max(abs(v)) AS BIGINT) AS peak
+FROM sv JOIN zc ON zc.i = sv.i GROUP BY sv.i
 """
 
 

@@ -1,0 +1,80 @@
+"""Deterministic sampling stages.
+
+Training-data pipelines need samples that are REPRODUCIBLE (same rows
+on every run, on any cluster size, regardless of block layout) and
+cheap (no shuffle, no global pass).  Both operators here decide
+membership from a splitmix64 hash of the row id -- a pure map stage, so
+the sample of a 100 TB corpus costs one streaming scan, and the same
+row set is selected whether the scan runs on 1 block or 10,000.
+
+- ``hash_sample``: uniform rate.
+- ``stratified_sample``: per-stratum rates keyed by a column (the
+  standard "rebalance languages/sources" step), vectorized via
+  dictionary-code lookup, no per-row Python.
+
+Ray's own ``Dataset.random_sample`` is nondeterministic across runs and
+block layouts; these are the reproducible alternative (and are
+SQL-mirrorable for the oracle gate: splitmix64 in HUGEINT arithmetic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["hash_sample", "stratified_sample", "SAMPLE_SALT"]
+
+SAMPLE_SALT = np.uint64(0xA076_1D64_78BD_642F)  # distinct from dedup/fp seeds
+_DENOM = np.uint64(1) << np.uint64(32)
+
+
+def _keep_mask(ids: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
+    """keep[i] = mix64(id ^ salt) % 2^32 < thresholds[i] (u32 scale)."""
+    from equi7grid_ray.stages.dedup import _mix64
+
+    h = _mix64(ids.astype(np.int64).view(np.uint64) ^ SAMPLE_SALT)
+    return (h.view(np.uint64) % _DENOM) < thresholds.astype(np.uint64)
+
+
+def rate_to_threshold(rate: float) -> int:
+    """u32-scale threshold for a [0, 1] rate (floor, like the SQL)."""
+    return int(min(max(rate, 0.0), 1.0) * float(_DENOM))
+
+
+def hash_sample(ds, rate: float, id_col: str = "doc_id"):
+    """Uniform deterministic sample: keep ~``rate`` of rows, chosen by
+    id hash (stable across runs and block layouts)."""
+    thr = rate_to_threshold(rate)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = _keep_mask(ids, np.full(len(ids), thr, np.uint64))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds, key_col: str, rates: dict[str, float],
+                      default_rate: float = 0.0, id_col: str = "doc_id"):
+    """Per-stratum deterministic sample: row kept at ``rates[key]``
+    (``default_rate`` for unlisted keys).  Membership depends only on
+    the row id, so overlapping strata configurations yield nested
+    samples (rate 0.1 is a subset of rate 0.5 -- handy for scaling-law
+    data ladders)."""
+    thr_map = {k: rate_to_threshold(v) for k, v in rates.items()}
+    default_thr = rate_to_threshold(default_rate)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keys = batch.column(key_col).dictionary_encode()
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        dict_vals = keys.dictionary.to_pylist()
+        lut = np.array([thr_map.get(v, default_thr) for v in dict_vals],
+                       dtype=np.uint64)
+        codes = keys.indices.to_numpy(zero_copy_only=False)
+        thr = lut[codes] if len(lut) else np.zeros(len(ids), np.uint64)
+        keep = _keep_mask(ids, thr)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -187,3 +187,41 @@ def test_quality_buckets_and_fingerprint_shapes(ray_session):
     f = fingerprint64(batch)
     vals = f.column("fingerprint").to_pylist()
     assert len(set(vals)) == 3  # distinct content -> distinct fingerprints
+
+
+def test_stratified_sample_deterministic_and_nested(ray_session):
+    from equi7grid_ray.stages.sample import hash_sample, stratified_sample
+
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(4000, dtype=np.int64)),
+        "lang": pa.array((["en", "de", "fr", "xx"] * 1000)),
+    })
+    small = set(hash_sample(rd.from_arrow(tbl), 0.1).to_pandas()["doc_id"])
+    big = set(hash_sample(rd.from_arrow(tbl), 0.5).to_pandas()["doc_id"])
+    assert small <= big                      # nested ladders
+    assert 0.05 < len(small) / 4000 < 0.15   # ~rate
+    again = set(hash_sample(rd.from_arrow(tbl), 0.1).to_pandas()["doc_id"])
+    assert small == again                    # reproducible
+    strat = stratified_sample(
+        rd.from_arrow(tbl), "lang", {"en": 1.0, "de": 0.0},
+        default_rate=0.25,
+    ).to_pandas()
+    by = strat.groupby("lang").size()
+    assert by.get("en", 0) == 1000 and by.get("de", 0) == 0
+    assert 150 < by.get("fr", 0) < 350 and 150 < by.get("xx", 0) < 350
+
+
+def test_pcm_audio_features_hand_example(ray_session):
+    from equi7grid_ray.stages.multimodal import PCMAudioFeatures
+
+    payload = bytes([0, 0, 255, 255, 1, 0])  # s16le: 0, -1, 1
+    batch = pa.table({
+        "image_id": pa.array(["a"]),
+        "bytes": pa.array([payload], pa.binary()),
+        "fmt": pa.array(["pcm"]),
+    })
+    out = PCMAudioFeatures()(batch)
+    assert out.column("n_samples").to_pylist() == [3]
+    assert out.column("sum_sq").to_pylist() == [2]
+    assert out.column("zcr").to_pylist() == [2]
+    assert out.column("peak").to_pylist() == [1]
