@@ -1204,6 +1204,52 @@ def q_image_dhash_pairs(sf_dir: str):
     return dhash_near_dup(ds, max_dist=3)
 
 
+def q_supplier_topk_per_nation(sf_dir: str):
+    """Top-3 suppliers by lineitem revenue within each nation: keyed
+    aggregate -> two broadcast dimension joins -> grouped_topk (batch
+    combiner + partition cogroup).  SQL-oracled via row_number()."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from equi7grid_ray.stages.join import broadcast_join
+    from equi7grid_ray.stages.topk import grouped_topk
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "s_suppkey": batch.column("l_suppkey").cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    rev = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    j1 = broadcast_join(rev, supp, on="s_suppkey", how="inner")
+
+    def renk(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["n_nationkey" if c == "s_nationkey" else c
+             for c in batch.column_names]
+        )
+
+    j2 = broadcast_join(j1.map_batches(renk, batch_format="pyarrow"),
+                        nation, on="n_nationkey", how="inner")
+    top = grouped_topk(j2, key="n_name", value="cents", k=3,
+                       tie_cols=["s_suppkey"], n_partitions=16)
+    return top.select_columns(["n_name", "s_name", "cents"])
+
+
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125}
 
 
@@ -1448,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "audio_pcm_features": q_audio_pcm_features,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "supplier_topk_per_nation": q_supplier_topk_per_nation,
         "roi_search_batch": q_roi_search_batch,
         "roi_search_geodesic": q_roi_search_geodesic,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1676,6 +1723,17 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _sqlgen().frame_sample_sql(100),
         "audio_pcm_features": _sqlgen().audio_pcm_sql(500),
         "docs_stratified_sample": _sqlgen().stratified_sample_sql(_SAMPLE_RATES, default_rate=0.0625),
+        "supplier_topk_per_nation": (
+            "WITH r AS (SELECT l_suppkey, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS cents FROM lineitem GROUP BY l_suppkey), "
+            "j AS (SELECT n_name, s_name, s_suppkey, cents FROM r "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey), "
+            "w AS (SELECT *, row_number() OVER (PARTITION BY n_name "
+            "ORDER BY cents DESC, s_suppkey) AS rk FROM j) "
+            "SELECT n_name, s_name, cents FROM w WHERE rk <= 3"
+        ),
         "ann_lsh_buckets": _sqlgen().ann_lsh_buckets_sql(dim=64, n_planes=8),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "regrid_equi7": _sqlgen().regrid_equi7_sql(),

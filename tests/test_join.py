@@ -225,3 +225,33 @@ def test_pcm_audio_features_hand_example(ray_session):
     assert out.column("sum_sq").to_pylist() == [2]
     assert out.column("zcr").to_pylist() == [2]
     assert out.column("peak").to_pylist() == [1]
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    from equi7grid_ray.stages.topk import grouped_topk
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 50, n), pa.int64()),  # many ties
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    # many blocks so the batch combiner actually prunes per batch
+    ds = rd.from_arrow(tbl).repartition(16)
+    got = (
+        grouped_topk(ds, key="g", value="v", k=5, tie_cols=["id"],
+                     n_partitions=8)
+        .to_pandas().sort_values(["g", "v", "id"],
+                                 ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    exp = (
+        tbl.to_pandas()
+        .sort_values(["v", "id"], ascending=[False, True], kind="stable")
+        .groupby("g", sort=False).head(5)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]],
+                                  exp[["g", "v", "id"]], check_dtype=False)
