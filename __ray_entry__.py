@@ -37,10 +37,28 @@ _LATMUL, _LATMOD = 40_009_831, 180_000_000
 _CELL_L = 9
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, min_blocks: int = 4):
+    """Pruned parquet read with a small-input block heuristic: Ray's
+    default splits even a 100k-row file into 64 tiny blocks, which
+    makes every downstream AllToAll (sort/groupby) overhead-bound
+    (measured 6.2 s -> 1.4 s on the sf0.1 range join).  For small
+    inputs aim at ~64k rows/block; big inputs keep Ray's default
+    (at real scale blocks are full-size and the heuristic is moot).
+    Reduce-heavy callers (wide intermediate key spaces, e.g. the salted
+    aggregate) pass a higher ``min_blocks`` -- their shuffle
+    parallelism is bounded by the input block count."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    kwargs = {}
+    try:
+        rows = pq.read_metadata(path).num_rows
+        if rows < 2_000_000:
+            kwargs["override_num_blocks"] = max(min_blocks, rows // 65_536)
+    except Exception:
+        pass
+    return rd.read_parquet(path, columns=columns, **kwargs)
 
 
 def _derive_xy(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -1048,7 +1066,11 @@ def q_cell_index_salted(sf_dir: str):
 
     from equi7grid_ray.cells import salt_keys
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # wide intermediate key space (cell x salt): shuffle parallelism is
+    # bounded by input blocks, so don't let the small-input heuristic
+    # coalesce the read (22.9 s at 9 blocks vs ~8 s at 64)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               min_blocks=64)
     n_salts = 16
 
     def stage(batch: pa.Table) -> pa.Table:
@@ -1387,13 +1409,23 @@ def q_events_range_join(sf_dir: str):
 
     left = ev.map_batches(prep_left, batch_format="pyarrow")
     right = ev.map_batches(prep_right, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
     j = range_join(left, right, left_on="ts_us", right_lo="ts_lo",
                    right_hi="ts_hi", by="user_id",
                    bucket_width=float(_ASOF_GAP_W))
+
+    def partial_count(batch: pa.Table) -> pa.Table:
+        # combiner: one tiny (type_a, type_b, pn) table per join block,
+        # so the final shuffle moves O(buckets * type-pairs) rows
+        df = batch.select(["type_a", "type_b"]).to_pandas()
+        g = df.value_counts(["type_a", "type_b"]).reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     return (
-        j.select_columns(["type_a", "type_b"])
+        j.map_batches(partial_count, batch_format="pyarrow")
         .groupby(["type_a", "type_b"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("pn", alias_name="n"))
     )
 
 

@@ -25,7 +25,8 @@ import pyarrow as pa
 
 from equi7grid_ray.stages.similarity import _stack_embeddings
 
-__all__ = ["train_centroids", "IVFAssign", "IVFQuery", "ivf_topk"]
+__all__ = ["train_centroids", "kmeans_fit", "IVFAssign", "IVFQuery",
+           "ivf_topk"]
 
 
 def train_centroids(
@@ -49,6 +50,78 @@ def train_centroids(
                 if nc > 0:
                     cent[k] = c / nc
     return cent
+
+
+def kmeans_fit(ds, *, n_lists: int = 16, n_iter: int = 10,
+               col: str = "embedding", seed: int = 42,
+               init_sample: int = 4096):
+    """DISTRIBUTED Lloyd k-means over an embedding Dataset -- the
+    trainer that scales past a driver-side sample (train_centroids is
+    the small-sample path).
+
+    Each iteration is one streaming pass: map_batches computes, per
+    batch, the partial per-centroid vector sums and counts against the
+    broadcast current centroids (one matmul + np.add.at per batch --
+    O(k*dim) partial output regardless of batch size); the tiny
+    (n_blocks x k x dim) partials are summed driver-side and the
+    centroids re-normalized.  Shuffle-free: the only data movement per
+    iteration is the k*dim partials.  Empty clusters keep their
+    previous centroid.  Returns ((n_lists, dim) centroids, inertia
+    history -- mean max-cosine per iteration, monotone up)."""
+    import ray
+
+    init_tbl = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.limit(init_sample).iter_batches(batch_format="pyarrow")
+    )
+    v0 = _stack_embeddings(init_tbl, col)
+    cent = train_centroids(v0, n_lists=n_lists, n_iter=1, seed=seed)
+    history: list[float] = []
+    for _ in range(n_iter):
+        ref = ray.put(cent) if ray.is_initialized() else cent
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref) if ray.is_initialized() else ref
+            v = _stack_embeddings(batch, col)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            v = v / n
+            sims = v @ c.T
+            assign = np.argmax(sims, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, v)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
+            best = sims[np.arange(len(v)), assign]
+            return pa.table({
+                "k": pa.array(np.arange(len(c)), pa.int32()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "cnt": pa.array(counts, pa.float64()),
+                "sim_sum": pa.array(
+                    np.full(len(c), best.sum() / max(len(c), 1)), pa.float64()),
+            })
+
+        part_tbl = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in ds.map_batches(partials, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+        ks = part_tbl.column("k").to_numpy(zero_copy_only=False)
+        cnts = part_tbl.column("cnt").to_numpy(zero_copy_only=False)
+        vs = np.stack(part_tbl.column("vsum").to_pylist())
+        sums = np.zeros_like(cent)
+        np.add.at(sums, ks, vs)
+        counts = np.bincount(ks, weights=cnts, minlength=len(cent))
+        total = counts.sum()
+        history.append(float(
+            part_tbl.column("sim_sum").to_numpy(zero_copy_only=False).sum()
+            * len(cent) / max(total, 1.0)))
+        nz = counts > 0
+        new = cent.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent = new / norms
+    return cent, history
 
 
 def random_centroids(n_lists: int, dim: int, seed: int = 7) -> np.ndarray:
