@@ -1045,6 +1045,31 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, q, n_probe=6, k=10, centroids=cent).select_columns(["vec_id"])
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding column (stages/
+    ann_ivf.kmeans_fit): each iteration is one shuffle-free streaming
+    pass emitting O(k*dim) partials, merged driver-side.  Returns the
+    per-cluster member counts after assignment with the trained
+    centroids.  Iterative (data-dependent float centroids) => rows-only:
+    no SQL oracle, pinned instead by tests/test_join.py's
+    planted-cluster recovery test."""
+    from equi7grid_ray.stages.ann_ivf import IVFAssign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _hist = kmeans_fit(ds, n_lists=8, n_iter=4, init_sample=1024)
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_kwargs=dict(centroids=cent),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+    return (
+        assigned.select_columns(["ivf_list"])
+        .groupby("ivf_list")
+        .count()
+        .rename_columns({"count()": "n"})
+        .sort("ivf_list")
+    )
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping window (2h windows, 1h hop) via the stages/windows.py
     hopping_window operator (vectorized explode + keyed aggregate)."""
@@ -1532,6 +1557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "cell_index_salted": q_cell_index_salted,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "kmeans_clusters": q_kmeans_clusters,
         "events_hopping": q_events_hopping,
         "events_asof_click": q_events_asof_click,
         "events_range_join": q_events_range_join,

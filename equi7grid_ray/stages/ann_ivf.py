@@ -29,6 +29,25 @@ __all__ = ["train_centroids", "kmeans_fit", "IVFAssign", "IVFQuery",
            "ivf_topk"]
 
 
+def _kmeanspp_init(v: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ (D^2) seeding on unit vectors with cosine distance
+    d = 1 - cos.  Deterministic given rng; avoids the two-seeds-in-one-
+    cluster local optimum plain random init falls into."""
+    k = min(k, len(v))
+    cent = np.empty((k, v.shape[1]), dtype=v.dtype)
+    cent[0] = v[rng.integers(len(v))]
+    best = 1.0 - v @ cent[0]
+    for i in range(1, k):
+        w = np.clip(best, 0.0, None)
+        tot = w.sum()
+        if tot <= 0:
+            cent[i:] = cent[0]
+            return cent
+        cent[i] = v[rng.choice(len(v), p=w / tot)]
+        best = np.minimum(best, 1.0 - v @ cent[i])
+    return cent
+
+
 def train_centroids(
     vectors: np.ndarray, n_lists: int = 16, n_iter: int = 15, seed: int = 42
 ) -> np.ndarray:
@@ -38,7 +57,7 @@ def train_centroids(
     n[n == 0] = 1.0
     v = v / n
     rng = np.random.default_rng(seed)
-    cent = v[rng.choice(len(v), size=min(n_lists, len(v)), replace=False)].copy()
+    cent = _kmeanspp_init(v, n_lists, rng)
     for _ in range(n_iter):
         sims = v @ cent.T
         assign = np.argmax(sims, axis=1)
@@ -67,7 +86,13 @@ def kmeans_fit(ds, *, n_lists: int = 16, n_iter: int = 10,
     centroids re-normalized.  Shuffle-free: the only data movement per
     iteration is the k*dim partials.  Empty clusters keep their
     previous centroid.  Returns ((n_lists, dim) centroids, inertia
-    history -- mean max-cosine per iteration, monotone up)."""
+    history -- mean max-cosine per iteration, monotone up).
+
+    Init assumption: the seed sample is ``ds.limit(init_sample)`` (the
+    stream's first blocks).  Fine for hash-ordered corpora; for inputs
+    SORTED by the clustered property, pre-sample with
+    ``stages.sample.hash_sample`` or Lloyd may start inside one
+    cluster."""
     import ray
 
     init_tbl = pa.concat_tables(
@@ -114,7 +139,7 @@ def kmeans_fit(ds, *, n_lists: int = 16, n_iter: int = 10,
         total = counts.sum()
         history.append(float(
             part_tbl.column("sim_sum").to_numpy(zero_copy_only=False).sum()
-            * len(cent) / max(total, 1.0)))
+            / max(total, 1.0)))
         nz = counts > 0
         new = cent.copy()
         new[nz] = sums[nz] / counts[nz, None]

@@ -255,3 +255,28 @@ def test_grouped_topk_matches_pandas(ray_session):
     )
     pd.testing.assert_frame_equal(got[["g", "v", "id"]],
                                   exp[["g", "v", "id"]], check_dtype=False)
+
+
+def test_kmeans_fit_converges(ray_session):
+    from equi7grid_ray.stages.ann_ivf import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 16)) * 3
+    pts = np.concatenate(
+        [c + rng.standard_normal((200, 16)) * 0.05 for c in centers]
+    )
+    pts = pts[rng.permutation(len(pts))]  # corpora aren't cluster-sorted
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+        "embedding": pa.array(list(pts), pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl).repartition(8)
+    cent, hist = kmeans_fit(ds, n_lists=4, n_iter=6, init_sample=256)
+    assert cent.shape == (4, 16)
+    # mean best-cosine is (weakly) increasing and ends tight
+    assert all(b >= a - 1e-9 for a, b in zip(hist, hist[1:]))
+    assert hist[-1] > 0.99
+    # every true center is recovered by some centroid (cosine > 0.99)
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    sims = cn @ cent.T
+    assert (sims.max(axis=1) > 0.99).all()
