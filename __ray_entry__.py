@@ -571,6 +571,40 @@ def q_token_len_hist(sf_dir: str):
     )
 
 
+def q_segment_revenue_native(sf_dir: str):
+    """Large⋈large equality join via Ray Data's BUILT-IN hash join
+    (stages/join.native_join -> Dataset.join, actor-pool aggregators)
+    -- the idiomatic native path, kept alongside the self-contained
+    shuffle_hash_join.  customer ⋈ orders on custkey, rolled up per
+    market segment.  SQL-oracled."""
+    from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.stages.join import native_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "c_custkey": batch.column("o_custkey").cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    o = orders.map_batches(prep, batch_format="pyarrow")
+    j = native_join(cust, o, on="c_custkey", how="inner", n_partitions=16)
+    return (
+        j.groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("cents", alias_name="sum_cents"),
+        )
+        .rename_columns({"c_mktsegment": "mktsegment"})
+    )
+
+
 def q_orders_by_nation(sf_dir: str):
     """Two-hop dimension join: orders -> customer -> nation via the
     broadcast-join operator (small sides ray.put once, probed per batch;
@@ -1533,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_revenue_topk": q_supplier_revenue_topk,
         "token_len_hist": q_token_len_hist,
         "orders_by_nation": q_orders_by_nation,
+        "segment_revenue_native": q_segment_revenue_native,
         "events_sessionize": q_events_sessionize,
         "allowed_samplings": q_allowed_samplings,
         "knn_tiles": q_knn_tiles,
@@ -1739,6 +1774,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "segment_revenue_native": (
+            "SELECT c_mktsegment AS mktsegment, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_mktsegment"
         ),
         "token_len_hist": (
             "SELECT lang, "

@@ -280,3 +280,45 @@ def test_kmeans_fit_converges(ray_session):
     cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
     sims = cn @ cent.T
     assert (sims.max(axis=1) > 0.99).all()
+
+
+def test_native_join_matches_pandas(ray_session, sides):
+    from equi7grid_ray.stages.join import native_join
+
+    left, right = sides
+    for how in ("inner", "left"):
+        got = (
+            native_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on="k", how=how, n_partitions=8)
+            .to_pandas()
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        exp = _oracle(left, right, how)
+        pd.testing.assert_frame_equal(
+            got[["k", "v", "w"]], exp[["k", "v", "w"]], check_dtype=False
+        )
+
+
+def test_native_join_agrees_with_shuffle_hash_join(ray_session, sides):
+    from equi7grid_ray.stages.join import native_join
+
+    left, right = sides
+    a = (native_join(rd.from_arrow(left), rd.from_arrow(right),
+                     on="k", how="inner", n_partitions=8)
+         .to_pandas().sort_values(["k", "v", "w"]).reset_index(drop=True))
+    b = (shuffle_hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                           on="k", how="inner", n_partitions=8)
+         .to_pandas().sort_values(["k", "v", "w"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[["k", "v", "w"]], b[["k", "v", "w"]],
+                                  check_dtype=False)
+
+
+def test_native_join_suffixes_collisions(ray_session):
+    from equi7grid_ray.stages.join import native_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2], "v": [10, 20]}))
+    right = rd.from_arrow(pa.table({"k": [1, 2], "v": [7, 8]}))
+    got = native_join(left, right, on="k", how="inner",
+                      n_partitions=2).to_pandas()
+    assert {"k", "v", "v_r"} <= set(got.columns)
