@@ -1079,6 +1079,28 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, q, n_probe=6, k=10, centroids=cent).select_columns(["vec_id"])
 
 
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact distributed quantiles (stages/quantiles.grouped_quantiles):
+    per-batch value-histogram partials -> distinct-pair shuffle ->
+    per-key rank pick with DuckDB's quantile_disc rank rule
+    (ceil(q*n), 1-based).  Binary-exact q values keep the float math
+    identical on both sides of the oracle.  SQL-oracled."""
+    from equi7grid_ray.stages.quantiles import grouped_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "len": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+        })
+
+    return grouped_quantiles(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        col="len", qs=(0.25, 0.5, 0.75, 0.875), keys=["lang"],
+    )
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embedding column (stages/
     ann_ivf.kmeans_fit): each iteration is one shuffle-free streaming
@@ -1593,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_index_salted": q_cell_index_salted,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
+        "doc_len_quantiles": q_doc_len_quantiles,
         "events_hopping": q_events_hopping,
         "events_asof_click": q_events_asof_click,
         "events_range_join": q_events_range_join,
@@ -1774,6 +1797,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "doc_len_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+                f"quantile_disc(length(text), {q}) AS v "
+                "FROM documents GROUP BY lang"
+                for q in (0.25, 0.5, 0.75, 0.875)
+            )
         ),
         "segment_revenue_native": (
             "SELECT c_mktsegment AS mktsegment, count(*) AS n_orders, "

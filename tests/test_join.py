@@ -322,3 +322,42 @@ def test_native_join_suffixes_collisions(ray_session):
     got = native_join(left, right, on="k", how="inner",
                       n_partitions=2).to_pandas()
     assert {"k", "v", "v_r"} <= set(got.columns)
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    import duckdb
+
+    from equi7grid_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 3, 4000), pa.int64()),
+        "v": pa.array(rng.integers(0, 200, 4000), pa.int64()),
+    })
+    qs = (0.25, 0.5, 0.75, 0.875)
+    got = (
+        grouped_quantiles(rd.from_arrow(tbl).repartition(6),
+                          col="v", qs=qs, keys=["g"])
+        .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(
+        " UNION ALL ".join(
+            f"SELECT g, CAST({q} AS DOUBLE) AS q, quantile_disc(v, {q}) AS v "
+            "FROM t GROUP BY g" for q in qs
+        ) + " ORDER BY g, q"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "q", "v"]], exp[["g", "q", "v"]],
+                                  check_dtype=False)
+
+
+def test_grouped_quantiles_ungrouped(ray_session):
+    from equi7grid_ray.stages.quantiles import grouped_quantiles
+
+    vals = np.arange(1, 101, dtype=np.int64)
+    tbl = pa.table({"v": pa.array(np.random.default_rng(3).permutation(vals))})
+    got = grouped_quantiles(rd.from_arrow(tbl).repartition(4),
+                            col="v", qs=(0.5, 1.0)).to_pandas()
+    got = got.sort_values("q").reset_index(drop=True)
+    assert got["v"].tolist() == [50, 100]
