@@ -1079,6 +1079,19 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, q, n_probe=6, k=10, centroids=cent).select_columns(["vec_id"])
 
 
+def q_distinct_events_hll(sf_dir: str):
+    """HyperLogLog distinct-count sketch (stages/sketch.hll_distinct)
+    over event_id: per-batch register partials (<= 2^p rows/batch),
+    max-merge, one-row estimate.  Register values capped at 40 keep
+    every float term dyadic-exact, so the DuckDB mirror (same
+    splitmix64, same two IEEE ops) is hash-identical, not just close.
+    SQL-oracled (raw regime: |distinct| >> 2.5*m at every test sf)."""
+    from equi7grid_ray.stages.sketch import hll_distinct
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    return hll_distinct(ds, col="event_id", p=8)
+
+
 def q_doc_len_quantiles(sf_dir: str):
     """Exact distributed quantiles (stages/quantiles.grouped_quantiles):
     per-batch value-histogram partials -> distinct-pair shuffle ->
@@ -1616,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "distinct_events_hll": q_distinct_events_hll,
         "events_hopping": q_events_hopping,
         "events_asof_click": q_events_asof_click,
         "events_range_join": q_events_range_join,
@@ -1668,6 +1682,12 @@ def _sqlgen():
     from equi7grid_ray import sqlgen
 
     return sqlgen
+
+
+def _hll_oracle_sql() -> str:
+    from equi7grid_ray.stages.sketch import hll_sql
+
+    return hll_sql("events", "event_id", p=8)
 
 
 def _doc_quality_sql() -> str:
@@ -1798,6 +1818,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
+        "distinct_events_hll": _hll_oracle_sql(),
         "doc_len_quantiles": (
             " UNION ALL ".join(
                 f"SELECT lang, CAST({q} AS DOUBLE) AS q, "

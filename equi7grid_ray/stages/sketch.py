@@ -1,0 +1,146 @@
+"""Distinct-count sketching (HyperLogLog) over a Ray Dataset column.
+
+Exact COUNT(DISTINCT) is an all-to-all shuffle of every distinct key;
+at 100 TB the sketch answer is the one you can afford: per-batch
+register partials (O(m) output per batch, m = 2^p registers), merged
+with an elementwise max -- the shuffle carries (bucket, rho) rows
+capped at m per batch, never data rows.
+
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm", AofA 2007 -- with the 64-bit-hash
+variant (Heule et al., EDB 2013) so the large-range correction is
+unnecessary.
+
+Determinism/oracle design (driver-gate parity):
+- hash = the repo-wide splitmix64 finalizer (stages/dedup._mix64),
+  already SQL-mirrored by sqlgen._mix64_ctes;
+- register values are capped at ``rho_cap=40``: every 2^-register term
+  is then a dyadic rational >= 2^-40, so EVERY partial sum of the
+  indicator sum S fits a float64 mantissa exactly (count bits + 40 < 53
+  for p <= 12) and the result is independent of summation order --
+  numpy pairwise vs DuckDB sequential give bit-identical S.  The cap
+  costs nothing in practice: rho > 40 needs ~2^40 items per bucket.
+- the alpha_m bias constant is inlined as the same Python float literal
+  on both sides, so E = alpha*m*m/S is the same two IEEE ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["hll_distinct", "alpha_m", "hll_sql"]
+
+
+def alpha_m(m: int) -> float:
+    """HLL bias-correction constant (Flajolet et al. Fig. 3)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (clz(0) = 64)."""
+    r = np.zeros(x.shape, np.int64)
+    y = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = y >= (np.uint64(1) << np.uint64(shift))
+        r[m] += shift
+        y = np.where(m, y >> np.uint64(shift), y)
+    return np.where(x > np.uint64(0), 63 - r, 64)
+
+
+def hll_distinct(ds, *, col: str, p: int = 8, rho_cap: int = 40):
+    """Approximate COUNT(DISTINCT ``col``) (int64 column).
+
+    Returns a 1-row Dataset: ``est`` (int64 estimate), ``nonzero``
+    (int64 count of occupied registers -- a cheap integer checksum of
+    the register state).  Applies the standard linear-counting
+    correction below 2.5*m; callers needing SQL-oracle parity should
+    size p so the data lands in the raw regime (see hll_sql)."""
+    if not (4 <= p <= 12):
+        raise ValueError("hll_distinct: p must be in [4, 12]")
+    m = 1 << p
+    alpha = alpha_m(m)
+
+    from ray.data.aggregate import Max
+
+    from equi7grid_ray.stages.dedup import _mix64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).drop_null().to_numpy(zero_copy_only=False)
+        h = _mix64(v.astype(np.int64).view(np.uint64))
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = np.left_shift(h, np.uint64(p))
+        rho = np.minimum(
+            np.where(rest > 0, _clz64(rest) + 1, 64 - p + 1), rho_cap
+        ).astype(np.int64)
+        regs = np.zeros(m, np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "rho": pa.array(regs[nz], pa.int64())})
+
+    regs = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        reg = g["rho"].to_numpy(dtype=np.int64)
+        nonzero = len(reg)
+        # dyadic-exact sum: order-independent (see module docstring)
+        s = float(m - nonzero) + np.sum(np.ldexp(1.0, -reg))
+        est = alpha * float(m * m) / s
+        v_zero = m - nonzero
+        if est <= 2.5 * m and v_zero > 0:
+            est = m * np.log(m / float(v_zero))  # linear counting
+        return pd.DataFrame({"est": [np.int64(round(est))],
+                             "nonzero": [np.int64(nonzero)]})
+
+    tagged = regs.map_batches(
+        lambda t: t.append_column(
+            "__g", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    return (
+        tagged.groupby("__g")
+        .map_groups(estimate, batch_format="pandas")
+        .select_columns(["est", "nonzero"])
+    )
+
+
+def hll_sql(table: str, col: str, p: int = 8, rho_cap: int = 40) -> str:
+    """DuckDB mirror of hll_distinct's RAW regime (no linear-counting
+    branch: pick p so E > 2.5*m on the oracle input; ln() parity across
+    libm implementations is not guaranteed, everything here is exact
+    integer/dyadic math plus the same two IEEE float ops)."""
+    from equi7grid_ray.sqlgen import _bit_values, _mix64_ctes
+
+    m = 1 << p
+    alpha = alpha_m(m)
+    two_rest = 1 << (64 - p)
+    return f"""
+WITH src AS (SELECT CAST({col} AS UBIGINT) AS k FROM {table} WHERE {col} IS NOT NULL),
+{_mix64_ctes('src', 'k', 'k')},
+parts AS (SELECT CAST(h // {two_rest} AS BIGINT) AS bucket,
+                 CAST((h % {two_rest})::HUGEINT * {1 << p} AS UBIGINT) AS rest
+          FROM mixed),
+bits(b, pw) AS (VALUES {_bit_values()}),
+rho AS (SELECT bucket,
+               CASE WHEN rest = 0 THEN {64 - p + 1}
+                    ELSE 64 - max(CASE WHEN (rest // pw) % 2 = 1 THEN b END)
+               END AS rho
+        FROM parts, bits GROUP BY bucket, rest),
+regs AS (SELECT bucket, least(max(rho), {rho_cap}) AS rho
+         FROM rho GROUP BY bucket),
+s AS (SELECT CAST({m} - count(*) AS DOUBLE) + sum(pow(2.0, -rho)) AS s,
+             count(*) AS nonzero FROM regs)
+SELECT CAST(round(CAST({alpha!r} AS DOUBLE) * CAST({m * m} AS DOUBLE) / s) AS BIGINT) AS est,
+       CAST(nonzero AS BIGINT) AS nonzero FROM s"""

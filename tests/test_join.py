@@ -361,3 +361,32 @@ def test_grouped_quantiles_ungrouped(ray_session):
                             col="v", qs=(0.5, 1.0)).to_pandas()
     got = got.sort_values("q").reset_index(drop=True)
     assert got["v"].tolist() == [50, 100]
+
+
+def test_hll_distinct_matches_sql_mirror(ray_session):
+    import duckdb
+
+    from equi7grid_ray.stages.sketch import hll_distinct, hll_sql
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 50_000, 120_000).astype(np.int64)
+    tbl = pa.table({"k": pa.array(vals)})
+    got = hll_distinct(rd.from_arrow(tbl).repartition(8),
+                       col="k", p=8).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(hll_sql("t", "k", p=8)).df()
+    assert got["est"].iloc[0] == exp["est"].iloc[0]
+    assert got["nonzero"].iloc[0] == exp["nonzero"].iloc[0]
+    exact = len(np.unique(vals))
+    assert abs(got["est"].iloc[0] - exact) / exact < 0.15
+
+
+def test_hll_linear_counting_regime(ray_session):
+    from equi7grid_ray.stages.sketch import hll_distinct
+
+    vals = np.repeat(np.arange(100, dtype=np.int64), 50)  # 100 distinct
+    got = hll_distinct(rd.from_arrow(pa.table({"k": pa.array(vals)})),
+                       col="k", p=8).to_pandas()
+    # linear counting is tight at low load factors
+    assert abs(got["est"].iloc[0] - 100) <= 10
