@@ -1092,6 +1092,20 @@ def q_distinct_events_hll(sf_dir: str):
     return hll_distinct(ds, col="event_id", p=8)
 
 
+def q_heavy_users_cms(sf_dir: str):
+    """Count-min-sketch heavy hitters (stages/sketch.cms_heavy_hitters)
+    over events.user_id: the big side folds into fixed d*w counter
+    partials (no row shuffle), the finished 32 KB sketch is broadcast to
+    score the (small) distinct-key candidate set, top-20 by estimate
+    with key-ascending tie-break.  All-integer -> hash-exact SQL
+    oracle."""
+    from equi7grid_ray.stages.sketch import cms_heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    cand = ds.groupby("user_id").count().select_columns(["user_id"])
+    return cms_heavy_hitters(ds, cand, col="user_id", d=4, w=1024, topk=20)
+
+
 def q_doc_len_quantiles(sf_dir: str):
     """Exact distributed quantiles (stages/quantiles.grouped_quantiles):
     per-batch value-histogram partials -> distinct-pair shuffle ->
@@ -1630,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
         "distinct_events_hll": q_distinct_events_hll,
+        "heavy_users_cms": q_heavy_users_cms,
         "events_hopping": q_events_hopping,
         "events_asof_click": q_events_asof_click,
         "events_range_join": q_events_range_join,
@@ -1688,6 +1703,12 @@ def _hll_oracle_sql() -> str:
     from equi7grid_ray.stages.sketch import hll_sql
 
     return hll_sql("events", "event_id", p=8)
+
+
+def _cms_oracle_sql() -> str:
+    from equi7grid_ray.stages.sketch import cms_sql
+
+    return cms_sql("events", "user_id", d=4, w=1024, topk=20)
 
 
 def _doc_quality_sql() -> str:
@@ -1819,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "distinct_events_hll": _hll_oracle_sql(),
+        "heavy_users_cms": _cms_oracle_sql(),
         "doc_len_quantiles": (
             " UNION ALL ".join(
                 f"SELECT lang, CAST({q} AS DOUBLE) AS q, "

@@ -50,15 +50,17 @@ def _mulc(x: str, c: int) -> str:
     return f"CAST(({lo} + {hi}) % {U64} AS UBIGINT)"
 
 
-def _mix64_ctes(src: str, col: str, keep: str) -> str:
+def _mix64_ctes(src: str, col: str, keep: str, prefix: str = "m") -> str:
     """CTE chain applying splitmix64 to ``col`` (UBIGINT) of ``src``;
-    final CTE is ``mixed`` with columns ``{keep}, h``."""
+    final CTE is ``{prefix}ixed`` with columns ``{keep}, h`` (default
+    ``mixed``; pass a distinct prefix to use the chain twice in one
+    statement)."""
     return f"""
-m1 AS (SELECT {keep}, xor({col}, {col} >> 33) AS h FROM {src}),
-m2 AS (SELECT {keep}, {_mulc('h', _MIX1)} AS h FROM m1),
-m3 AS (SELECT {keep}, xor(h, h >> 33) AS h FROM m2),
-m4 AS (SELECT {keep}, {_mulc('h', _MIX2)} AS h FROM m3),
-mixed AS (SELECT {keep}, xor(h, h >> 33) AS h FROM m4)"""
+{prefix}1 AS (SELECT {keep}, xor({col}, {col} >> 33) AS h FROM {src}),
+{prefix}2 AS (SELECT {keep}, {_mulc('h', _MIX1)} AS h FROM {prefix}1),
+{prefix}3 AS (SELECT {keep}, xor(h, h >> 33) AS h FROM {prefix}2),
+{prefix}4 AS (SELECT {keep}, {_mulc('h', _MIX2)} AS h FROM {prefix}3),
+{prefix}ixed AS (SELECT {keep}, xor(h, h >> 33) AS h FROM {prefix}4)"""
 
 
 def simhash_sql(max_token_len: int = 64) -> str:

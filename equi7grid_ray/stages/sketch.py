@@ -30,7 +30,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hll_distinct", "alpha_m", "hll_sql"]
+__all__ = ["hll_distinct", "alpha_m", "hll_sql",
+           "cms_heavy_hitters", "cms_sql"]
+
+# golden-ratio multiples, the usual independent-row seeding
+_CMS_SEEDS = tuple((0x9E3779B97F4A7C15 * (i + 1)) % (1 << 64)
+                   for i in range(8))
 
 
 def alpha_m(m: int) -> float:
@@ -144,3 +149,101 @@ s AS (SELECT CAST({m} - count(*) AS DOUBLE) + sum(pow(2.0, -rho)) AS s,
              count(*) AS nonzero FROM regs)
 SELECT CAST(round(CAST({alpha!r} AS DOUBLE) * CAST({m * m} AS DOUBLE) / s) AS BIGINT) AS est,
        CAST(nonzero AS BIGINT) AS nonzero FROM s"""
+
+
+def cms_heavy_hitters(ds, candidates, *, col: str, d: int = 4,
+                      w: int = 1024, topk: int = 20):
+    """Count-min-sketch heavy hitters: estimated per-key counts of
+    ``col`` in ``ds`` for a (small) candidate key Dataset, top-``topk``
+    by estimate.
+
+    Scale shape: the big side never shuffles rows -- each batch folds
+    into a dense d*w counter vector (np.add.at) and emits only its
+    nonzero slots, merged by a fixed-size groupby; the finished sketch
+    (d*w int64, ~32 KB) is broadcast to the candidate-scoring stage.
+    est(k) = min over rows i of counter[i][hash_i(k)] (Cormode &
+    Muthukrishnan, J. Algorithms 2005): an overestimate with error
+    <= eps*N at w = e/eps, never an underestimate.
+
+    All-integer math -> the DuckDB mirror (cms_sql) is hash-exact.
+    Ties in the top-k are broken by key ascending, so the cut is
+    deterministic on both sides."""
+    if d > len(_CMS_SEEDS):
+        raise ValueError(f"cms_heavy_hitters: d <= {len(_CMS_SEEDS)}")
+    from ray.data.aggregate import Sum
+
+    from equi7grid_ray.stages.dedup import _mix64
+
+    seeds = np.array(_CMS_SEEDS[:d], np.uint64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).drop_null().to_numpy(zero_copy_only=False)
+        k = v.astype(np.int64).view(np.uint64)
+        counts = np.zeros(d * w, np.int64)
+        for i in range(d):
+            h = _mix64(k ^ seeds[i]) % np.uint64(w)
+            np.add.at(counts, i * w + h.astype(np.int64), 1)
+        nz = np.flatnonzero(counts)
+        return pa.table({"slot": pa.array(nz, pa.int64()),
+                         "c": pa.array(counts[nz], pa.int64())})
+
+    sketch_tbl = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("slot")
+        .aggregate(Sum("c", alias_name="c"))
+        .iter_batches(batch_format="pyarrow")
+    )
+    # fixed-size sketch (d*w slots) -- safe to hold driver-side at any
+    # input scale, then ship once per scoring actor
+    counters = np.zeros(d * w, np.int64)
+    counters[sketch_tbl.column("slot").to_numpy()] = (
+        sketch_tbl.column("c").to_numpy())
+
+    class _Score:
+        def __init__(self, counters: np.ndarray):
+            self.counters = counters
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch.column(col).drop_null().to_numpy(zero_copy_only=False)
+            k = v.astype(np.int64).view(np.uint64)
+            est = np.full(len(k), np.iinfo(np.int64).max, np.int64)
+            for i in range(d):
+                h = _mix64(k ^ seeds[i]) % np.uint64(w)
+                est = np.minimum(
+                    est, self.counters[i * w + h.astype(np.int64)])
+            return pa.table({col: pa.array(v), "est": pa.array(est)})
+
+    scored = candidates.map_batches(
+        _Score, fn_constructor_kwargs=dict(counters=counters),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+    return scored.sort(["est", col], descending=[True, False]).limit(topk)
+
+
+def cms_sql(table: str, col: str, d: int = 4, w: int = 1024,
+            topk: int = 20) -> str:
+    """DuckDB mirror of cms_heavy_hitters with the candidate set =
+    DISTINCT keys of the same table (what the driver query uses)."""
+    from equi7grid_ray.sqlgen import _mix64_ctes
+
+    seeds = ", ".join(
+        f"({i}, {s}::UBIGINT)" for i, s in enumerate(_CMS_SEEDS[:d]))
+    return f"""
+WITH src AS (SELECT CAST({col} AS UBIGINT) AS k FROM {table}
+             WHERE {col} IS NOT NULL),
+seeds(i, s) AS (VALUES {seeds}),
+x AS (SELECT k, i, xor(k, s) AS x0 FROM src, seeds),
+{_mix64_ctes('x', 'x0', 'k, i')},
+counters AS (SELECT CAST(i AS BIGINT) * {w} + CAST(h % {w} AS BIGINT)
+                 AS slot, count(*) AS c
+             FROM mixed GROUP BY slot),
+cand AS (SELECT DISTINCT k FROM src),
+cx AS (SELECT k, i, xor(k, s) AS cx0 FROM cand, seeds),
+{_mix64_ctes('cx', 'cx0', 'k, i', prefix='n')},
+probes AS (SELECT k, CAST(i AS BIGINT) * {w} + CAST(h % {w} AS BIGINT)
+               AS slot FROM nixed),
+est AS (SELECT p.k AS k, min(co.c) AS est
+        FROM probes p JOIN counters co ON p.slot = co.slot GROUP BY p.k)
+SELECT CAST(k AS BIGINT) AS {col}, CAST(est AS BIGINT) AS est
+FROM est ORDER BY est DESC, k LIMIT {topk}"""

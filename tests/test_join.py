@@ -390,3 +390,28 @@ def test_hll_linear_counting_regime(ray_session):
                        col="k", p=8).to_pandas()
     # linear counting is tight at low load factors
     assert abs(got["est"].iloc[0] - 100) <= 10
+
+
+def test_cms_heavy_hitters_matches_sql_mirror(ray_session):
+    import duckdb
+
+    from equi7grid_ray.stages.sketch import cms_heavy_hitters, cms_sql
+
+    rng = np.random.default_rng(4)
+    keys = np.concatenate([
+        np.repeat(np.arange(10, dtype=np.int64), 3000),
+        rng.integers(100, 3000, 60_000),
+    ]).astype(np.int64)
+    keys = keys[rng.permutation(len(keys))]
+    tbl = pa.table({"k": pa.array(keys)})
+    cand = rd.from_arrow(pa.table({"k": pa.array(np.unique(keys))}))
+    got = cms_heavy_hitters(rd.from_arrow(tbl).repartition(8), cand,
+                            col="k", d=4, w=1024, topk=20).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(cms_sql("t", "k", d=4, w=1024, topk=20)).df()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["est"].tolist() == exp["est"].tolist()
+    # CMS never underestimates; the 10 planted heavy keys lead
+    assert set(got["k"].head(10)) == set(range(10))
+    assert (got["est"].head(10) >= 3000).all()
