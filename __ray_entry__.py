@@ -1426,6 +1426,24 @@ def q_frame_sample(sf_dir: str):
     return out.groupby("frame_index").aggregate(Count(alias_name="n"))
 
 
+def q_video_frame_stats(sf_dir: str):
+    """REAL frame sampling over raw planar video payloads
+    (stages/multimodal.RawVideoFrames): every 5th frame's integer luma
+    stats via zero-copy reshape + strided reduce -- the post-demux
+    kernel is genuine (container demux stays gated on absent ffmpeg).
+    SQL-oracled (sqlgen.video_frames_sql)."""
+    import ray.data as rd
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.multimodal import RawVideoFrames
+
+    ds = rd.from_arrow(make_batch(0, 200))
+    return ds.map_batches(
+        RawVideoFrames, fn_constructor_kwargs=dict(every=5),
+        batch_format="pyarrow", concurrency=(1, 2), num_cpus=1,
+    )
+
+
 _ASOF_GAP_W = 21_600_000_000  # 6 h in microseconds (range-join window)
 
 
@@ -1633,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash": q_image_dhash,
         "image_dhash_pairs": q_image_dhash_pairs,
         "frame_sample": q_frame_sample,
+        "video_frame_stats": q_video_frame_stats,
         "audio_pcm_features": q_audio_pcm_features,
         "docs_stratified_sample": q_docs_stratified_sample,
         "supplier_topk_per_nation": q_supplier_topk_per_nation,
@@ -1894,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _sqlgen().image_dhash_sql(500),
         "image_dhash_pairs": _sqlgen().image_dhash_pairs_sql(500, max_dist=3),
         "frame_sample": _sqlgen().frame_sample_sql(100),
+        "video_frame_stats": _sqlgen().video_frames_sql(200, 5),
         "audio_pcm_features": _sqlgen().audio_pcm_sql(500),
         "docs_stratified_sample": _sqlgen().stratified_sample_sql(_SAMPLE_RATES, default_rate=0.0625),
         "supplier_topk_per_nation": (

@@ -570,3 +570,28 @@ LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 WHERE CAST(COALESCE(i.ni, 0) AS DOUBLE)
       / (na.ng + nb.ng - COALESCE(i.ni, 0)) >= {threshold!r}
 """
+
+
+def video_frames_sql(n_images: int = 200, every: int = 5) -> str:
+    """Mirror of stages/multimodal.py:RawVideoFrames over the synthetic
+    payload table: pixel (r, c) of image i is (r*h + c*w + i) % 256;
+    frame f = row f of the planar stream; every-th frames' integer
+    luma stats."""
+    return f"""
+WITH img AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+px AS (
+  SELECT i, p.p // w AS f,
+    ((p.p // w) * h + (p.p % w) * w + i) % 256 AS v
+  FROM img, UNNEST(range(w * h)) AS p(p)
+  WHERE (p.p // w) % {every} = 0)
+SELECT printf('img%012d', i) AS image_id,
+  CAST(f AS INTEGER) AS frame_index,
+  CAST(sum(v) AS BIGINT) AS y_sum,
+  CAST(min(v) AS BIGINT) AS y_min,
+  CAST(max(v) AS BIGINT) AS y_max
+FROM px GROUP BY i, f
+"""

@@ -537,3 +537,41 @@ def test_bpe_token_count():
     })
     out = bpe_token_count(t)
     assert out.column("n_bpe_tokens").to_pylist() == [6, 3, 0, 4, 6, 1, 5]
+
+
+def test_raw_video_frames_matches_sql_mirror(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.sqlgen import video_frames_sql
+    from equi7grid_ray.stages.multimodal import RawVideoFrames
+
+    ds = rd.from_arrow(make_batch(0, 60))
+    got = (
+        ds.map_batches(RawVideoFrames, fn_constructor_kwargs=dict(every=5),
+                       batch_format="pyarrow", concurrency=(1, 2), num_cpus=1)
+        .to_pandas().sort_values(["image_id", "frame_index"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        video_frames_sql(60, 5) + " ORDER BY image_id, frame_index"
+    ).df()
+    cols = ["image_id", "frame_index", "y_sum", "y_min", "y_max"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+
+
+def test_raw_video_frames_rejects_container_formats():
+    import pyarrow as pa_
+
+    from equi7grid_ray.stages.multimodal import RawVideoFrames
+
+    batch = pa_.table({
+        "image_id": ["v0"], "bytes": [b"\x00" * 64],
+        "w": pa_.array([8], pa_.int32()), "h": pa_.array([8], pa_.int32()),
+        "fmt": ["mp4"],
+    })
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        RawVideoFrames()(batch)
