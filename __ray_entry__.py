@@ -1426,6 +1426,17 @@ def q_frame_sample(sf_dir: str):
     return out.groupby("frame_index").aggregate(Count(alias_name="n"))
 
 
+def q_top_terms(sf_dir: str):
+    """Global top-50 whitespace tokens by occurrence
+    (stages/text.top_terms): per-batch Arrow value_counts combiner ->
+    distinct-token shuffle -> deterministic (n desc, token asc)
+    sort+limit.  SQL-oracled."""
+    from equi7grid_ray.stages.text import top_terms
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return top_terms(ds, col="text", k=50)
+
+
 def q_video_frame_stats(sf_dir: str):
     """REAL frame sampling over raw planar video payloads
     (stages/multimodal.RawVideoFrames): every 5th frame's integer luma
@@ -1652,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_pairs": q_image_dhash_pairs,
         "frame_sample": q_frame_sample,
         "video_frame_stats": q_video_frame_stats,
+        "top_terms": q_top_terms,
         "audio_pcm_features": q_audio_pcm_features,
         "docs_stratified_sample": q_docs_stratified_sample,
         "supplier_topk_per_nation": q_supplier_topk_per_nation,
@@ -1914,6 +1926,11 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_pairs": _sqlgen().image_dhash_pairs_sql(500, max_dist=3),
         "frame_sample": _sqlgen().frame_sample_sql(100),
         "video_frame_stats": _sqlgen().video_frames_sql(200, 5),
+        "top_terms": (
+            "SELECT u.tok AS token, count(*) AS n "
+            "FROM documents, UNNEST(regexp_split_to_array(text, '\\s')) u(tok) "
+            "WHERE u.tok <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
         "audio_pcm_features": _sqlgen().audio_pcm_sql(500),
         "docs_stratified_sample": _sqlgen().stratified_sample_sql(_SAMPLE_RATES, default_rate=0.0625),
         "supplier_topk_per_nation": (

@@ -196,3 +196,31 @@ def fingerprint64(batch: pa.Table, column: str = "text") -> pa.Table:
             "fingerprint": pa.array(fp, pa.int64()),
         }
     )
+
+
+def top_terms(ds, *, col: str = "text", k: int = 50):
+    """Global top-``k`` whitespace tokens by total occurrence count.
+
+    Shape: per-batch token value_counts (Arrow split + C-level counts;
+    the combiner-before-shuffle pattern) -> groupby(token).sum over
+    DISTINCT tokens only -> tiny sort+limit with a deterministic
+    (n desc, token asc) total order.  The shuffle carries per-batch
+    distinct (token, n) pairs, never token occurrences."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch.column(col)))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "n_": vc.field("counts").cast(pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )

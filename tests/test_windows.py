@@ -75,3 +75,24 @@ def test_sessionize_matches_pandas(ray_session, events):
         got[["user_id", "n_events", "n_sessions"]].astype("int64"),
         exp[["user_id", "n_events", "n_sessions"]].astype("int64"),
     )
+
+
+def test_top_terms_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.text import top_terms
+
+    docs = pa.table({"text": [
+        "a b b c", "  c c   a\tx", "b\nc", "", "x y z z z",
+    ]})
+    got = top_terms(rd.from_arrow(docs).repartition(3), k=4).to_pandas()
+    duckdb.register("docs_t", docs)
+    exp = duckdb.sql(
+        "SELECT u.tok AS token, count(*) AS n FROM docs_t, "
+        "UNNEST(regexp_split_to_array(text, '\\s')) u(tok) "
+        "WHERE u.tok <> '' GROUP BY token ORDER BY n DESC, token LIMIT 4"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
