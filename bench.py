@@ -215,6 +215,11 @@ def _driver_queries() -> dict[str, float]:
         "events_asof_click",
         "events_range_join",
         "fingerprint_docs",
+        "distinct_events_hll",
+        "heavy_users_cms",
+        "doc_len_quantiles",
+        "top_terms",
+        "segment_revenue_native",
     ]
     qs = e.queries()
     for name in sel:
