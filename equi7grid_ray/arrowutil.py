@@ -5,7 +5,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["binary_view", "continent_codes"]
+__all__ = ["binary_view", "continent_codes", "collect_tables",
+           "single_group"]
 
 
 def binary_view(col) -> tuple[memoryview, np.ndarray]:
@@ -59,3 +60,35 @@ def payload_sums(col, dtype, nodata=None) -> tuple[np.ndarray, np.ndarray]:
     sums[empty] = 0
     cnts[empty] = 0
     return sums, cnts
+
+
+def collect_tables(ds, schema: "pa.Schema | None" = None) -> pa.Table:
+    """Materialize a (SMALL, bounded) Dataset as one pyarrow Table.
+
+    Only for results whose size is bounded by construction (sketch
+    registers, per-task partials, top-k merges) -- never whole inputs.
+    Returns an empty table with ``schema`` (when given) if the Dataset
+    has no rows, where pa.concat_tables would raise."""
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.iter_batches(batch_format="pyarrow")
+    ]
+    if not tables:
+        return pa.table({}) if schema is None else schema.empty_table()
+    return pa.concat_tables(tables)
+
+
+def single_group(ds, fn, out_cols: list[str], *,
+                 batch_format: str = "pandas"):
+    """Run ``fn`` once over ALL rows of ``ds`` (a whole-dataset
+    reduction): append a constant group key, groupby it, map_groups,
+    project to ``out_cols`` (passed explicitly so no schema inference
+    executes the plan early).  ``ds`` must already be reduced to a
+    bounded size (partials)."""
+    tagged = ds.map_batches(
+        lambda t: t.append_column(
+            "__g", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    grouped = tagged.groupby("__g").map_groups(fn, batch_format=batch_format)
+    return grouped.select_columns(out_cols)

@@ -53,6 +53,8 @@ def train_centroids(
 ) -> np.ndarray:
     """Lloyd k-means on (normalized) vectors; returns (n_lists, dim)."""
     v = np.asarray(vectors, dtype=np.float64)
+    if len(v) == 0:
+        return v.reshape(0, v.shape[1] if v.ndim == 2 else 0)
     n = np.linalg.norm(v, axis=1, keepdims=True)
     n[n == 0] = 1.0
     v = v / n
@@ -95,10 +97,11 @@ def kmeans_fit(ds, *, n_lists: int = 16, n_iter: int = 10,
     cluster."""
     import ray
 
-    init_tbl = pa.concat_tables(
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in ds.limit(init_sample).iter_batches(batch_format="pyarrow")
-    )
+    from equi7grid_ray.arrowutil import collect_tables
+
+    init_tbl = collect_tables(ds.limit(init_sample))
+    if init_tbl.num_rows == 0:
+        raise ValueError("kmeans_fit: empty input dataset")
     v0 = _stack_embeddings(init_tbl, col)
     cent = train_centroids(v0, n_lists=n_lists, n_iter=1, seed=seed)
     history: list[float] = []
@@ -125,11 +128,8 @@ def kmeans_fit(ds, *, n_lists: int = 16, n_iter: int = 10,
                     np.full(len(c), best.sum() / max(len(c), 1)), pa.float64()),
             })
 
-        part_tbl = pa.concat_tables(
-            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-            for b in ds.map_batches(partials, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
-        )
+        part_tbl = collect_tables(
+            ds.map_batches(partials, batch_format="pyarrow"))
         ks = part_tbl.column("k").to_numpy(zero_copy_only=False)
         cnts = part_tbl.column("cnt").to_numpy(zero_copy_only=False)
         vs = np.stack(part_tbl.column("vsum").to_pylist())

@@ -42,7 +42,11 @@ def grouped_quantiles(ds, *, col: str, qs: tuple[float, ...],
 
     Float-determinism: ``ceil(q * n)`` is computed in IEEE doubles on
     both sides of the oracle; pass binary-exact ``qs`` (0.25, 0.5,
-    0.875, ...) when hash-exact parity with SQL matters."""
+    0.875, ...) when hash-exact parity with SQL matters.
+
+    Null handling: rows with a null key or null value are DROPPED
+    (pandas groupby semantics) -- unlike SQL GROUP BY, which keeps a
+    NULL group.  Filter or fill nulls upstream when that matters."""
     keys = list(keys or [])
     qs = tuple(float(q) for q in qs)
     if not qs:
@@ -85,10 +89,6 @@ def grouped_quantiles(ds, *, col: str, qs: tuple[float, ...],
     if keys:
         return hist.groupby(keys).map_groups(pick, batch_format="pandas")
     # ungrouped: single global histogram group
-    tagged = hist.map_batches(
-        lambda t: t.append_column(
-            "__g", pa.array(np.zeros(t.num_rows, np.int8))),
-        batch_format="pyarrow",
-    )
-    res = tagged.groupby("__g").map_groups(pick, batch_format="pandas")
-    return res.select_columns(["q", "v"])
+    from equi7grid_ray.arrowutil import single_group
+
+    return single_group(hist, pick, ["q", "v"])

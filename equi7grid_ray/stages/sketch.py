@@ -38,6 +38,14 @@ _CMS_SEEDS = tuple((0x9E3779B97F4A7C15 * (i + 1)) % (1 << 64)
                    for i in range(8))
 
 
+def _u64(col: str) -> str:
+    """SQL: int64 column -> UBIGINT with two's-complement wrap for
+    negatives (matching numpy .view(np.uint64); a bare CAST raises on
+    negative values in DuckDB)."""
+    return (f"CAST(CASE WHEN {col} < 0 THEN {col}::HUGEINT + {1 << 64} "
+            f"ELSE {col}::HUGEINT END AS UBIGINT)")
+
+
 def alpha_m(m: int) -> float:
     """HLL bias-correction constant (Flajolet et al. Fig. 3)."""
     if m <= 16:
@@ -98,6 +106,7 @@ def hll_distinct(ds, *, col: str, p: int = 8, rho_cap: int = 40):
     )
 
     def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["bucket"] >= 0]  # drop the always-present sentinel row
         reg = g["rho"].to_numpy(dtype=np.int64)
         nonzero = len(reg)
         # dyadic-exact sum: order-independent (see module docstring)
@@ -109,16 +118,17 @@ def hll_distinct(ds, *, col: str, p: int = 8, rho_cap: int = 40):
         return pd.DataFrame({"est": [np.int64(round(est))],
                              "nonzero": [np.int64(nonzero)]})
 
-    tagged = regs.map_batches(
-        lambda t: t.append_column(
-            "__g", pa.array(np.zeros(t.num_rows, np.int8))),
-        batch_format="pyarrow",
-    )
-    return (
-        tagged.groupby("__g")
-        .map_groups(estimate, batch_format="pandas")
-        .select_columns(["est", "nonzero"])
-    )
+    import ray.data as rd
+
+    from equi7grid_ray.arrowutil import single_group
+
+    # sentinel guarantees the reduction group exists even on an
+    # empty/all-null input (1-row contract; est = 0 via linear counting)
+    sentinel = rd.from_arrow(pa.table({
+        "bucket": pa.array([-1], pa.int64()),
+        "rho": pa.array([0], pa.int64()),
+    }))
+    return single_group(regs.union(sentinel), estimate, ["est", "nonzero"])
 
 
 def hll_sql(table: str, col: str, p: int = 8, rho_cap: int = 40) -> str:
@@ -132,7 +142,7 @@ def hll_sql(table: str, col: str, p: int = 8, rho_cap: int = 40) -> str:
     alpha = alpha_m(m)
     two_rest = 1 << (64 - p)
     return f"""
-WITH src AS (SELECT CAST({col} AS UBIGINT) AS k FROM {table} WHERE {col} IS NOT NULL),
+WITH src AS (SELECT {_u64(col)} AS k FROM {table} WHERE {col} IS NOT NULL),
 {_mix64_ctes('src', 'k', 'k')},
 parts AS (SELECT CAST(h // {two_rest} AS BIGINT) AS bucket,
                  CAST((h % {two_rest})::HUGEINT * {1 << p} AS UBIGINT) AS rest
@@ -179,20 +189,22 @@ def cms_heavy_hitters(ds, candidates, *, col: str, d: int = 4,
     def partials(batch: pa.Table) -> pa.Table:
         v = batch.column(col).drop_null().to_numpy(zero_copy_only=False)
         k = v.astype(np.int64).view(np.uint64)
-        counts = np.zeros(d * w, np.int64)
-        for i in range(d):
-            h = _mix64(k ^ seeds[i]) % np.uint64(w)
-            np.add.at(counts, i * w + h.astype(np.int64), 1)
+        slots = np.concatenate([
+            i * w + (_mix64(k ^ seeds[i]) % np.uint64(w)).astype(np.int64)
+            for i in range(d)
+        ]) if len(k) else np.empty(0, np.int64)
+        counts = np.bincount(slots, minlength=d * w)
         nz = np.flatnonzero(counts)
         return pa.table({"slot": pa.array(nz, pa.int64()),
                          "c": pa.array(counts[nz], pa.int64())})
 
-    sketch_tbl = pa.concat_tables(
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in ds.map_batches(partials, batch_format="pyarrow")
+    from equi7grid_ray.arrowutil import collect_tables
+
+    sketch_tbl = collect_tables(
+        ds.map_batches(partials, batch_format="pyarrow")
         .groupby("slot")
-        .aggregate(Sum("c", alias_name="c"))
-        .iter_batches(batch_format="pyarrow")
+        .aggregate(Sum("c", alias_name="c")),
+        schema=pa.schema([("slot", pa.int64()), ("c", pa.int64())]),
     )
     # fixed-size sketch (d*w slots) -- safe to hold driver-side at any
     # input scale, then ship once per scoring actor
@@ -230,7 +242,7 @@ def cms_sql(table: str, col: str, d: int = 4, w: int = 1024,
     seeds = ", ".join(
         f"({i}, {s}::UBIGINT)" for i, s in enumerate(_CMS_SEEDS[:d]))
     return f"""
-WITH src AS (SELECT CAST({col} AS UBIGINT) AS k FROM {table}
+WITH src AS (SELECT {_u64(col)} AS k FROM {table}
              WHERE {col} IS NOT NULL),
 seeds(i, s) AS (VALUES {seeds}),
 x AS (SELECT k, i, xor(k, s) AS x0 FROM src, seeds),

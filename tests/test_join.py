@@ -415,3 +415,40 @@ def test_cms_heavy_hitters_matches_sql_mirror(ray_session):
     # CMS never underestimates; the 10 planted heavy keys lead
     assert set(got["k"].head(10)) == set(range(10))
     assert (got["est"].head(10) >= 3000).all()
+
+
+def test_hll_empty_and_all_null_inputs(ray_session):
+    from equi7grid_ray.stages.sketch import hll_distinct
+
+    for tbl in (pa.table({"k": pa.array([], pa.int64())}),
+                pa.table({"k": pa.array([None, None], pa.int64())})):
+        got = hll_distinct(rd.from_arrow(tbl), col="k", p=8).to_pandas()
+        assert len(got) == 1
+        assert got["est"].iloc[0] == 0
+        assert got["nonzero"].iloc[0] == 0
+
+
+def test_cms_empty_input(ray_session):
+    from equi7grid_ray.stages.sketch import cms_heavy_hitters
+
+    empty = pa.table({"k": pa.array([], pa.int64())})
+    got = cms_heavy_hitters(rd.from_arrow(empty), rd.from_arrow(empty),
+                            col="k").to_pandas()
+    assert len(got) == 0
+
+
+def test_hll_negative_keys_match_sql_mirror(ray_session):
+    import duckdb
+
+    from equi7grid_ray.stages.sketch import hll_distinct, hll_sql
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(-40_000, 40_000, 90_000).astype(np.int64)
+    tbl = pa.table({"k": pa.array(vals)})
+    got = hll_distinct(rd.from_arrow(tbl).repartition(4),
+                       col="k", p=8).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(hll_sql("t", "k", p=8)).df()
+    assert got["est"].iloc[0] == exp["est"].iloc[0]
+    assert got["nonzero"].iloc[0] == exp["nonzero"].iloc[0]
