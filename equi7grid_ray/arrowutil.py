@@ -47,8 +47,11 @@ def payload_sums(col, dtype, nodata=None) -> tuple[np.ndarray, np.ndarray]:
     count when given; empty payloads yield (0, 0)."""
     dt = np.dtype(dtype)
     data, offs = binary_view(col)
-    flat = np.frombuffer(data, dt).astype(np.int64)
     oe = offs // dt.itemsize  # element offsets
+    # truncate to the column's LOGICAL end: a sliced / non-compacted
+    # array's value buffer can extend past offs[-1], and reduceat's
+    # last segment would otherwise absorb those bytes
+    flat = np.frombuffer(data, dt)[: oe[-1]].astype(np.int64)
     n = len(oe) - 1
     if not len(flat):
         return np.zeros(n, np.int64), np.zeros(n, np.int64)

@@ -555,7 +555,7 @@ cids AS (
 grams AS (
   SELECT DISTINCT d.doc_id, substring(d.text, CAST(i AS INT), {n}) AS gm
   FROM documents d JOIN cids ON cids.id = d.doc_id,
-  UNNEST(range(1, length(d.text) - {n} + 2)) AS r(i)),
+  UNNEST(range(1, greatest(length(d.text) - {n} + 2, 2))) AS r(i)),
 gcnt AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS ni

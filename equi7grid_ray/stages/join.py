@@ -215,76 +215,22 @@ def shuffle_hash_join(
     if how not in ("inner", "left"):
         raise ValueError("shuffle_hash_join supports how='inner'|'left'")
 
-    lschema = left.schema()
-    rschema = right.schema()
-    lcols = [c for c in lschema.names if c != on]
-    rcols_orig = [c for c in rschema.names if c != on]
-    rmap = {c: (c + suffix if c in lcols else c) for c in rcols_orig}
-    rcols = [rmap[c] for c in rcols_orig]
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = {rmap[c]: t for c, t in zip(rschema.names, rschema.types) if c != on}
-    rtypes_on = dict(zip(rschema.names, rschema.types))[on]
-
-    # union requires one schema: project both sides into the superset
-    # (key, left cols, renamed right cols, side tag) with null fills
-    super_fields = (
-        [(on, ltypes.get(on, rtypes_on))]
-        + [(c, ltypes[c]) for c in lcols]
-        + [(c, rtypes[c]) for c in rcols]
-        + [("__side", pa.int8())]
-    )
-
-    def project(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            cols = {}
-            for name, typ in super_fields:
-                if name == "__side":
-                    cols[name] = pa.array(np.full(n, side, np.int8))
-                elif side == 0 and name in batch.column_names:
-                    cols[name] = batch.column(name).cast(typ)
-                elif side == 1:
-                    src = on if name == on else next(
-                        (c for c, r in rmap.items() if r == name), None
-                    )
-                    if src is not None and src in batch.column_names:
-                        cols[name] = batch.column(src).cast(typ)
-                    else:
-                        cols[name] = pa.nulls(n, typ)
-                else:
-                    cols[name] = pa.nulls(n, typ)
-            return pa.table(cols)
-
-        return fn
-
-    lt = left.map_batches(project(0), batch_format="pyarrow")
-    rt = right.map_batches(project(1), batch_format="pyarrow")
-    unioned = lt.union(rt)
-
+    lkeep = list(left.schema().names)
+    rkeep = list(right.schema().names)
+    lcols = [c for c in lkeep if c != on]
+    rmap = {c: (c + suffix if c in lcols else c) for c in rkeep if c != on}
+    rcols = [rmap[c] for c in rkeep if c != on]
+    unioned, super_fields = _tag_union(left, right, lkeep, rkeep, rmap)
     parted = unioned.map_batches(
         _add_part_fn(on, n_partitions), batch_format="pyarrow"
     )
-
-    # side-filtered frames are null-free on their own columns, so restore
-    # the original dtypes (the union's null fill upcasts ints to float64
-    # in the pandas conversion)
-    np_types = {}
-    for name, typ in super_fields:
-        if name != "__side":
-            try:
-                np_types[name] = typ.to_pandas_dtype()
-            except NotImplementedError:
-                pass
+    np_types = _np_types(super_fields)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        gl = g[g["__side"] == 0][[on] + lcols]
-        gr = g[g["__side"] == 1][[on] + rcols]
-        # a column with GENUINE nulls keeps the float upcast (pre-split
-        # behavior) -- astype would raise IntCastingNaNError on the NaN
-        gl = gl.astype({c: np_types[c] for c in gl.columns
-                        if c in np_types and not gl[c].isna().any()})
-        gr = gr.astype({c: np_types[c] for c in gr.columns
-                        if c in np_types and not gr[c].isna().any()})
+        gl = _restore_dtypes(g[g["__side"] == 0][[on] + lcols], np_types,
+                             plain=(on,))
+        gr = _restore_dtypes(g[g["__side"] == 1][[on] + rcols], np_types,
+                             plain=(on,))
         return gl.merge(gr, on=on, how=how)
 
     return parted.groupby("__part").map_groups(merge, batch_format="pandas")
@@ -339,10 +285,38 @@ def _np_types(super_fields) -> dict:
     return out
 
 
-def _restore_dtypes(df: pd.DataFrame, np_types: dict) -> pd.DataFrame:
-    """Undo the union null-fill float upcast on null-free columns."""
-    return df.astype({c: np_types[c] for c in df.columns
-                      if c in np_types and not df[c].isna().any()})
+_NULLABLE = {
+    "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32",
+    "uint64": "UInt64", "bool": "boolean",
+}
+
+
+def _restore_dtypes(df: pd.DataFrame, np_types: dict,
+                    plain: tuple = ()) -> pd.DataFrame:
+    """Undo the union null-fill float upcast DETERMINISTICALLY: integer
+    and bool columns are cast to pandas NULLABLE dtypes (NaN -> pd.NA),
+    so every partition emits the same Arrow schema (e.g. nullable
+    int64) no matter which keys or merge-misses landed in it -- the
+    old null-free-only astype made block schemas data-dependent.
+
+    ``plain`` columns (merge keys: pandas.merge_asof rejects extension
+    dtypes for ``on``) keep the original guarded cast: plain numpy
+    dtype when null-free, float upcast otherwise."""
+    casts = {}
+    for c in df.columns:
+        t = np_types.get(c)
+        if t is None:
+            continue
+        name = np.dtype(t).name
+        if c in plain:
+            if not df[c].isna().any():
+                casts[c] = t
+        elif name in _NULLABLE:
+            casts[c] = _NULLABLE[name]
+        elif not df[c].isna().any():
+            casts[c] = t
+    return df.astype(casts)
 
 
 def asof_join(
@@ -389,8 +363,9 @@ def asof_join(
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         gl = g[g["__side"] == 0][lkeep]
         gr = g[g["__side"] == 1][[by, on] + rout]
-        gl = _restore_dtypes(gl, np_types)
-        gr = _restore_dtypes(gr, np_types)
+        # merge_asof rejects extension dtypes for on/by -> plain keys
+        gl = _restore_dtypes(gl, np_types, plain=(on, by))
+        gr = _restore_dtypes(gr, np_types, plain=(on, by))
         gl = gl.sort_values(on, kind="stable")
         gr = gr.sort_values(on, kind="stable")
         return pd.merge_asof(
@@ -467,8 +442,11 @@ def range_join(
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         gl = g[g["__side"] == 0][lkeep]
         gr = g[g["__side"] == 1][rout]
-        gl = _restore_dtypes(gl, np_types)
-        gr = _restore_dtypes(gr, np_types)
+        # range/equality comparisons below need plain (non-extension)
+        # dtypes; these columns are non-null on their own side
+        plain = (left_on, lo_o, hi_o) + ((by,) if by else ())
+        gl = _restore_dtypes(gl, np_types, plain=plain)
+        gr = _restore_dtypes(gr, np_types, plain=plain)
         keys = [by] if by else []
         if keys:
             m = gl.merge(gr, left_on=keys, right_on=[rename.get(by, by)]

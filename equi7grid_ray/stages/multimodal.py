@@ -224,15 +224,20 @@ def dhash_near_dup(ds, max_dist: int = 3, id_col: str = "image_id",
             m["dhash_b"].to_numpy().astype(np.int64).view(np.uint64)
         ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
         keep = ham <= max_dist
-        # first-matching-band rule: a pair colliding in several bands is
-        # emitted only where band == its lowest matching band, so pairs
-        # are globally unique without a dedupe shuffle
-        band = m["band"].to_numpy()
-        prior = np.zeros(len(x), dtype=bool)
-        for k in range(3):
-            segk = ((x >> np.uint64(48 - 16 * k)) & np.uint64(0xFFFF)) == 0
-            prior |= segk & (band > k)
-        keep &= ~prior
+        if max_bucket is None:
+            # first-matching-band rule: a pair colliding in several
+            # bands is emitted only where band == its lowest matching
+            # band, so pairs are globally unique with NO dedupe
+            # shuffle.  Only valid when no bucket is dropped: with a
+            # finite max_bucket the lowest matching band's bucket may
+            # have been cut, which would silently lose the pair (the
+            # capped path below dedupes instead).
+            band = m["band"].to_numpy()
+            prior = np.zeros(len(x), dtype=bool)
+            for k in range(3):
+                segk = ((x >> np.uint64(48 - 16 * k)) & np.uint64(0xFFFF)) == 0
+                prior |= segk & (band > k)
+            keep &= ~prior
         ia = m["ix_a"].to_numpy()[keep]
         ib = m["ix_b"].to_numpy()[keep]
         a, b = ids[ia], ids[ib]
@@ -240,8 +245,15 @@ def dhash_near_dup(ds, max_dist: int = 3, id_col: str = "image_id",
         return pd.DataFrame({"id_a": np.where(lo, a, b),
                              "id_b": np.where(lo, b, a)})
 
-    return parted.groupby("part").map_groups(pairs_in_partition,
-                                             batch_format="pandas")
+    pairs = parted.groupby("part").map_groups(pairs_in_partition,
+                                              batch_format="pandas")
+    if max_bucket is None:
+        return pairs
+    # capped path: a pair is emitted by EVERY matching surviving band
+    # (so it survives as long as ANY of its buckets is under the cap),
+    # then deduped -- the extra shuffle carries only result pairs
+    return (pairs.groupby(["id_a", "id_b"]).count()
+            .select_columns(["id_a", "id_b"]))
 
 
 class AudioFeatures:

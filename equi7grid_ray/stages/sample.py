@@ -70,10 +70,12 @@ def stratified_sample(ds, key_col: str, rates: dict[str, float],
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         dict_vals = keys.dictionary.to_pylist()
-        lut = np.array([thr_map.get(v, default_thr) for v in dict_vals],
-                       dtype=np.uint64)
-        codes = keys.indices.to_numpy(zero_copy_only=False)
-        thr = lut[codes] if len(lut) else np.zeros(len(ids), np.uint64)
+        # +1 slot: null keys (index -1 after fill_null) take default_thr
+        lut = np.array([thr_map.get(v, default_thr) for v in dict_vals]
+                       + [default_thr], dtype=np.uint64)
+        codes = (keys.indices.fill_null(-1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        thr = lut[codes]
         keep = _keep_mask(ids, thr)
         return batch.filter(pa.array(keep))
 

@@ -86,3 +86,47 @@ def test_near_dup_empty_and_identical(ray_session):
     ds = rd.from_arrow(pa.concat_tables([one, twin, far]))
     pairs = dhash_near_dup(ds, max_dist=0).to_pandas()
     assert set(zip(pairs.id_a, pairs.id_b)) == {("img000000000000", "imgTWIN")}
+
+
+def _bitcraft_image(bits8x8: np.ndarray) -> bytes:
+    """9x8 raw image whose dHash comparison bits equal bits8x8."""
+    px = np.zeros((8, 9), np.int16)
+    px[:, 0] = 128
+    for c in range(8):
+        # bit 1 <=> px[r, c] > px[r, c+1]
+        px[:, c + 1] = px[:, c] + np.where(bits8x8[:, c] == 1, -15, 15)
+    return px.astype(np.uint8).tobytes()
+
+
+def test_dhash_near_dup_capped_bucket_keeps_other_band_pairs(ray_session):
+    """Review finding: with max_bucket set, a pair whose FIRST matching
+    band sits in a dropped mega-bucket must still be emitted via a
+    later surviving band."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.multimodal import dhash_near_dup
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # 5 images share rows 0-1 (band 0 bucket of size 5 -> dropped at
+    # max_bucket=4); images 0 and 1 are fully identical (bands 1-3
+    # buckets of size 2 -> kept)
+    shared_top = rng.integers(0, 2, (2, 8))
+    rest0 = rng.integers(0, 2, (6, 8))
+    for i in range(5):
+        rest = rest0 if i <= 1 else rng.integers(0, 2, (6, 8))
+        bits = np.vstack([shared_top, rest])
+        rows.append({"image_id": f"v{i}", "bytes": _bitcraft_image(bits),
+                     "w": 9, "h": 8, "fmt": "raw"})
+    tbl = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows]),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "w": pa.array([r["w"] for r in rows], pa.int32()),
+        "h": pa.array([r["h"] for r in rows], pa.int32()),
+        "fmt": pa.array([r["fmt"] for r in rows]),
+    })
+    got = dhash_near_dup(rd.from_arrow(tbl), max_dist=0,
+                         max_bucket=4).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert ("v0", "v1") in pairs, pairs

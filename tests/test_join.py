@@ -96,6 +96,7 @@ def test_shuffle_join_high_cardinality(ray_session):
         out.sort_values("k").reset_index(drop=True),
         exp.sort_values("k").reset_index(drop=True),
         check_like=True,
+        check_dtype=False,  # nullable Int64 out (same Arrow type int64)
     )
 
 
@@ -452,3 +453,24 @@ def test_hll_negative_keys_match_sql_mirror(ray_session):
     exp = con.sql(hll_sql("t", "k", p=8)).df()
     assert got["est"].iloc[0] == exp["est"].iloc[0]
     assert got["nonzero"].iloc[0] == exp["nonzero"].iloc[0]
+
+
+def test_shuffle_join_left_schema_stable_across_partitions(ray_session):
+    # review finding: partitions with merge-misses used to emit float64
+    # for right-side int columns while fully-matched partitions emitted
+    # int64 -- every block must now carry the same Arrow schema
+    left = pa.table({"k": pa.array(np.arange(200), pa.int64()),
+                     "lv": pa.array(np.arange(200), pa.int64())})
+    right = pa.table({"k": pa.array([0, 3], pa.int64()),
+                      "rv": pa.array([7, 9], pa.int64())})
+    out = shuffle_hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                            on="k", how="left", n_partitions=16)
+    schemas = {
+        str(b.schema)
+        for b in out.iter_batches(batch_format="pyarrow")
+        if (b.num_rows if hasattr(b, "num_rows") else len(b))
+    }
+    assert len(schemas) == 1, schemas
+    df = out.to_pandas()
+    assert str(df["rv"].dtype) == "Int64"
+    assert df["rv"].notna().sum() == 2 and len(df) == 200
