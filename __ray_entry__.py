@@ -1079,6 +1079,65 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, q, n_probe=6, k=10, centroids=cent).select_columns(["vec_id"])
 
 
+def q_events_pivot(sf_dir: str):
+    """Wide pivot aggregate (stages/pivot.pivot_counts): one row per
+    hour-of-day with per-event-type count and cents-sum columns; each
+    batch folds to a dense (hour x type) matrix so the shuffle carries
+    wide partials only.  SQL-oracled via explicit CASE columns."""
+    from equi7grid_ray.stages.pivot import pivot_counts
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hod = pa.array(us // 3_600_000_000 % 24, pa.int64())
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "hour": hod,
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    return pivot_counts(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        index="hour", pivot_col="event_type",
+        categories=("click", "error", "purchase", "signup", "view"),
+        value_col="cents",
+    )
+
+
+def q_events_running(sf_dir: str):
+    """Per-user running prefix aggregates ordered by (ts, event_id)
+    (stages/windows.cumulative_over): hash-partition by user, one
+    vectorized sort + groupby-cumsum per partition.  Integer-only
+    accumulators keep DuckDB's segment-tree window and pandas'
+    sequential cumsum bit-identical.  SQL-oracled via window
+    functions."""
+    from equi7grid_ray.stages.windows import cumulative_over
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    out = cumulative_over(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", order=["ts_us", "event_id"],
+        sums={"cum_cents": "cents"}, count_as="cum_n",
+    )
+    return out.select_columns(["user_id", "event_id", "cum_n", "cum_cents"])
+
+
 def q_distinct_events_hll(sf_dir: str):
     """HyperLogLog distinct-count sketch (stages/sketch.hll_distinct)
     over event_id: per-batch register partials (<= 2^p rows/batch),
@@ -1676,6 +1735,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": q_doc_len_quantiles,
         "distinct_events_hll": q_distinct_events_hll,
         "heavy_users_cms": q_heavy_users_cms,
+        "events_pivot": q_events_pivot,
+        "events_running": q_events_running,
         "events_hopping": q_events_hopping,
         "events_asof_click": q_events_asof_click,
         "events_range_join": q_events_range_join,
@@ -1872,6 +1933,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_events_hll": _hll_oracle_sql(),
         "heavy_users_cms": _cms_oracle_sql(),
+        "events_pivot": (
+            "SELECT (epoch_us(ts) // 3600000000) % 24 AS hour, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_{c}"
+                for c in ("click", "error", "purchase", "signup", "view")
+            ) + ", "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN event_type = '{c}' "
+                f"THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) "
+                f"AS BIGINT) AS sum_{c}"
+                for c in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY hour"
+        ),
+        "events_running": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS cum_n, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS cum_cents FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
         "doc_len_quantiles": (
             " UNION ALL ".join(
                 f"SELECT lang, CAST({q} AS DOUBLE) AS q, "

@@ -1,0 +1,74 @@
+"""Wide pivot aggregates: long (index, category, value) rows -> one row
+per index with per-category columns.
+
+Shape: each batch folds into a dense (distinct-index x category) count/
+sum matrix (np.bincount over combined codes -- no Python per row), so
+the shuffle carries wide PARTIAL rows bounded by distinct index values
+per batch, never input rows; a keyed Sum merge finishes.  The category
+domain is fixed and caller-supplied (the SQL-PIVOT contract): rows with
+an unlisted category are dropped, matching the explicit CASE columns an
+oracle generates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["pivot_counts"]
+
+
+def pivot_counts(ds, *, index: str, pivot_col: str,
+                 categories: tuple[str, ...], value_col: str | None = None):
+    """Pivot ``ds`` to one row per ``index`` value with ``n_<cat>``
+    count columns (and ``sum_<cat>`` int64 sums of ``value_col`` when
+    given).  ``index`` must be integer-typed; ``categories`` fixes the
+    output schema."""
+    cats = list(categories)
+    K = len(cats)
+    if K == 0:
+        raise ValueError("pivot_counts: need at least one category")
+    from ray.data.aggregate import Sum
+
+    n_cols = [f"n_{c}" for c in cats]
+    s_cols = [f"sum_{c}" for c in cats] if value_col else []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = batch.column(index).to_numpy(zero_copy_only=False).astype(np.int64)
+        pv = batch.column(pivot_col)
+        if isinstance(pv, pa.ChunkedArray):
+            pv = pv.combine_chunks()
+        enc = pv.dictionary_encode()
+        dict_vals = enc.dictionary.to_pylist()
+        pos = {c: i for i, c in enumerate(cats)}
+        lut = np.array([pos.get(v, -1) for v in dict_vals] + [-1], np.int64)
+        codes = lut[enc.indices.fill_null(-1)
+                    .to_numpy(zero_copy_only=False).astype(np.int64)]
+        m = codes >= 0  # unlisted categories dropped (fixed-schema contract)
+        idx, codes = idx[m], codes[m]
+        if not len(idx):
+            empty = {index: pa.array([], pa.int64())}
+            for c in n_cols + s_cols:
+                empty[c] = pa.array([], pa.int64())
+            return pa.table(empty)
+        uidx, inv = np.unique(idx, return_inverse=True)
+        flat = inv * K + codes
+        counts = np.bincount(flat, minlength=len(uidx) * K).reshape(-1, K)
+        out = {index: pa.array(uidx, pa.int64())}
+        for j, c in enumerate(n_cols):
+            out[c] = pa.array(counts[:, j].astype(np.int64), pa.int64())
+        if value_col:
+            vals = batch.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)[m]
+            sums = np.bincount(flat, weights=vals.astype(np.float64),
+                               minlength=len(uidx) * K).reshape(-1, K)
+            for j, c in enumerate(s_cols):
+                out[c] = pa.array(np.rint(sums[:, j]).astype(np.int64),
+                                  pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(index)
+        .aggregate(*[Sum(c, alias_name=c) for c in n_cols + s_cols])
+    )

@@ -114,3 +114,41 @@ def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
         })
 
     return ds.groupby(user_col).map_groups(sessions, batch_format="pandas")
+
+
+def cumulative_over(ds, *, key: str, order: list[str],
+                    sums: dict[str, str] | None = None,
+                    count_as: str | None = "cum_n",
+                    n_partitions: int = 64):
+    """Running per-key prefix aggregates -- the SQL window
+    ``SUM(x) OVER (PARTITION BY key ORDER BY order ROWS UNBOUNDED
+    PRECEDING)`` (and ``COUNT(*) OVER ...`` as ``count_as``).
+
+    ``sums`` maps output column -> INTEGER input column to accumulate;
+    integer-only prefixes are exact and order-independent of the
+    engine's internal summation (DuckDB's segment-tree window vs
+    pandas' sequential cumsum agree bit-for-bit), which keeps the
+    operator hash-oracle-able.
+
+    Shuffle shape: rows hash-partition by ``key`` (each row moves
+    once); each partition does ONE vectorized sort + groupby-cumsum --
+    Python-call count is O(n_partitions).  ``order`` must be a total
+    order within each key for deterministic output (pass a unique
+    tiebreak column)."""
+    from equi7grid_ray.stages.join import _add_part_fn
+
+    sums = dict(sums or {})
+    parted = ds.map_batches(_add_part_fn(key, n_partitions),
+                            batch_format="pyarrow")
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="stable")
+        grp = g.groupby(key, sort=False)
+        out = g.drop(columns=["__part"])
+        if count_as:
+            out[count_as] = grp.cumcount().to_numpy() + 1
+        for name, col in sums.items():
+            out[name] = grp[col].cumsum().to_numpy()
+        return out
+
+    return parted.groupby("__part").map_groups(run, batch_format="pandas")

@@ -96,3 +96,65 @@ def test_top_terms_matches_duckdb(ray_session):
         "WHERE u.tok <> '' GROUP BY token ORDER BY n DESC, token LIMIT 4"
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.pivot import pivot_counts
+
+    rng = np.random.default_rng(6)
+    cats = ("a", "b", "c")
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 7, 2000), pa.int64()),
+        "cat": pa.array(rng.choice(list(cats) + ["zz"], 2000)),  # zz dropped
+        "v": pa.array(rng.integers(0, 100, 2000), pa.int64()),
+    })
+    got = (pivot_counts(rd.from_arrow(tbl).repartition(5), index="g",
+                        pivot_col="cat", categories=cats, value_col="v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    duckdb.register("pt", tbl)
+    exp = duckdb.sql(
+        "SELECT g, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN cat='{c}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{c}"
+            for c in cats)
+        + ", "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN cat='{c}' THEN v ELSE 0 END) AS BIGINT) AS sum_{c}"
+            for c in cats)
+        + " FROM pt GROUP BY g ORDER BY g"
+    ).df().reset_index(drop=True)
+    cols = list(exp.columns)
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+
+
+def test_cumulative_over_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.windows import cumulative_over
+
+    rng = np.random.default_rng(8)
+    n = 3000
+    tbl = pa.table({
+        "u": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "t": pa.array(rng.permutation(n).astype(np.int64)),  # unique order
+        "x": pa.array(rng.integers(0, 50, n), pa.int64()),
+    })
+    got = (cumulative_over(rd.from_arrow(tbl).repartition(6), key="u",
+                           order=["t"], sums={"cx": "x"}, count_as="cn")
+           .to_pandas().sort_values(["u", "t"]).reset_index(drop=True))
+    df = tbl.to_pandas().sort_values(["u", "t"], kind="stable")
+    df["cn"] = df.groupby("u").cumcount() + 1
+    df["cx"] = df.groupby("u")["x"].cumsum()
+    exp = df.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["u", "t", "x", "cn", "cx"]], exp[["u", "t", "x", "cn", "cx"]],
+        check_dtype=False)
