@@ -605,6 +605,32 @@ def q_segment_revenue_native(sf_dir: str):
     )
 
 
+def q_customers_no_events(sf_dir: str):
+    """Broadcast ANTI-join (stages/join.broadcast_join how='anti'): the
+    blocklist filter pattern -- customers who never appear in the event
+    stream, counted per nation.  The key set (distinct event user_ids)
+    broadcasts once; the probe is a pure vectorized filter, zero
+    shuffle.  SQL-oracled via NOT IN."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.stages.join import broadcast_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ukeys = pa.table({
+        "c_custkey": pc.unique(
+            pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["user_id"]).column("user_id")
+        ).cast(pa.int64())
+    })
+    anti = broadcast_join(cust, ukeys, on="c_custkey", how="anti")
+    return (
+        anti.groupby("c_nationkey")
+        .aggregate(Count(alias_name="n"))
+        .rename_columns({"c_nationkey": "nationkey"})
+    )
+
+
 def q_orders_by_nation(sf_dir: str):
     """Two-hop dimension join: orders -> customer -> nation via the
     broadcast-join operator (small sides ray.put once, probed per batch;
@@ -1705,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_len_hist": q_token_len_hist,
         "orders_by_nation": q_orders_by_nation,
         "segment_revenue_native": q_segment_revenue_native,
+        "customers_no_events": q_customers_no_events,
         "events_sessionize": q_events_sessionize,
         "allowed_samplings": q_allowed_samplings,
         "knn_tiles": q_knn_tiles,
@@ -1933,6 +1960,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_events_hll": _hll_oracle_sql(),
         "heavy_users_cms": _cms_oracle_sql(),
+        "customers_no_events": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, "
+            "count(*) AS n FROM customer "
+            "WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events) "
+            "GROUP BY nationkey"
+        ),
         "events_pivot": (
             "SELECT (epoch_us(ts) // 3600000000) % 24 AS hour, "
             + ", ".join(

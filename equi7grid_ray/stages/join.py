@@ -100,10 +100,14 @@ def broadcast_join(
     """Join ``large`` (Dataset, streamed) with ``small`` (Dataset or
     pyarrow.Table, materialized + broadcast) on equality of ``on``.
 
-    ``how``: 'inner' or 'left'.  Small-side duplicate keys keep the
-    FIRST occurrence (dimension-table semantics)."""
-    if how not in ("inner", "left"):
-        raise ValueError("broadcast_join supports how='inner'|'left'")
+    ``how``: 'inner' | 'left' | 'semi' | 'anti'.  'semi' keeps large
+    rows whose key exists in small (no columns added); 'anti' keeps the
+    rest -- the broadcast blocklist/allowlist filter.  Small-side
+    duplicate keys keep the FIRST occurrence (dimension-table
+    semantics)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            "broadcast_join supports how='inner'|'left'|'semi'|'anti'")
     if hasattr(small, "to_arrow_refs") or hasattr(small, "map_batches"):
         small_tbl = pa.concat_tables(
             pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
@@ -146,6 +150,9 @@ def broadcast_join(
             probe = batch.column(on).to_pandas()
             pos = self.index.get_indexer(probe)
             hit = pos >= 0
+            if how in ("semi", "anti"):  # pure filter, no columns added
+                keep = hit if how == "semi" else ~hit
+                return batch.filter(pa.array(keep))
             if how == "inner":
                 keep = np.flatnonzero(hit)
                 batch = batch.take(pa.array(keep))

@@ -474,3 +474,20 @@ def test_shuffle_join_left_schema_stable_across_partitions(ray_session):
     df = out.to_pandas()
     assert str(df["rv"].dtype) == "Int64"
     assert df["rv"].notna().sum() == 2 and len(df) == 200
+
+
+def test_broadcast_join_semi_anti(ray_session, sides):
+    left, right = sides
+    lds = rd.from_arrow(left)
+    semi = broadcast_join(lds, rd.from_arrow(right), on="k",
+                          how="semi").to_pandas()
+    anti = broadcast_join(lds, rd.from_arrow(right), on="k",
+                          how="anti").to_pandas()
+    ldf = left.to_pandas()
+    keys = set(right.column("k").to_pylist())
+    exp_semi = ldf[ldf["k"].isin(keys)]
+    exp_anti = ldf[~ldf["k"].isin(keys)]
+    assert sorted(semi.columns) == ["k", "v"]  # no right columns added
+    assert len(semi) == len(exp_semi) and len(anti) == len(exp_anti)
+    assert len(semi) + len(anti) == len(ldf)
+    assert set(semi["k"]) <= keys and not (set(anti["k"]) & keys)
