@@ -1522,6 +1522,21 @@ def q_top_terms(sf_dir: str):
     return top_terms(ds, col="text", k=50)
 
 
+def q_doc_tfidf_topk(sf_dir: str):
+    """Two-pass TF-IDF (stages/text.tfidf_topk): bounded deterministic
+    df vocabulary (top-4096 by df desc, token asc) -> broadcast ->
+    batch-local per-doc top-3 by the ALL-INTEGER score
+    tf * (n_docs * 1000 // df), token-ascending ties.  SQL-oracled via
+    window row_number."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.stages.text import tfidf_topk
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(ds, n_docs=n_docs, k=3, max_vocab=4096)
+
+
 def q_video_frame_stats(sf_dir: str):
     """REAL frame sampling over raw planar video payloads
     (stages/multimodal.RawVideoFrames): every 5th frame's integer luma
@@ -1750,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "video_frame_stats": q_video_frame_stats,
         "top_terms": q_top_terms,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         "audio_pcm_features": q_audio_pcm_features,
         "docs_stratified_sample": q_docs_stratified_sample,
         "supplier_topk_per_nation": q_supplier_topk_per_nation,
@@ -2048,6 +2064,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u.tok AS token, count(*) AS n "
             "FROM documents, UNNEST(regexp_split_to_array(text, '\\s')) u(tok) "
             "WHERE u.tok <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "doc_tfidf_topk": (
+            "WITH toks AS (SELECT doc_id, u.tok FROM documents, "
+            "UNNEST(regexp_split_to_array(text, '\\s')) u(tok) "
+            "WHERE u.tok <> ''), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+            "GROUP BY doc_id, tok), "
+            "dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks "
+            "GROUP BY tok), "
+            "vocab AS (SELECT tok, df FROM dfq "
+            "ORDER BY df DESC, tok LIMIT 4096), "
+            "nd AS (SELECT count(*) AS n FROM documents), "
+            "scored AS (SELECT t.doc_id, t.tok, "
+            "t.tf * ((nd.n * 1000) // v.df) AS score "
+            "FROM tf t JOIN vocab v USING (tok), nd), "
+            "ranked AS (SELECT doc_id, tok, score, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, tok) AS r FROM scored) "
+            "SELECT doc_id, tok AS token, CAST(score AS BIGINT) AS score "
+            "FROM ranked WHERE r <= 3"
         ),
         "audio_pcm_features": _sqlgen().audio_pcm_sql(500),
         "docs_stratified_sample": _sqlgen().stratified_sample_sql(_SAMPLE_RATES, default_rate=0.0625),

@@ -224,3 +224,98 @@ def top_terms(ds, *, col: str = "text", k: int = 50):
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def doc_frequencies(ds, *, col: str = "text", max_vocab: int = 4096):
+    """Token document frequencies, cut to the top-``max_vocab`` tokens
+    by (df desc, token asc) -- a deterministic vocabulary.  Per-batch
+    per-doc DISTINCT tokens -> value_counts partials, distinct-token
+    shuffle, tiny sort+limit."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch.column(col))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        parent = np.repeat(np.arange(len(lens)), lens)
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        import pandas as pd
+        df = pd.DataFrame({"d": parent[keep],
+                           "tok": flat.filter(pa.array(keep)).to_pandas()})
+        per_doc = df.drop_duplicates()  # distinct (doc, token)
+        vc = per_doc["tok"].value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(dtype=object)),
+                         "df_": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(max_vocab)
+    )
+
+
+class TfIdfTopK:
+    """Per-document top-k tokens by an ALL-INTEGER tf-idf score:
+    score = tf * (n_docs * 1000 // df) over a broadcast vocabulary
+    (idf as integer permille keeps the ranking SQL-mirrorable exactly;
+    ties break token-ascending).  Each doc is one row, so the per-doc
+    top-k is batch-local -- zero shuffle in the scoring pass."""
+
+    def __init__(self, vocab_df: "pa.Table", n_docs: int, k: int = 3,
+                 col: str = "text", id_col: str = "doc_id"):
+        import pandas as pd
+        toks = vocab_df.column("token").to_pylist()
+        dfs = vocab_df.column("df").to_numpy(zero_copy_only=False)
+        self.idf = pd.Series(
+            (int(n_docs) * 1000 // dfs).astype(np.int64), index=toks)
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        toks = pc.utf8_split_whitespace(batch.column(self.col))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        parent = np.repeat(np.arange(len(lens)), lens)
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"d": parent[keep],
+                           "tok": flat.filter(pa.array(keep)).to_pandas()})
+        tf = df.groupby(["d", "tok"], sort=False).size().reset_index(name="tf")
+        tf["idf"] = self.idf.reindex(tf["tok"]).to_numpy()
+        tf = tf.dropna(subset=["idf"])  # out-of-vocab tokens ignored
+        tf["score"] = tf["tf"].to_numpy(np.int64) * tf["idf"].to_numpy(np.int64)
+        top = (tf.sort_values(["d", "score", "tok"],
+                              ascending=[True, False, True], kind="stable")
+               .groupby("d", sort=False).head(self.k))
+        ids = batch.column(self.id_col).take(
+            pa.array(top["d"].to_numpy(np.int64)))
+        return pa.table({
+            self.id_col: ids,
+            "token": pa.array(top["tok"].to_numpy(dtype=object)),
+            "score": pa.array(top["score"].to_numpy(np.int64), pa.int64()),
+        })
+
+
+def tfidf_topk(ds, *, n_docs: int, k: int = 3, max_vocab: int = 4096,
+               col: str = "text", id_col: str = "doc_id"):
+    """Two-pass TF-IDF: df vocabulary (bounded, deterministic cut) ->
+    broadcast -> batch-local per-doc top-k scoring."""
+    from equi7grid_ray.arrowutil import collect_tables
+
+    vocab = collect_tables(
+        doc_frequencies(ds, col=col, max_vocab=max_vocab),
+        schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+    )
+    return ds.map_batches(
+        TfIdfTopK,
+        fn_constructor_kwargs=dict(vocab_df=vocab, n_docs=n_docs, k=k,
+                                   col=col, id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )

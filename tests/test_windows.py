@@ -158,3 +158,42 @@ def test_cumulative_over_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got[["u", "t", "x", "cn", "cx"]], exp[["u", "t", "x", "cn", "cx"]],
         check_dtype=False)
+
+
+def test_tfidf_topk_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.text import tfidf_topk
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "apple banana apple", "banana cherry", "apple cherry cherry",
+            "date date date banana", "apple", "fig banana fig fig",
+        ]),
+    })
+    got = (tfidf_topk(rd.from_arrow(docs).repartition(3), n_docs=6, k=2,
+                      max_vocab=100)
+           .to_pandas().sort_values(["doc_id", "score", "token"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    duckdb.register("docs_tf", docs)
+    exp = duckdb.sql(
+        "WITH toks AS (SELECT doc_id, u.tok FROM docs_tf, "
+        "UNNEST(regexp_split_to_array(text, '\\s')) u(tok) WHERE u.tok <> ''), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), "
+        "vocab AS (SELECT tok, df FROM dfq ORDER BY df DESC, tok LIMIT 100), "
+        "scored AS (SELECT t.doc_id, t.tok, t.tf * ((6 * 1000) // v.df) AS score "
+        "FROM tf t JOIN vocab v USING (tok)), "
+        "ranked AS (SELECT doc_id, tok, score, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, tok) AS r FROM scored) "
+        "SELECT doc_id, tok AS token, CAST(score AS BIGINT) AS score "
+        "FROM ranked WHERE r <= 2 ORDER BY doc_id, score DESC, token"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "token", "score"]],
+                                  exp[["doc_id", "token", "score"]],
+                                  check_dtype=False)
