@@ -220,6 +220,10 @@ def _driver_queries() -> dict[str, float]:
         "doc_len_quantiles",
         "top_terms",
         "segment_revenue_native",
+        "events_pivot",
+        "events_running",
+        "doc_tfidf_topk",
+        "customers_no_events",
     ]
     qs = e.queries()
     for name in sel:
