@@ -2027,18 +2027,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid_docs": _langid_oracle_sql(),
         "knn_tiles": (
-            f"WITH d AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, "
-            f"(l_orderkey * {_XMUL}) % {_XMOD} AS x, "
+            # rank per DISTINCT point, weight by multiplicity: a window
+            # partitioned on row columns silently merges full-duplicate
+            # rows (sf0.001 has one duplicate 4-tuple), dropping ranks
+            f"WITH d AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "
             f"(l_suppkey * {_YMUL}) % {_YMOD} AS y FROM lineitem), "
-            "c AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, x, y, "
+            "pts AS (SELECT x, y, count(*) AS w FROM d GROUP BY x, y), "
+            "c AS (SELECT x, y, w, "
             "x // 600000 + o.dx AS tx, y // 600000 + o.dy AS ty "
-            "FROM d CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)), "
-            "v AS (SELECT *, (x - (tx * 600000 + 300000)) ** 2 + (y - (ty * 600000 + 300000)) ** 2 AS d2, "
-            "row_number() OVER (PARTITION BY l_orderkey, l_linenumber, l_suppkey, l_partkey "
+            "FROM pts CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)), "
+            "v AS (SELECT *, "
+            "row_number() OVER (PARTITION BY x, y "
             "ORDER BY (x - (tx * 600000 + 300000)) ** 2 + (y - (ty * 600000 + 300000)) ** 2, tx, ty) AS rk "
             "FROM c WHERE tx BETWEEN 0 AND 14 AND ty BETWEEN 0 AND 9) "
             "SELECT rk - 1 AS rank, printf('E%03dN%03dT6', tx * 6, ty * 6) AS tile, "
-            "count(*) AS n FROM v WHERE rk <= 3 GROUP BY rank, tile"
+            "CAST(sum(w) AS BIGINT) AS n FROM v WHERE rk <= 3 GROUP BY rank, tile"
         ),
         "roi_search_batch": (
             f"WITH d AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "
