@@ -1159,9 +1159,11 @@ def q_events_running(sf_dir: str):
     out = cumulative_over(
         ds.map_batches(prep, batch_format="pyarrow"),
         key="user_id", order=["ts_us", "event_id"],
-        sums={"cum_cents": "cents"}, count_as="cum_n",
+        sums={"cum_cents": "cents"}, rolling={"roll3_cents": ("cents", 3)},
+        count_as="cum_n",
     )
-    return out.select_columns(["user_id", "event_id", "cum_n", "cum_cents"])
+    return out.select_columns(
+        ["user_id", "event_id", "cum_n", "cum_cents", "roll3_cents"])
 
 
 def q_distinct_events_hll(sf_dir: str):
@@ -2002,9 +2004,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(event_id AS BIGINT) AS event_id, "
             "CAST(count(*) OVER w AS BIGINT) AS cum_n, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) "
-            "AS cum_cents FROM events "
+            "AS cum_cents, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w3 AS BIGINT) "
+            "AS roll3_cents FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "w3 AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
         ),
         "doc_len_quantiles": (
             " UNION ALL ".join(

@@ -118,6 +118,7 @@ def sessionize(ds, *, user_col: str = "user_id", ts_col: str = "ts",
 
 def cumulative_over(ds, *, key: str, order: list[str],
                     sums: dict[str, str] | None = None,
+                    rolling: dict[str, tuple[str, int]] | None = None,
                     count_as: str | None = "cum_n",
                     n_partitions: int = 64):
     """Running per-key prefix aggregates -- the SQL window
@@ -128,7 +129,9 @@ def cumulative_over(ds, *, key: str, order: list[str],
     integer-only prefixes are exact and order-independent of the
     engine's internal summation (DuckDB's segment-tree window vs
     pandas' sequential cumsum agree bit-for-bit), which keeps the
-    operator hash-oracle-able.
+    operator hash-oracle-able.  ``rolling`` maps output column ->
+    (input column, k) for trailing k-row sums (SQL ``ROWS BETWEEN k-1
+    PRECEDING AND CURRENT ROW``), same integer-exactness argument.
 
     Shuffle shape: rows hash-partition by ``key`` (each row moves
     once); each partition does ONE vectorized sort + groupby-cumsum --
@@ -149,6 +152,10 @@ def cumulative_over(ds, *, key: str, order: list[str],
             out[count_as] = grp.cumcount().to_numpy() + 1
         for name, col in sums.items():
             out[name] = grp[col].cumsum().to_numpy()
+        for name, (col, k) in (rolling or {}).items():
+            out[name] = (grp[col]
+                         .rolling(k, min_periods=1).sum()
+                         .to_numpy().astype(np.int64))
         return out
 
     return parted.groupby("__part").map_groups(run, batch_format="pandas")
