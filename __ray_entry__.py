@@ -1134,6 +1134,18 @@ def q_events_pivot(sf_dir: str):
     )
 
 
+def q_events_pivot_melt(sf_dir: str):
+    """Round-trip reshape: the events_pivot wide table unpivoted back to
+    long (stages/pivot.melt -- pure map_batches, zero shuffle).
+    SQL-oracled via UNION ALL over the pivot oracle's columns."""
+    from equi7grid_ray.stages.pivot import melt
+
+    wide = q_events_pivot(sf_dir)
+    cats = ("click", "error", "purchase", "signup", "view")
+    cols = [f"n_{c}" for c in cats] + [f"sum_{c}" for c in cats]
+    return melt(wide, id_cols=["hour"], value_cols=cols)
+
+
 def q_events_running(sf_dir: str):
     """Per-user running prefix aggregates ordered by (ts, event_id)
     (stages/windows.cumulative_over): hash-partition by user, one
@@ -1781,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_events_hll": q_distinct_events_hll,
         "heavy_users_cms": q_heavy_users_cms,
         "events_pivot": q_events_pivot,
+        "events_pivot_melt": q_events_pivot_melt,
         "events_running": q_events_running,
         "events_hopping": q_events_hopping,
         "events_asof_click": q_events_asof_click,
@@ -1834,6 +1847,23 @@ def _sqlgen():
     from equi7grid_ray import sqlgen
 
     return sqlgen
+
+
+def _events_pivot_sql() -> str:
+    cats = ("click", "error", "purchase", "signup", "view")
+    return (
+        "SELECT (epoch_us(ts) // 3600000000) % 24 AS hour, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_{c}" for c in cats
+        ) + ", "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN event_type = '{c}' "
+            f"THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) "
+            f"AS BIGINT) AS sum_{c}" for c in cats
+        )
+        + " FROM events GROUP BY hour"
+    )
 
 
 def _hll_oracle_sql() -> str:
@@ -1984,20 +2014,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events) "
             "GROUP BY nationkey"
         ),
-        "events_pivot": (
-            "SELECT (epoch_us(ts) // 3600000000) % 24 AS hour, "
-            + ", ".join(
-                f"CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) "
-                f"AS BIGINT) AS n_{c}"
-                for c in ("click", "error", "purchase", "signup", "view")
-            ) + ", "
-            + ", ".join(
-                f"CAST(sum(CASE WHEN event_type = '{c}' "
-                f"THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) "
-                f"AS BIGINT) AS sum_{c}"
-                for c in ("click", "error", "purchase", "signup", "view")
+        "events_pivot": _events_pivot_sql(),
+        "events_pivot_melt": (
+            "WITH p AS (" + _events_pivot_sql() + ") "
+            + " UNION ALL ".join(
+                f"SELECT hour, '{c}' AS variable, {c} AS value FROM p"
+                for c in [f"n_{x}" for x in
+                          ("click", "error", "purchase", "signup", "view")]
+                + [f"sum_{x}" for x in
+                   ("click", "error", "purchase", "signup", "view")]
             )
-            + " FROM events GROUP BY hour"
         ),
         "events_running": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, "

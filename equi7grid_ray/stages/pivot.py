@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["pivot_counts"]
+__all__ = ["pivot_counts", "melt"]
 
 
 def pivot_counts(ds, *, index: str, pivot_col: str,
@@ -72,3 +72,27 @@ def pivot_counts(ds, *, index: str, pivot_col: str,
         .groupby(index)
         .aggregate(*[Sum(c, alias_name=c) for c in n_cols + s_cols])
     )
+
+
+def melt(ds, *, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """Unpivot (pandas.melt / SQL UNPIVOT): wide value columns -> long
+    (id_cols, var_name, value_name) rows.  Pure map_batches (each batch
+    emits len(value_cols) stacked slices -- Arrow take + concat, no
+    Python per row), zero shuffle; value columns must share a castable
+    type (cast to the first column's type)."""
+    if not value_cols:
+        raise ValueError("melt: need at least one value column")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vt = batch.column(value_cols[0]).type
+        parts = []
+        for c in value_cols:
+            cols = {k: batch.column(k) for k in id_cols}
+            cols[var_name] = pa.array(
+                np.full(batch.num_rows, c, dtype=object), pa.string())
+            cols[value_name] = batch.column(c).cast(vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -197,3 +197,22 @@ def test_tfidf_topk_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got[["doc_id", "token", "score"]],
                                   exp[["doc_id", "token", "score"]],
                                   check_dtype=False)
+
+
+def test_melt_roundtrips_pivot(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.pivot import melt
+
+    wide = pa.table({
+        "g": pa.array([1, 2], pa.int64()),
+        "a": pa.array([10, 20], pa.int64()),
+        "b": pa.array([30, 40], pa.int64()),
+    })
+    got = (melt(rd.from_arrow(wide), id_cols=["g"], value_cols=["a", "b"])
+           .to_pandas().sort_values(["g", "variable"]).reset_index(drop=True))
+    exp = (wide.to_pandas().melt(id_vars=["g"], value_vars=["a", "b"])
+           .sort_values(["g", "variable"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
