@@ -1536,6 +1536,25 @@ def q_top_terms(sf_dir: str):
     return top_terms(ds, col="text", k=50)
 
 
+def q_contaminated_docs(sf_dir: str):
+    """Benchmark decontamination (stages/dedup.flag_contaminated): the
+    first 20 documents act as the benchmark suite; every other doc is
+    flagged iff it shares ANY char-24-gram with them.  Benchmark window
+    hashes broadcast once; each corpus batch is one vectorized Horner
+    pass + searchsorted membership -- zero shuffle.  SQL-oracled with
+    the same Horner hashes on both sides."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.stages.dedup import flag_contaminated
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+    bench = bench.filter(pc.less(bench.column("doc_id"), 20))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr="doc_id >= 20")
+    return flag_contaminated(ds, bench.column("text"), k=24)
+
+
 def q_doc_tfidf_topk(sf_dir: str):
     """Two-pass TF-IDF (stages/text.tfidf_topk): bounded deterministic
     df vocabulary (top-4096 by df desc, token asc) -> broadcast ->
@@ -1780,6 +1799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_stats": q_video_frame_stats,
         "top_terms": q_top_terms,
         "doc_tfidf_topk": q_doc_tfidf_topk,
+        "contaminated_docs": q_contaminated_docs,
         "audio_pcm_features": q_audio_pcm_features,
         "docs_stratified_sample": q_docs_stratified_sample,
         "supplier_topk_per_nation": q_supplier_topk_per_nation,
@@ -2100,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents, UNNEST(regexp_split_to_array(text, '\\s')) u(tok) "
             "WHERE u.tok <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50"
         ),
+        "contaminated_docs": _sqlgen().contamination_sql(n_bench=20, k=24),
         "doc_tfidf_topk": (
             "WITH toks AS (SELECT doc_id, u.tok FROM documents, "
             "UNNEST(regexp_split_to_array(text, '\\s')) u(tok) "

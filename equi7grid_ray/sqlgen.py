@@ -595,3 +595,34 @@ SELECT printf('img%012d', i) AS image_id,
   CAST(max(v) AS BIGINT) AS y_max
 FROM px GROUP BY i, f
 """
+
+
+def contamination_sql(n_bench: int = 20, k: int = 8) -> str:
+    """Mirror of stages/dedup.py:flag_contaminated over ``documents``
+    with benchmark = the first ``n_bench`` doc_ids: the SAME Horner
+    char-k-gram hashes on both sides (hash equality == string equality
+    by construction of the mirror), corpus docs flagged on any overlap.
+    Output (doc_id BIGINT, contaminated TINYINT) for doc_id >=
+    n_bench."""
+    hp = [pow(int(_PRIME), k - 1 - j, U64) for j in range(k)]
+    horner_rows = ", ".join(f"({j}, {hp[j]}::UBIGINT)" for j in range(k))
+    return f"""
+WITH hp(j, pw) AS (VALUES {horner_rows}),
+docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= {k}),
+wins AS (
+  SELECT doc_id, CAST(i AS INT) AS i
+  FROM docs, UNNEST(range(1, length(text) - {k} + 2)) AS r(i)),
+wh AS (
+  SELECT w.doc_id, w.i,
+    CAST(SUM((ascii(substring(d.text, w.i + hp.j, 1))::HUGEINT * hp.pw)
+             % {U64}) % {U64} AS UBIGINT) AS h
+  FROM wins w JOIN docs d USING (doc_id) CROSS JOIN hp
+  GROUP BY w.doc_id, w.i),
+bench AS (SELECT DISTINCT h FROM wh WHERE doc_id < {n_bench}),
+hits AS (SELECT DISTINCT c.doc_id FROM wh c JOIN bench b USING (h)
+         WHERE c.doc_id >= {n_bench})
+SELECT d.doc_id,
+  CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS TINYINT)
+    AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= {n_bench}"""

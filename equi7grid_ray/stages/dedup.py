@@ -488,3 +488,68 @@ def verified_near_dup_pairs(ds, *, threshold: float = 0.8, n: int = 3,
         "id_a": pa.array(keep_a, pa.int64()),
         "id_b": pa.array(keep_b, pa.int64()),
     }))
+
+
+def shingle_hashes(col, k: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """All char-``k``-gram Horner hashes of a string column over its
+    flat byte buffer (the same window hash MinHasher minimizes over):
+    returns (hashes, doc_index) with boundary-straddling windows
+    dropped.  Docs shorter than ``k`` contribute no windows.  Work and
+    memory O(total_bytes); no Python per document."""
+    flat, offs = _column_bytes(col)
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    total = int(offs[-1] - offs[0]) if n else 0
+    base = int(offs[0])
+    if total < k or n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    W = total - k + 1
+    h = np.zeros(W, dtype=np.uint64)
+    fl = flat[base : base + total]
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            np.multiply(h, _PRIME, out=h)
+            np.add(h, fl[j : W + j], out=h, casting="unsafe")
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)[:W]
+    ends = (offs[1:] - base).astype(np.int64) - k
+    valid = np.arange(W, dtype=np.int64) <= ends[doc_of]
+    return h[valid], doc_of[valid]
+
+
+def flag_contaminated(ds, bench_texts, *, k: int = 8,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Benchmark decontamination: flag corpus docs sharing ANY char
+    ``k``-gram with the (small) benchmark text collection -- the
+    standard eval-contamination filter for training corpora.
+
+    The benchmark's window-hash set is built once driver-side (bounded:
+    benchmark suites are small by definition), deduplicated, sorted and
+    broadcast; each corpus batch computes its own window hashes (one
+    vectorized Horner pass over the flat buffer) and membership via
+    searchsorted -- no shuffle at all.  Returns (id_col, contaminated
+    int8) per corpus row."""
+    import ray
+
+    bench_h, _ = shingle_hashes(bench_texts, k)
+    bench_sorted = np.unique(bench_h)
+    ref = ray.put(bench_sorted) if ray.is_initialized() else bench_sorted
+
+    class _Flag:
+        def __init__(self):
+            self.bench = ray.get(ref) if ray.is_initialized() else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            h, doc_of = shingle_hashes(batch.column(text_col), k)
+            flag = np.zeros(batch.num_rows, np.int8)
+            if len(h) and len(self.bench):
+                pos = np.searchsorted(self.bench, h)
+                pos = np.minimum(pos, len(self.bench) - 1)
+                hit = self.bench[pos] == h
+                np.maximum.at(flag, doc_of[hit], np.int8(1))
+            return pa.table({
+                id_col: batch.column(id_col),
+                "contaminated": pa.array(flag, pa.int8()),
+            })
+
+    return ds.map_batches(_Flag, batch_format="pyarrow",
+                          concurrency=(1, 8), num_cpus=1)

@@ -216,3 +216,27 @@ def test_melt_roundtrips_pivot(ray_session):
     exp = (wide.to_pandas().melt(id_vars=["g"], value_vars=["a", "b"])
            .sort_values(["g", "variable"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_flag_contaminated_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.dedup import flag_contaminated
+
+    bench = pa.array([
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs",
+    ])
+    corpus = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([
+            # contains a verbatim 24+-char benchmark span
+            "PREFIX quick brown fox jumps over the END",
+            "completely unrelated content with no overlap at all here",
+            "short",  # < k: no windows, never contaminated
+        ]),
+    })
+    got = (flag_contaminated(rd.from_arrow(corpus), bench, k=24)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["contaminated"].tolist() == [1, 0, 0]
