@@ -56,12 +56,14 @@ def payload_sums(col, dtype, nodata=None) -> tuple[np.ndarray, np.ndarray]:
     if not len(flat):
         return np.zeros(n, np.int64), np.zeros(n, np.int64)
     valid = (flat != nodata) if nodata is not None else np.ones(len(flat), bool)
-    idx = np.minimum(oe[:-1], len(flat) - 1)
-    sums = np.add.reduceat(np.where(valid, flat, 0), idx)
-    cnts = np.add.reduceat(valid.astype(np.int64), idx)
-    empty = np.diff(oe) == 0
-    sums[empty] = 0
-    cnts[empty] = 0
+    # cumsum-based segment sums: exact for EMPTY segments anywhere
+    # (reduceat with clamped indices silently splits the row before a
+    # trailing empty payload -- caught by the property test)
+    cs = np.concatenate([[0], np.cumsum(np.where(valid, flat, 0))])
+    cc = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+    oe = oe.astype(np.int64)  # absolute element offsets into flat
+    sums = cs[oe[1:]] - cs[oe[:-1]]
+    cnts = cc[oe[1:]] - cc[oe[:-1]]
     return sums, cnts
 
 

@@ -127,3 +127,61 @@ def test_hash_bytes_offsets_matches_scalar_reference(texts):
     # boundaries arbitrarily and must produce identical hashes
     tiny = dd.hash_bytes_offsets(flat, offs, chunk=7).view(np.uint64)
     assert (tiny == got).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=40))
+def test_clz64_matches_bit_length(vals):
+    from equi7grid_ray.stages.sketch import _clz64
+
+    x = np.array(vals, dtype=np.uint64)
+    got = _clz64(x)
+    exp = np.array([64 - int(v).bit_length() for v in vals], np.int64)
+    assert (got == exp).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                               max_codepoint=126),
+                        min_size=0, max_size=30),
+                min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=6))
+def test_shingle_hashes_match_scalar_reference(texts, k):
+    import pyarrow as pa
+
+    from equi7grid_ray.stages.dedup import _PRIME, shingle_hashes
+
+    col = pa.array(texts, pa.string())
+    h, doc_of = shingle_hashes(col, k)
+    # scalar reference: Horner over each doc's k-byte windows
+    exp_h, exp_d = [], []
+    for d, t in enumerate(texts):
+        b = t.encode()
+        for i in range(len(b) - k + 1):
+            acc = 0
+            for ch in b[i:i + k]:
+                acc = (acc * int(_PRIME) + ch) % (1 << 64)
+            exp_h.append(acc)
+            exp_d.append(d)
+    assert doc_of.tolist() == exp_d
+    assert [int(v) for v in h] == exp_h
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=24), min_size=1, max_size=10),
+       st.integers(min_value=0, max_value=2))
+def test_payload_sums_on_sliced_arrays(payloads, drop):
+    import pyarrow as pa
+
+    from equi7grid_ray.arrowutil import payload_sums
+
+    # pad every payload to even length (int16 elements)
+    payloads = [p + b"\x00" * (len(p) % 2) for p in payloads]
+    arr = pa.array(payloads, pa.binary())
+    sl = arr.slice(0, max(1, len(arr) - drop))
+    sums, cnts = payload_sums(sl, np.int16)
+    for j in range(len(sl)):
+        ref = np.frombuffer(payloads[j], np.int16)
+        assert sums[j] == ref.astype(np.int64).sum()
+        assert cnts[j] == len(ref)
