@@ -1536,6 +1536,20 @@ def q_top_terms(sf_dir: str):
     return top_terms(ds, col="text", k=50)
 
 
+def q_docs_split_counts(sf_dir: str):
+    """Deterministic train/val/test assignment (stages/sample.
+    assign_splits: id-hash ladder, stable across runs/cluster sizes,
+    nested with hash_sample) -> per-(split, lang) counts.  SQL-oracled
+    with the same splitmix64 ladder and integer thresholds."""
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.stages.sample import assign_splits
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    lab = assign_splits(ds, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return lab.groupby(["split", "lang"]).aggregate(Count(alias_name="n"))
+
+
 def q_contaminated_docs(sf_dir: str):
     """Benchmark decontamination (stages/dedup.flag_contaminated): the
     first 20 documents act as the benchmark suite; every other doc is
@@ -1800,6 +1814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "contaminated_docs": q_contaminated_docs,
+        "docs_split_counts": q_docs_split_counts,
         "audio_pcm_features": q_audio_pcm_features,
         "docs_stratified_sample": q_docs_stratified_sample,
         "supplier_topk_per_nation": q_supplier_topk_per_nation,
@@ -1867,6 +1882,25 @@ def _sqlgen():
     from equi7grid_ray import sqlgen
 
     return sqlgen
+
+
+def _split_counts_sql() -> str:
+    from equi7grid_ray.sqlgen import _mix64_ctes
+    from equi7grid_ray.stages.sample import SAMPLE_SALT, rate_to_threshold
+
+    t1 = rate_to_threshold(0.8)
+    t2 = rate_to_threshold(0.8 + 0.1)
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, lang,
+    xor(doc_id::UBIGINT, {int(SAMPLE_SALT)}::UBIGINT) AS h
+  FROM documents),
+{_mix64_ctes('h0', 'h', 'doc_id, lang')},
+lab AS (SELECT lang,
+  CASE WHEN h % {1 << 32} < {t1} THEN 'train'
+       WHEN h % {1 << 32} < {t2} THEN 'val' ELSE 'test' END AS split
+  FROM mixed)
+SELECT split, lang, count(*) AS n FROM lab GROUP BY split, lang"""
 
 
 def _events_pivot_sql() -> str:
@@ -2142,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "audio_pcm_features": _sqlgen().audio_pcm_sql(500),
         "docs_stratified_sample": _sqlgen().stratified_sample_sql(_SAMPLE_RATES, default_rate=0.0625),
+        "docs_split_counts": _split_counts_sql(),
         "supplier_topk_per_nation": (
             "WITH r AS (SELECT l_suppkey, "
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "

@@ -22,7 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_sample", "stratified_sample", "SAMPLE_SALT"]
+__all__ = ["hash_sample", "stratified_sample", "assign_splits",
+           "SAMPLE_SALT"]
 
 SAMPLE_SALT = np.uint64(0xA076_1D64_78BD_642F)  # distinct from dedup/fp seeds
 _DENOM = np.uint64(1) << np.uint64(32)
@@ -78,5 +79,38 @@ def stratified_sample(ds, key_col: str, rates: dict[str, float],
         thr = lut[codes]
         keep = _keep_mask(ids, thr)
         return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def assign_splits(ds, splits: dict[str, float], id_col: str = "doc_id",
+                  label_col: str = "split"):
+    """Deterministic train/val/test assignment: every row gets exactly
+    one label from ``splits`` (name -> fraction, summing to <= 1; any
+    remainder falls into the LAST label) decided by the same id-hash
+    ladder as hash_sample -- stable across runs, cluster sizes and
+    block layouts, and NESTED with hash_sample's rates (a 10% sample
+    preserves split proportions).  Pure map stage, no shuffle."""
+    from equi7grid_ray.stages.dedup import _mix64
+
+    names = list(splits)
+    if not names:
+        raise ValueError("assign_splits: need at least one split")
+    cum, edges = 0.0, []
+    for n in names[:-1]:
+        cum += splits[n]
+        edges.append(rate_to_threshold(cum))
+    bounds = np.array(edges, np.uint64)  # searchsorted ladder
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = _mix64(ids.astype(np.int64).view(np.uint64) ^ SAMPLE_SALT)
+        u = (h.view(np.uint64) % _DENOM)
+        lab = np.searchsorted(bounds, u, side="right")
+        arr = pa.DictionaryArray.from_arrays(
+            pa.array(lab.astype(np.int32), pa.int32()),
+            pa.array(names, pa.string()),
+        ).cast(pa.string())
+        return batch.append_column(label_col, arr)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -240,3 +240,30 @@ def test_flag_contaminated_planted(ray_session):
     got = (flag_contaminated(rd.from_arrow(corpus), bench, k=24)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got["contaminated"].tolist() == [1, 0, 0]
+
+
+def test_assign_splits_partitions_and_nests(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.sample import assign_splits, hash_sample
+
+    tbl = pa.table({"doc_id": pa.array(np.arange(10_000, dtype=np.int64))})
+    lab = assign_splits(rd.from_arrow(tbl).repartition(4),
+                        {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    counts = lab["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert abs(counts["train"] - 8000) < 300
+    assert abs(counts["val"] - 1000) < 150
+    # deterministic: second run identical
+    lab2 = assign_splits(rd.from_arrow(tbl),
+                         {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    assert lab.sort_values("doc_id")["split"].tolist() == \
+        lab2.sort_values("doc_id")["split"].tolist()
+    # nested with hash_sample: a 10% sample's train rows are a subset
+    sub = hash_sample(rd.from_arrow(tbl), 0.1).to_pandas()["doc_id"]
+    sub_train = set(lab.set_index("doc_id").loc[sub, "split"]
+                    [lambda s: s == "train"].index)
+    full_train = set(lab[lab["split"] == "train"]["doc_id"])
+    assert sub_train <= full_train
