@@ -224,6 +224,8 @@ def _driver_queries() -> dict[str, float]:
         "events_running",
         "doc_tfidf_topk",
         "customers_no_events",
+        "contaminated_docs",
+        "docs_split_counts",
     ]
     qs = e.queries()
     for name in sel:
