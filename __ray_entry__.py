@@ -439,6 +439,61 @@ def q_lsh_near_dup_verified(sf_dir: str):
     return verified_near_dup_pairs(ds, threshold=0.8)
 
 
+def q_near_dup_components(sf_dir: str):
+    """Near-duplicate clusters: connected components over the MinHash-
+    LSH candidate-pair graph (hash-to-min label propagation, one
+    partition-cogroup shuffle + one groupby-min per round).  The step
+    every production dedup needs after pair generation -- pairs alone
+    don't say which docs to drop.  Oracle: recursive-CTE reachability
+    over the same pair set."""
+    from equi7grid_ray.stages.dedup import lsh_candidate_pairs
+    from equi7grid_ray.stages.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(ds)
+    comp = connected_components(pairs)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "component": batch.column("component")})
+
+    return comp.map_batches(rename, batch_format="pyarrow")
+
+
+def q_dedup_canonical_docs(sf_dir: str):
+    """Full-corpus canonical ids: every doc mapped to the min doc_id of
+    its near-dup component (itself when in no pair).  The component
+    table (pair-nodes only) is broadcast via ray.put and probed with a
+    vectorized searchsorted; the corpus streams."""
+    from equi7grid_ray.stages.dedup import lsh_candidate_pairs
+    from equi7grid_ray.stages.graph import (canonical_assignments,
+                                            connected_components)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    comp = connected_components(lsh_candidate_pairs(ds))
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return canonical_assignments(docs, comp)
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals per doc (token / adjacent-bigram
+    multiplicities), all-integer for a hash-exact oracle."""
+    from equi7grid_ray.stages.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+def q_chunk_dedup_docs(sf_dir: str):
+    """Sub-document dedup at 16-token-chunk granularity (the C4-style
+    line-dedup mechanic): explode -> first-occurrence -> per-doc
+    retention counts.  Metadata-only shuffle; combiner-first."""
+    from equi7grid_ray.stages.dedup import chunk_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_dedup(ds, tokens_per_chunk=16)
+
+
 def q_simhash_docs(sf_dir: str):
     """64-bit SimHash fingerprints for every document."""
     from equi7grid_ray.stages.dedup import simhash64
@@ -1785,6 +1840,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roi_tiles_global": q_roi_tiles_global,
         "lsh_near_dup": q_lsh_near_dup,
         "lsh_near_dup_verified": q_lsh_near_dup_verified,
+        "near_dup_components": q_near_dup_components,
+        "dedup_canonical_docs": q_dedup_canonical_docs,
+        "chunk_dedup_docs": q_chunk_dedup_docs,
+        "doc_repetition": q_doc_repetition,
         "simhash_docs": q_simhash_docs,
         "langid_docs": q_langid_docs,
         "norm_dedup_docs": q_norm_dedup_docs,
@@ -2144,6 +2203,53 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _sqlgen().simhash_sql(),
         "lsh_near_dup": _sqlgen().lsh_pairs_sql(),
         "lsh_near_dup_verified": _sqlgen().lsh_verified_pairs_sql(threshold=0.8),
+        "near_dup_components": _sqlgen().components_sql(),
+        "dedup_canonical_docs": _sqlgen().canonical_sql(),
+        "doc_repetition": (
+            # string-equality mirror of the engine's hash-equality
+            # multiplicities (collision-free at these scales)
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, u.tok, u.i FROM t, "
+            "LATERAL (SELECT unnest(toks) AS tok, "
+            "unnest(range(len(toks))) AS i) u), "
+            "tc AS (SELECT doc_id, tok, count(*) AS c FROM tok "
+            "GROUP BY doc_id, tok), "
+            "ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks, "
+            "count(*) AS n_distinct_toks, CAST(max(c) AS BIGINT) AS max_tok_n "
+            "FROM tc GROUP BY doc_id), "
+            "bg0 AS (SELECT doc_id, tok, "
+            "lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt FROM tok), "
+            "bgc AS (SELECT doc_id, tok, nxt, count(*) AS c FROM bg0 "
+            "WHERE nxt IS NOT NULL GROUP BY doc_id, tok, nxt), "
+            "ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+            "count(*) AS n_distinct_bigrams, "
+            "CAST(max(c) AS BIGINT) AS max_bigram_n FROM bgc GROUP BY doc_id) "
+            "SELECT ta.doc_id, ta.n_toks, "
+            "CAST(ta.n_distinct_toks AS BIGINT) AS n_distinct_toks, "
+            "ta.max_tok_n, "
+            "CAST(COALESCE(ba.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(COALESCE(ba.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams, "
+            "CAST(COALESCE(ba.max_bigram_n, 0) AS BIGINT) AS max_bigram_n "
+            "FROM ta LEFT JOIN ba USING (doc_id)"
+        ),
+        "chunk_dedup_docs": (
+            # mirror of stages/dedup.py:chunk_dedup (K=16): 1-based
+            # inclusive list slices; first occurrence = min
+            # (doc_id, chunk_idx) composite key
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "paras AS (SELECT doc_id, c.i AS idx, "
+            "array_to_string(toks[c.i*16+1 : least((c.i+1)*16, len(toks))], ' ') AS para "
+            "FROM t, LATERAL (SELECT unnest(range((len(toks)+15)//16)) AS i) c), "
+            "keyed AS (SELECT doc_id, idx, para, "
+            "doc_id * 1048576 + idx AS k FROM paras), "
+            "firsts AS (SELECT para, MIN(k) AS mk FROM keyed GROUP BY para) "
+            "SELECT k.doc_id, count(*) AS n_chunks, "
+            "CAST(sum(CASE WHEN k.k = f.mk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "CAST(sum(CASE WHEN k.k = f.mk THEN length(k.para) ELSE 0 END) AS BIGINT) AS kept_len "
+            "FROM keyed k JOIN firsts f USING (para) GROUP BY k.doc_id"
+        ),
         "image_stats": _sqlgen().image_stats_sql(500),
         "image_dhash": _sqlgen().image_dhash_sql(500),
         "image_dhash_pairs": _sqlgen().image_dhash_pairs_sql(500, max_dist=3),

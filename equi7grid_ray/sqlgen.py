@@ -626,3 +626,45 @@ SELECT d.doc_id,
     AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id >= {n_bench}"""
+
+
+def components_sql(num_perm: int = 64, bands: int = 16, shingle: int = 8,
+                   max_bucket: int = 200) -> str:
+    """Connected components over the MinHash-LSH candidate-pair graph
+    (mirror of stages/graph.py:connected_components over the pair set
+    of lsh_pairs_sql): component = min doc_id reachable through pairs.
+    The recursive CTE enumerates reachable nodes (fine at oracle scale;
+    the engine's hash-to-min propagation is the scale path).
+    Output (doc_id BIGINT, component BIGINT), pair-nodes only."""
+    inner = lsh_pairs_sql(num_perm, bands, shingle, max_bucket)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({inner}) lsh),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v)
+SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node"""
+
+
+def canonical_sql(num_perm: int = 64, bands: int = 16, shingle: int = 8,
+                  max_bucket: int = 200) -> str:
+    """Full-corpus canonical doc ids: every document mapped to the
+    minimum doc_id of its near-duplicate component (itself when it
+    appears in no candidate pair).  Mirrors
+    stages/graph.py:canonical_assignments over components_sql."""
+    inner = lsh_pairs_sql(num_perm, bands, shingle, max_bucket)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({inner}) lsh),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""

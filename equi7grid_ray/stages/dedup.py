@@ -553,3 +553,109 @@ def flag_contaminated(ds, bench_texts, *, k: int = 8,
 
     return ds.map_batches(_Flag, batch_format="pyarrow",
                           concurrency=(1, 8), num_cpus=1)
+
+
+def chunk_dedup(ds, *, tokens_per_chunk: int = 16, id_col: str = "doc_id",
+                text_col: str = "text", n_partitions: int = 32):
+    """Sub-document (paragraph-granularity) deduplication: explode each
+    document into consecutive ``tokens_per_chunk``-token chunks, keep
+    only the globally FIRST occurrence of each distinct chunk (min
+    (doc_id, chunk_idx)), and report per-document retention -- the
+    C4/RefinedWeb-style line-dedup mechanic over a corpus whose natural
+    unit is the token run (this synthetic corpus has no newlines).
+
+    Scale shape: the explode is one zero-copy pass (Arrow split ->
+    ListArray rechunked by token count -> binary_join -> offset-buffer
+    hashes); the shuffle moves (hash, key, doc_id, len) metadata only,
+    never chunk text; first-occurrence resolution is ONE vectorized
+    pandas pass per hash PARTITION (never per chunk) that immediately
+    combines to per-doc partials, so the final groupby moves at most
+    n_partitions rows per document.
+
+    Returns (doc_id, n_chunks, n_kept, kept_len) -- kept_len is the
+    character length of surviving chunks (joined with single spaces).
+    """
+    import pyarrow.compute as pc
+
+    K = int(tokens_per_chunk)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        empty = pa.table({
+            "h": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "clen": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int32()),
+        })
+        if len(col) == 0:
+            return empty
+        toks = pc.split_pattern(col, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = len(toks)
+        lodt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+        lo = np.frombuffer(toks.buffers()[1], dtype=lodt)[
+            toks.offset : toks.offset + n + 1
+        ].astype(np.int64)
+        ntok = np.diff(lo)
+        nc = -(-ntok // K)  # ceil; 0 chunks for empty docs
+        total = int(nc.sum())
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), nc)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nc)[:-1]]), nc)
+        starts = lo[doc_idx] + within * K
+        # chunk token spans are contiguous within AND across docs, so
+        # the list-offset vector is just (all starts, final end)
+        if total == 0:
+            return empty
+        offsets = np.concatenate([starts, lo[-1:]])
+        if lodt is np.int32:
+            chunk_list = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), toks.values)
+        else:
+            chunk_list = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), toks.values)
+        chunk_str = pc.binary_join(chunk_list, " ")
+        flat, offs = _column_bytes(chunk_str)
+        h = hash_bytes_offsets(flat, offs)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)[doc_idx]
+        key = ids * (1 << 20) + within
+        clen = np.diff(offs).astype(np.int64)
+        part = ((h.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)) % np.uint64(n_partitions)
+        return pa.table({
+            "h": pa.array(h, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "clen": pa.array(clen, pa.int64()),
+            "part": pa.array(part.astype(np.int32), pa.int32()),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        mk = g.groupby("h")["key"].transform("min")
+        kept = (g["key"] == mk).to_numpy()
+        out = g.assign(
+            kept=kept.astype(np.int64),
+            kept_len=np.where(kept, g["clen"].to_numpy(np.int64), 0),
+            one=np.int64(1),
+        ).groupby(id_col, as_index=False).agg(
+            n_chunks=("one", "sum"),
+            n_kept=("kept", "sum"),
+            kept_len=("kept_len", "sum"),
+        )
+        return out.astype({id_col: np.int64, "n_chunks": np.int64,
+                           "n_kept": np.int64, "kept_len": np.int64})
+
+    from ray.data.aggregate import Sum
+
+    occ = ds.map_batches(explode, batch_format="pyarrow")
+    partials = occ.groupby("part").map_groups(resolve, batch_format="pandas")
+    return (
+        partials.groupby(id_col)
+        .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                   Sum("n_kept", alias_name="n_kept"),
+                   Sum("kept_len", alias_name="kept_len"))
+    )

@@ -319,3 +319,84 @@ def tfidf_topk(ds, *, n_docs: int, k: int = 3, max_vocab: int = 4096,
                                    col=col, id_col=id_col),
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
     )
+
+
+def repetition_stats(batch: pa.Table, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals, all-integer so the SQL oracle
+    matches by hash: per document the token count, distinct-token
+    count, the most-frequent token's multiplicity, and the same three
+    for adjacent-token bigrams.  (Gopher/MassiveText prunes documents
+    whose duplicate-line or top-2-gram fraction is high; the fractions
+    are these integers' ratios -- kept as integers to stay hash-exact.)
+
+    Fully vectorized: one whitespace split, one offset-buffer hash pass
+    over all tokens, bigram hashes by mixing adjacent token hashes, and
+    per-(doc, value) multiplicities via ONE lexsort + run-length pass
+    over the whole batch -- no Python per document.
+    """
+    from equi7grid_ray.stages.dedup import (_column_bytes, _mix64,
+                                            hash_bytes_offsets)
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ids = batch.column(id_col)
+    n = len(col)
+    toks = pc.split_pattern(col, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lodt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+    lo = np.frombuffer(toks.buffers()[1], dtype=lodt)[
+        toks.offset : toks.offset + n + 1
+    ].astype(np.int64) if n else np.zeros(1, np.int64)
+    ntok = np.diff(lo)
+    flat, offs = _column_bytes(toks.values) if n else (np.empty(0, np.uint8),
+                                                       np.zeros(1, np.int64))
+    th = hash_bytes_offsets(flat, offs).view(np.uint64) if n else \
+        np.empty(0, np.uint64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+
+    def _per_doc_counts(doc_idx: np.ndarray, vals: np.ndarray):
+        """(n_distinct per doc, max multiplicity per doc) via one
+        lexsort over (doc, value) and run-length segment math."""
+        n_distinct = np.zeros(n, dtype=np.int64)
+        max_mult = np.zeros(n, dtype=np.int64)
+        if len(vals) == 0:
+            return n_distinct, max_mult
+        order = np.lexsort((vals, doc_idx))
+        d = doc_idx[order]
+        v = vals[order]
+        new_run = np.empty(len(v), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_docs = d[run_starts]
+        run_lens = np.diff(np.append(run_starts, len(v)))
+        np.add.at(n_distinct, run_docs, 1)
+        np.maximum.at(max_mult, run_docs, run_lens)
+        return n_distinct, max_mult
+
+    n_distinct_tok, max_tok = _per_doc_counts(doc_of, th)
+    # adjacent bigrams: mix(h_i, h_{i+1}) where both tokens are in the
+    # same document
+    if len(th) > 1:
+        same_doc = doc_of[1:] == doc_of[:-1]
+        with np.errstate(over="ignore"):
+            bg = _mix64(th[:-1] * np.uint64(0x9E3779B97F4A7C15) ^ th[1:])
+        bg_doc = doc_of[:-1][same_doc]
+        bg = np.asarray(bg).view(np.uint64)[same_doc]
+    else:
+        bg_doc = np.empty(0, np.int64)
+        bg = np.empty(0, np.uint64)
+    n_distinct_bg, max_bg = _per_doc_counts(bg_doc, bg)
+    n_bg = np.maximum(ntok - 1, 0)
+    return pa.table({
+        id_col: ids,
+        "n_toks": pa.array(ntok, pa.int64()),
+        "n_distinct_toks": pa.array(n_distinct_tok, pa.int64()),
+        "max_tok_n": pa.array(max_tok, pa.int64()),
+        "n_bigrams": pa.array(n_bg, pa.int64()),
+        "n_distinct_bigrams": pa.array(n_distinct_bg, pa.int64()),
+        "max_bigram_n": pa.array(max_bg, pa.int64()),
+    })

@@ -1,0 +1,91 @@
+"""Connected components (stages/graph.py): planted graphs vs a naive
+union-find reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _uf_components(pairs):
+    """Naive union-find reference: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run_cc(pairs, **kw):
+    import ray
+
+    from equi7grid_ray.stages.graph import connected_components
+
+    ds = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "id_b": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+    out = connected_components(ds, **kw).to_pandas()
+    return dict(zip(out["node"], out["component"]))
+
+
+def test_cc_simple_chain_and_triangle(ray_session):
+    # chain 1-2-3-4, triangle 10-11-12, isolated pair (20,21)
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    got = _run_cc(pairs)
+    assert got == _uf_components(pairs)
+    assert got[4] == 1 and got[12] == 10 and got[21] == 20
+
+
+def test_cc_long_path_needs_many_rounds(ray_session):
+    # a 40-node path: diameter 39 exceeds naive per-round reach unless
+    # propagation iterates; also exercises the convergence detector
+    pairs = [(i, i + 1) for i in range(100, 140)]
+    got = _run_cc(pairs, max_rounds=60)
+    assert set(got.values()) == {100}
+    assert len(got) == 41
+
+
+def test_cc_random_graph_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    nodes = rng.choice(5000, size=400, replace=False)
+    pairs = [(int(min(a, b)), int(max(a, b)))
+             for a, b in zip(nodes[::2], nodes[1::2])]
+    # add some cross-links to merge clusters
+    extra = [(int(nodes[i]), int(nodes[i + 50])) for i in range(0, 100, 7)]
+    allp = [p for p in pairs + extra if p[0] != p[1]]
+    got = _run_cc(allp)
+    assert got == _uf_components(allp)
+
+
+def test_canonical_assignments_full_corpus(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.graph import (canonical_assignments,
+                                            connected_components)
+
+    pairs = [(2, 5), (5, 9)]
+    pairs_ds = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "id_b": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+    comp = connected_components(pairs_ds)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+    }))
+    out = canonical_assignments(docs, comp).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    expect = list(range(12))
+    expect[5] = 2
+    expect[9] = 2
+    assert out["canonical"].tolist() == expect
+    assert out["doc_id"].tolist() == list(range(12))

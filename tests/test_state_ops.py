@@ -575,3 +575,88 @@ def test_raw_video_frames_rejects_container_formats():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         RawVideoFrames()(batch)
+
+
+def test_chunk_dedup_matches_naive_reference(ray_session):
+    """chunk_dedup vs a per-doc Python reference: explode into 16-token
+    chunks, keep globally-first occurrences by (doc_id, chunk_idx)."""
+    import ray
+
+    from equi7grid_ray.stages.dedup import chunk_dedup
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=int(n)))
+             for n in rng.integers(1, 70, size=40)]
+    # plant exact chunk-level duplication: doc 40 repeats doc 0's text
+    # (same chunks, later key -> all its chunks except a possible short
+    # tail-remainder mismatch are drops), doc 41 repeats one 16-token run
+    texts.append(texts[0])
+    texts.append(" ".join(texts[1].split(" ")[:16]) or texts[1])
+    ids = list(range(len(texts)))
+
+    K = 16
+    first = {}
+    expect = {}
+    for d, t in zip(ids, texts):
+        toks = t.split(" ")
+        nc = (len(toks) + K - 1) // K
+        expect[d] = [0, 0, 0]
+        for i in range(nc):
+            chunk = " ".join(toks[i * K:(i + 1) * K])
+            key = d * (1 << 20) + i
+            if chunk not in first or first[chunk] > key:
+                first[chunk] = key
+    for d, t in zip(ids, texts):
+        toks = t.split(" ")
+        nc = (len(toks) + K - 1) // K
+        for i in range(nc):
+            chunk = " ".join(toks[i * K:(i + 1) * K])
+            expect[d][0] += 1
+            if first[chunk] == d * (1 << 20) + i:
+                expect[d][1] += 1
+                expect[d][2] += len(chunk)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = chunk_dedup(ds, tokens_per_chunk=K).to_pandas()
+    got = {int(r.doc_id): [int(r.n_chunks), int(r.n_kept), int(r.kept_len)]
+           for r in out.itertuples()}
+    assert got == expect
+    # the full-repeat doc kept nothing
+    assert got[40][1] == 0
+
+
+def test_repetition_stats_matches_naive_reference(ray_session):
+    """repetition_stats vs collections.Counter per document."""
+    from collections import Counter
+
+    from equi7grid_ray.stages.text import repetition_stats
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=int(n)))
+             for n in rng.integers(1, 40, size=25)]
+    texts.append("a a a a b")           # heavy token repeat
+    texts.append("x y x y x y")         # heavy bigram repeat
+    texts.append("solo")                # single token, no bigrams
+    ids = list(range(len(texts)))
+
+    batch = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = repetition_stats(batch).to_pandas().set_index("doc_id")
+    for d, t in zip(ids, texts):
+        toks = t.split(" ")
+        tc = Counter(toks)
+        bc = Counter(zip(toks, toks[1:]))
+        row = out.loc[d]
+        assert row["n_toks"] == len(toks)
+        assert row["n_distinct_toks"] == len(tc)
+        assert row["max_tok_n"] == max(tc.values())
+        assert row["n_bigrams"] == max(len(toks) - 1, 0)
+        assert row["n_distinct_bigrams"] == len(bc)
+        assert row["max_bigram_n"] == (max(bc.values()) if bc else 0)
