@@ -1365,6 +1365,128 @@ def q_cell_index_salted(sf_dir: str):
     )
 
 
+def q_zorder_hist(sf_dir: str):
+    """Morton/Z-order locality keys (the linearized spatial sort key a
+    100-TB tiled layout clusters and prunes by): 13-bit integer cell
+    quantization of the projected sweep, vectorized bit-interleave,
+    histogram by 1024-way z-prefix bucket with per-batch combiner
+    (bincount + minimum/maximum.at) before the small groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from equi7grid_ray.stages.zorder import morton_key
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    B = 13
+    NB = 1 << (2 * B - 16)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        x, y = _derive_xy(batch)
+        cx = (x * (1 << B)) // _XMOD
+        cy = (y * (1 << B)) // _YMOD
+        k = morton_key(cx, cy)
+        bucket = k >> 16
+        n = np.bincount(bucket, minlength=NB)
+        mn = np.full(NB, np.iinfo(np.int64).max, np.int64)
+        mx = np.full(NB, -1, np.int64)
+        np.minimum.at(mn, bucket, k)
+        np.maximum.at(mx, bucket, k)
+        nz = np.flatnonzero(n)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "pn": pa.array(n[nz], pa.int64()),
+                         "pmin": pa.array(mn[nz], pa.int64()),
+                         "pmax": pa.array(mx[nz], pa.int64())})
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("pn", alias_name="n"),
+                   Min("pmin", alias_name="min_zkey"),
+                   Max("pmax", alias_name="max_zkey"))
+    )
+
+
+def q_zorder_bbox_prune(sf_dir: str):
+    """Exact bbox query answered through the Z-order machinery: Morton
+    keys added as a map stage, the query rectangle decomposed into
+    disjoint key intervals (quadtree descent), rows pruned by interval
+    membership FIRST (the in-memory stand-in for parquet row-group
+    min/max pushdown on a zkey-sorted layout) then exact-verified.
+    Oracle is the plain bbox predicate -- proving the pruning path
+    loses and invents nothing."""
+    from equi7grid_ray.stages.zorder import (add_zorder_column,
+                                             filter_bbox_via_zorder)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def to_xy(batch: pa.Table) -> pa.Table:
+        x, y = _derive_xy(batch)
+        return pa.table({"x": pa.array(x.astype(np.float64)),
+                         "y": pa.array(y.astype(np.float64))})
+
+    # y span starts low: the derived y = (l_suppkey*53003) % 6e6 only
+    # reaches ~5.3e5 at sf0.001 (few suppliers), ~5.3e6 at sf0.01
+    bbox = (2_000_000.0, 50_000.0, 4_500_000.0, 3_500_000.0)
+    keyed = add_zorder_column(ds.map_batches(to_xy, batch_format="pyarrow"),
+                              x_range=(0, _XMOD), y_range=(0, _YMOD),
+                              bits=13)
+    hit = filter_bbox_via_zorder(keyed, bbox, x_range=(0, _XMOD),
+                                 y_range=(0, _YMOD), bits=13)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        return pa.table({
+            "pn": pa.array([batch.num_rows], pa.int64()),
+            "px": pa.array([int(x.astype(np.int64).sum())], pa.int64()),
+            "py": pa.array([int(y.astype(np.int64).sum())], pa.int64()),
+        })
+
+    from equi7grid_ray.arrowutil import single_group
+
+    def total(df):
+        import pandas as pd
+        return pd.DataFrame({
+            "n": [np.int64(df["pn"].sum())],
+            "sum_x": [np.int64(df["px"].sum())],
+            "sum_y": [np.int64(df["py"].sum())],
+        })
+
+    partials = hit.map_batches(fold, batch_format="pyarrow")
+    return single_group(partials, total, ["n", "sum_x", "sum_y"])
+
+
+def q_orders_bloom_semi(sf_dir: str):
+    """Bloom-filter semi-join (Bloomjoin): orders whose customer is in
+    the BUILDING segment.  The customer side folds into a broadcast
+    Bloom filter (fixed-size bit partials, keys never collected), the
+    orders side prefilters with k gathers per row, and only survivors
+    enter the exact partition-cogroup verify -- the shuffle moves
+    |matches| + fpp*|orders| rows, not |orders|.  Output is exact, so
+    the oracle is a plain IN-subquery."""
+    from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.stages.bloom import bloom_semi_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.filter(expr="c_mktsegment == 'BUILDING'") \
+               .select_columns(["c_custkey"])
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["o_custkey" if c == "c_custkey" else c
+             for c in batch.column_names])
+
+    hits = bloom_semi_join(orders, keys.map_batches(rekey, batch_format="pyarrow"),
+                           on="o_custkey", fpp=0.01)
+    return (
+        hits.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"),
+                   Sum("o_custkey", alias_name="custkey_sum"))
+    )
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs: banded hyperplane LSH
     (8 bands x 4 planes, OR-amplified) -> bucket co-occupant candidates
@@ -1881,6 +2003,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roi_search_geodesic": q_roi_search_geodesic,
         "embedding_near_dup": q_embedding_near_dup,
         "cell_index_salted": q_cell_index_salted,
+        "zorder_hist": q_zorder_hist,
+        "zorder_bbox_prune": q_zorder_bbox_prune,
+        "orders_bloom_semi": q_orders_bloom_semi,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2097,6 +2222,23 @@ def oracle_sql() -> dict[str, str]:
             f" + ((((l_partkey * {_LATMUL}) % {_LATMOD}) * {1 << _CELL_L}) // {_LATMOD}) * (1::BIGINT << 29) "
             f" + (((l_orderkey * {_LONMUL}) % {_LONMOD}) * {1 << _CELL_L}) // {_LONMOD} AS cell, "
             f"count(*) AS n FROM lineitem GROUP BY cell"
+        ),
+        "zorder_hist": _sqlgen().zorder_hist_sql(),
+        "zorder_bbox_prune": (
+            # plain bbox predicate: the engine's z-range pruning must be
+            # output-transparent
+            f"WITH xy AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "
+            f"(l_suppkey * {_YMUL}) % {_YMOD} AS y FROM lineitem) "
+            "SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sum_x, "
+            "CAST(sum(y) AS BIGINT) AS sum_y FROM xy "
+            "WHERE x BETWEEN 2000000 AND 4500000 "
+            "AND y BETWEEN 50000 AND 3500000"
+        ),
+        "orders_bloom_semi": (
+            "SELECT o_orderpriority, count(*) AS n, "
+            "CAST(sum(o_custkey) AS BIGINT) AS custkey_sum FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING') GROUP BY o_orderpriority"
         ),
         "norm_dedup_docs": (
             "SELECT min(doc_id) AS doc_id FROM documents "

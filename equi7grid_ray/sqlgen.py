@@ -668,3 +668,34 @@ reach(node, r) AS (
 comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
 SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+
+
+def zorder_hist_sql(bits: int = 13, xmod: int = 8_640_000,
+                    ymod: int = 6_000_000, xmul: int = 97_003,
+                    ymul: int = 53_003) -> str:
+    """Mirror of q_zorder_hist: 13-bit integer cell quantization of the
+    projected sweep, Morton bit-interleave via the 4-step magic-number
+    spread ladder (bigint & | << arithmetic, identical to
+    stages/zorder.py:spread_bits16), histogram by z-prefix bucket with
+    per-bucket min/max key."""
+    n = 1 << bits
+    m1, m2 = 0x00FF00FF00FF00FF, 0x0F0F0F0F0F0F0F0F
+    m3, m4 = 0x3333333333333333, 0x5555555555555555
+
+    def spread(col: str) -> str:
+        s = f"({col} | ({col} << 8)) & {m1}"
+        s = f"(({s}) | (({s}) << 4)) & {m2}"
+        s = f"(({s}) | (({s}) << 2)) & {m3}"
+        s = f"(({s}) | (({s}) << 1)) & {m4}"
+        return s
+
+    return f"""
+WITH cells AS (
+  SELECT (((l_orderkey * {xmul}) % {xmod}) * {n}) // {xmod} AS cx,
+         (((l_suppkey * {ymul}) % {ymod}) * {n}) // {ymod} AS cy
+  FROM lineitem),
+keys AS (
+  SELECT ({spread('cx')}) | (({spread('cy')}) << 1) AS zkey FROM cells)
+SELECT zkey >> 16 AS bucket, count(*) AS n,
+       MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey
+FROM keys GROUP BY bucket"""

@@ -1,0 +1,143 @@
+"""Bloom-filter semi-join: broadcast prefilter + exact verify.
+
+The broadcast semi-join in stages/join.py ships the small side's EXACT
+key set (8+ bytes/key); when the "small" side is merely *smaller* (say
+10^9 deduped keys vs 10^12 corpus rows) the exact set no longer fits a
+broadcast but a Bloom filter still does (~14 bits/key at 0.1 % fpp --
+a 50x shrink). The classic two-phase shape (Bloom 1970; the Bloomjoin
+of Mackert & Lohman, VLDB 1986):
+
+1. fold the small side into a fixed-size bit array WITHOUT collecting
+   its keys (per-batch partial bit positions, distinct-position merge
+   -- the CMS-partials pattern from stages/sketch.py);
+2. prefilter the big side with the broadcast bits (pure map stage,
+   k gathers per row, zero shuffle) -- survivors = true matches plus
+   an fpp-fraction of false positives;
+3. exact verify: shuffle only the SURVIVORS against the deduped small
+   side (partition-cogroup inner join from stages/join.py), so the
+   all-to-all moves |matches| + fpp*|big| rows instead of |big|.
+
+The output is therefore EXACTLY the semi-join (the Bloom filter only
+sizes the intermediate), which keeps the SQL oracle a plain ``IN``.
+
+Bit positions use Kirsch-Mitzenmacher double hashing over the
+splitmix64 finalizer: pos_i = (h1 + i*h2) mod m, which preserves the
+standard fpp bound with only two 64-bit hashes per key.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["BloomFilter", "build_bloom", "bloom_semi_join"]
+
+_H2SALT = np.uint64(0xA24BAED4963EE407)
+
+
+class BloomFilter:
+    """Immutable m-bit Bloom filter over int64 keys (uint64 words)."""
+
+    def __init__(self, words: np.ndarray, m: int, k: int):
+        self.words = words
+        self.m = int(m)
+        self.k = int(k)
+
+    @staticmethod
+    def params(n_keys: int, fpp: float) -> tuple[int, int]:
+        """Optimal (m bits, k hashes) for n keys at the target false-
+        positive rate; m rounded up to a whole 64-bit word."""
+        n = max(int(n_keys), 1)
+        m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+        m = (m + 63) // 64 * 64
+        k = max(1, round(m / n * math.log(2)))
+        return m, k
+
+    def positions(self, keys: np.ndarray) -> np.ndarray:
+        """(len(keys), k) bit positions via double hashing."""
+        from equi7grid_ray.stages.dedup import _mix64
+
+        u = np.asarray(keys).astype(np.int64).view(np.uint64)
+        h1 = _mix64(u)
+        h2 = _mix64(u ^ _H2SALT) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return ((h1[:, None] + i[None, :] * h2[:, None])
+                    % np.uint64(self.m))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe (no false negatives)."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self.positions(keys)
+        w = self.words[(pos >> np.uint64(6)).astype(np.int64)]
+        bit = (w >> (pos & np.uint64(63))) & np.uint64(1)
+        return bit.all(axis=1)
+
+
+def build_bloom(ds, on: str, *, fpp: float = 0.001,
+                n_keys: int | None = None) -> BloomFilter:
+    """Fold a key Dataset into a Bloom filter without collecting keys:
+    each batch emits its DISTINCT bit positions, a groupby dedupes them
+    (at most m rows cross the wire), and the driver sets bits once."""
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.arrowutil import collect_tables
+    from equi7grid_ray.stages.dedup import _mix64
+
+    if n_keys is None:
+        n_keys = ds.count()
+    m, k = BloomFilter.params(n_keys, fpp)
+    proto = BloomFilter(np.zeros(m // 64, np.uint64), m, k)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column(on).drop_null().to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"pos": pa.array([], pa.int64())})
+        pos = np.unique(proto.positions(v).ravel()).astype(np.int64)
+        return pa.table({"pos": pa.array(pos, pa.int64())})
+
+    pos_tbl = collect_tables(
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("pos")
+        .aggregate(Count(alias_name="c")),
+        schema=pa.schema([("pos", pa.int64()), ("c", pa.int64())]),
+    )
+    pos = pos_tbl.column("pos").to_numpy().view(np.uint64)
+    words = np.zeros(m // 64, np.uint64)
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    return BloomFilter(words, m, k)
+
+
+def bloom_semi_join(big, small, *, on: str, fpp: float = 0.001,
+                    n_partitions: int = 32):
+    """Exact semi-join of ``big`` against ``small``'s ``on`` keys using
+    a Bloom prefilter to shrink the verify shuffle. Returns ``big``
+    rows whose key appears in ``small`` (schema unchanged)."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    bf = build_bloom(small.select_columns([on]), on, fpp=fpp)
+    ref = ray.put((bf.words, bf.m, bf.k))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        words, m, k = ray.get(ref)
+        f = BloomFilter(words, m, k)
+        keys = batch.column(on).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(f.contains(keys)))
+
+    candidates = big.map_batches(prefilter, batch_format="pyarrow")
+    uniq = (
+        small.select_columns([on])
+        .groupby(on)
+        .aggregate(Count(alias_name="__one"))
+        .select_columns([on])
+    )
+    return shuffle_hash_join(candidates, uniq, on=on, how="inner",
+                             n_partitions=n_partitions)

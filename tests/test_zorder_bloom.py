@@ -1,0 +1,127 @@
+"""Z-order locality keys (stages/zorder.py) and Bloom semi-join
+(stages/bloom.py) vs naive references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _naive_morton(x: int, y: int) -> int:
+    out = 0
+    for i in range(16):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_matches_naive_and_roundtrips():
+    from equi7grid_ray.stages.zorder import morton_decode, morton_key
+
+    rng = np.random.default_rng(3)
+    cx = rng.integers(0, 1 << 16, 300)
+    cy = rng.integers(0, 1 << 16, 300)
+    k = morton_key(cx, cy)
+    ref = np.array([_naive_morton(int(a), int(b)) for a, b in zip(cx, cy)])
+    assert (k == ref).all()
+    dx, dy = morton_decode(k)
+    assert (dx == cx).all() and (dy == cy).all()
+    # locality sanity: neighbours in the same 2x2 block are adjacent keys
+    assert morton_key(np.array([7]), np.array([4]))[0] in range(
+        int(morton_key(np.array([6]), np.array([4]))[0]) - 3,
+        int(morton_key(np.array([6]), np.array([4]))[0]) + 4)
+
+
+def test_zorder_ranges_cover_rect_exactly():
+    from equi7grid_ray.stages.zorder import morton_key, zorder_ranges
+
+    bits = 5
+    side = 1 << bits
+    gx, gy = np.meshgrid(np.arange(side), np.arange(side))
+    keys = morton_key(gx.ravel(), gy.ravel())
+    rng = np.random.default_rng(9)
+    for _ in range(60):
+        x0, x1 = sorted(int(v) for v in rng.integers(0, side, 2))
+        y0, y1 = sorted(int(v) for v in rng.integers(0, side, 2))
+        covered = np.zeros(len(keys), bool)
+        for lo, hi in zorder_ranges(x0, y0, x1, y1, bits=bits,
+                                    max_ranges=10_000):
+            covered |= (keys >= lo) & (keys <= hi)
+        inrect = ((gx.ravel() >= x0) & (gx.ravel() <= x1)
+                  & (gy.ravel() >= y0) & (gy.ravel() <= y1))
+        assert (covered == inrect).all()
+    # capped decomposition over-covers but never under-covers
+    capped = zorder_ranges(3, 2, 27, 30, bits=bits, max_ranges=6)
+    covered = np.zeros(len(keys), bool)
+    for lo, hi in capped:
+        covered |= (keys >= lo) & (keys <= hi)
+    inrect = ((gx.ravel() >= 3) & (gx.ravel() <= 27)
+              & (gy.ravel() >= 2) & (gy.ravel() <= 30))
+    assert covered[inrect].all()
+
+
+def test_filter_bbox_via_zorder_matches_plain_filter(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.zorder import (add_zorder_column,
+                                             filter_bbox_via_zorder)
+
+    rng = np.random.default_rng(17)
+    n = 20_000
+    x = rng.uniform(0, 1000, n)
+    y = rng.uniform(0, 800, n)
+    ds = ray.data.from_arrow(pa.table({
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "x": pa.array(x), "y": pa.array(y),
+    }))
+    keyed = add_zorder_column(ds, x_range=(0, 1000), y_range=(0, 800),
+                              bits=10)
+    bbox = (123.4, 77.7, 456.7, 600.2)
+    got = filter_bbox_via_zorder(
+        keyed, bbox, x_range=(0, 1000), y_range=(0, 800), bits=10
+    ).to_pandas()
+    want = ((x >= bbox[0]) & (x <= bbox[2])
+            & (y >= bbox[1]) & (y <= bbox[3]))
+    assert sorted(got["rid"]) == sorted(np.flatnonzero(want).tolist())
+
+
+def test_bloom_filter_no_false_negatives_and_fpp():
+    from equi7grid_ray.stages.bloom import BloomFilter
+
+    rng = np.random.default_rng(1)
+    keys = rng.choice(10_000_000, size=5000, replace=False).astype(np.int64)
+    m, k = BloomFilter.params(len(keys), 0.01)
+    bf = BloomFilter(np.zeros(m // 64, np.uint64), m, k)
+    pos = np.unique(bf.positions(keys).ravel())
+    np.bitwise_or.at(bf.words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    assert bf.contains(keys).all()  # no false negatives, ever
+    probe = rng.choice(10_000_000, size=20_000).astype(np.int64)
+    novel = probe[~np.isin(probe, keys)]
+    fpp = bf.contains(novel).mean()
+    assert fpp < 0.03  # target 0.01 with headroom
+
+
+def test_bloom_semi_join_matches_pandas(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.bloom import bloom_semi_join
+
+    rng = np.random.default_rng(23)
+    big = pd.DataFrame({
+        "key": rng.integers(0, 400, 3000).astype(np.int64),
+        "payload": rng.integers(0, 1000, 3000).astype(np.int64),
+    })
+    small = pd.DataFrame({
+        "key": rng.choice(400, size=90, replace=False).astype(np.int64),
+        "extra": np.arange(90, dtype=np.int64),
+    })
+    out = bloom_semi_join(
+        ray.data.from_pandas(big), ray.data.from_pandas(small),
+        on="key", fpp=0.05, n_partitions=8,
+    ).to_pandas()
+    want = big[big["key"].isin(set(small["key"]))]
+    lcanon = out.sort_values(["key", "payload"]).reset_index(drop=True)
+    rcanon = want.sort_values(["key", "payload"]).reset_index(drop=True)
+    assert (lcanon[["key", "payload"]].to_numpy(np.int64)
+            == rcanon[["key", "payload"]].to_numpy(np.int64)).all()
+    assert set(out.columns) == {"key", "payload"}
