@@ -1487,6 +1487,29 @@ def q_orders_bloom_semi(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for training-batch construction: first-fit
+    greedy under a 256-token budget within fixed 64-doc_id shards
+    (shards = the parallel unit; determinism from doc_id alone).
+    Per-shard cumsum + searchsorted jumps keep the loop O(#sequences).
+    Oracle: recursive CTE running the same greedy recurrence."""
+    from equi7grid_ray.stages.pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(ds, budget=256, shard_size=64)
+
+
+def q_docs_balanced_sample(sf_dir: str):
+    """Class-balanced deterministic downsampling: every language
+    sampled at min_count/count via all-integer id-hash thresholds --
+    tiny counts pass + zero-shuffle membership filter; nests inside
+    hash_sample ladders."""
+    from equi7grid_ray.stages.sample import balanced_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return balanced_sample(ds, "lang")
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs: banded hyperplane LSH
     (8 bands x 4 planes, OR-amplified) -> bucket co-occupant candidates
@@ -2006,6 +2029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_hist": q_zorder_hist,
         "zorder_bbox_prune": q_zorder_bbox_prune,
         "orders_bloom_semi": q_orders_bloom_semi,
+        "pack_sequences": q_pack_sequences,
+        "docs_balanced_sample": q_docs_balanced_sample,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2240,6 +2265,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_custkey IN (SELECT c_custkey FROM customer "
             "WHERE c_mktsegment = 'BUILDING') GROUP BY o_orderpriority"
         ),
+        "pack_sequences": (
+            # recursive-CTE mirror of stages/pack.py first-fit greedy
+            # (budget 256, shard = doc_id // 64, doc_id order)
+            "WITH RECURSIVE d AS ("
+            "SELECT doc_id, doc_id // 64 AS shard, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, "
+            "row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id)"
+            " AS rn FROM documents), "
+            "p AS ("
+            "SELECT shard, rn, doc_id, n_toks, CAST(0 AS BIGINT) AS seq, "
+            "n_toks AS fill FROM d WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT d.shard, d.rn, d.doc_id, d.n_toks, "
+            "CASE WHEN p.fill + d.n_toks <= 256 THEN p.seq ELSE p.seq + 1 "
+            "END, "
+            "CASE WHEN p.fill + d.n_toks <= 256 THEN p.fill + d.n_toks "
+            "ELSE d.n_toks END "
+            "FROM d JOIN p ON d.shard = p.shard AND d.rn = p.rn + 1) "
+            "SELECT doc_id, shard, seq, n_toks FROM p"
+        ),
         "norm_dedup_docs": (
             "SELECT min(doc_id) AS doc_id FROM documents "
             "GROUP BY regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')"
@@ -2424,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "audio_pcm_features": _sqlgen().audio_pcm_sql(500),
         "docs_stratified_sample": _sqlgen().stratified_sample_sql(_SAMPLE_RATES, default_rate=0.0625),
+        "docs_balanced_sample": _sqlgen().balanced_sample_sql("lang"),
         "docs_split_counts": _split_counts_sql(),
         "supplier_topk_per_nation": (
             "WITH r AS (SELECT l_suppkey, "

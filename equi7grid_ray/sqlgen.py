@@ -699,3 +699,25 @@ keys AS (
 SELECT zkey >> 16 AS bucket, count(*) AS n,
        MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey
 FROM keys GROUP BY bucket"""
+
+
+def balanced_sample_sql(key_col: str = "lang") -> str:
+    """Mirror of stages/sample.py:balanced_sample over ``documents``:
+    per-class integer threshold (min_count << 32) // count computed in
+    SQL from the same counts, keep iff splitmix64(doc_id xor salt) %
+    2^32 < threshold.  All-integer both sides."""
+    from equi7grid_ray.stages.sample import SAMPLE_SALT
+
+    return f"""
+WITH cnt AS (SELECT {key_col}, count(*) AS n FROM documents GROUP BY {key_col}),
+mn AS (SELECT MIN(n) AS m FROM cnt),
+thr AS (SELECT {key_col}, (mn.m * 4294967296) // cnt.n AS t FROM cnt, mn),
+h0 AS (
+  SELECT doc_id, {key_col},
+    xor(doc_id::UBIGINT, {int(SAMPLE_SALT)}::UBIGINT) AS h
+  FROM documents),
+{_mix64_ctes('h0', 'h', f'doc_id, {key_col}')}
+SELECT mixed.doc_id, mixed.{key_col}
+FROM mixed JOIN thr USING ({key_col})
+WHERE h % {1 << 32} < t
+"""

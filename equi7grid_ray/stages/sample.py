@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_sample", "stratified_sample", "assign_splits",
+__all__ = ["hash_sample", "stratified_sample", "assign_splits", "balanced_sample",
            "SAMPLE_SALT"]
 
 SAMPLE_SALT = np.uint64(0xA076_1D64_78BD_642F)  # distinct from dedup/fp seeds
@@ -112,5 +112,47 @@ def assign_splits(ds, splits: dict[str, float], id_col: str = "doc_id",
             pa.array(names, pa.string()),
         ).cast(pa.string())
         return batch.append_column(label_col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def balanced_sample(ds, key_col: str, id_col: str = "doc_id"):
+    """Class-balanced deterministic downsampling: every class is
+    sampled at rate ``min_count / count(class)`` so all classes land at
+    (approximately) the rarest class's size -- the standard rebalance
+    step before training on skewed source/language mixes.
+
+    Two passes: a tiny groupby-count (per-class counts, bounded by the
+    class-domain size, collected once), then the same zero-shuffle
+    id-hash membership filter as :func:`stratified_sample`.  Thresholds
+    are ALL-INTEGER -- ``thr = (min_n << 32) // n_class`` -- so the SQL
+    oracle mirrors the selection exactly; membership depends only on
+    the row id, so the balanced sample NESTS inside hash_sample ladders
+    and is stable across runs, cluster sizes and block layouts.
+    """
+    from ray.data.aggregate import Count
+
+    from equi7grid_ray.arrowutil import collect_tables
+
+    counts = collect_tables(
+        ds.groupby(key_col).aggregate(Count(alias_name="n")))
+    if counts.num_rows == 0:
+        return ds
+    keys = counts.column(key_col).to_pylist()
+    ns = counts.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    min_n = int(ns.min())
+    thr_map = {k: (min_n << 32) // int(n) for k, n in zip(keys, ns)}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        col = batch.column(key_col).dictionary_encode()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lut = np.array([thr_map.get(v, 0) for v in
+                        col.dictionary.to_pylist()] + [0], dtype=np.uint64)
+        codes = (col.indices.fill_null(-1)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        keep = _keep_mask(ids, lut[codes])
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -660,3 +660,65 @@ def test_repetition_stats_matches_naive_reference(ray_session):
         assert row["n_bigrams"] == max(len(toks) - 1, 0)
         assert row["n_distinct_bigrams"] == len(bc)
         assert row["max_bigram_n"] == (max(bc.values()) if bc else 0)
+
+
+def test_pack_sequences_matches_naive_greedy(ray_session):
+    """pack_sequences vs a per-shard first-fit Python reference."""
+    import ray
+
+    from equi7grid_ray.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(31)
+    ids = np.sort(rng.choice(3000, size=250, replace=False)).astype(np.int64)
+    ntoks = rng.integers(1, 120, size=250).astype(np.int64)
+    ntoks[5] = 500  # oversize doc: its own sequence
+    texts = [" ".join(["w"] * int(n)) for n in ntoks]
+    B, S = 256, 64
+
+    expect = {}
+    for shard in np.unique(ids // S):
+        mask = ids // S == shard
+        fill, seq = None, -1
+        for d, n in zip(ids[mask], ntoks[mask]):
+            if fill is None or fill + n > B:
+                seq += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            expect[int(d)] = (int(shard), seq)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = pack_sequences(ds, budget=B, shard_size=S).to_pandas()
+    got = {int(r.doc_id): (int(r.shard), int(r.seq)) for r in out.itertuples()}
+    assert got == expect
+    # no sequence overflows the budget (except oversize singletons)
+    agg = out.groupby(["shard", "seq"])["n_toks"].agg(["sum", "count"])
+    bad = agg[(agg["sum"] > B) & (agg["count"] > 1)]
+    assert bad.empty
+
+
+def test_balanced_sample_rates_and_nesting(ray_session):
+    """balanced_sample: per-class kept counts approach the rarest
+    class's size, the rarest class is fully kept, and the selection is
+    deterministic + a subset of the full id-hash sample."""
+    import ray
+
+    from equi7grid_ray.stages.sample import balanced_sample
+
+    rng = np.random.default_rng(41)
+    langs = np.array(["en"] * 4000 + ["de"] * 1000 + ["sw"] * 150)
+    ids = np.arange(len(langs), dtype=np.int64)
+    perm = rng.permutation(len(ids))
+    tbl = pa.table({"doc_id": pa.array(ids[perm]),
+                    "lang": pa.array(langs[perm])})
+    ds = ray.data.from_arrow(tbl)
+    out = balanced_sample(ds, "lang").to_pandas()
+    got = out.groupby("lang")["doc_id"].count()
+    assert got["sw"] == 150                      # rarest kept whole
+    assert abs(got["en"] - 150) < 60             # ~min_n each
+    assert abs(got["de"] - 150) < 60
+    out2 = balanced_sample(ray.data.from_arrow(tbl), "lang").to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])  # deterministic
