@@ -1499,6 +1499,39 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, budget=256, shard_size=64)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-run incremental ingestion dedup: new documents (doc_id >=
+    100) kept only if their content hash appears neither in the
+    already-committed corpus (doc_id < 100) nor earlier within the new
+    batch.  The committed side folds into a Bloom filter (keys never
+    collected); bloom-NEGATIVE rows are definitely new and skip the
+    shuffle entirely; only the bloom-positive sliver is exact-verified
+    (bloom_anti_join), then first-occurrence-within-new resolves by
+    groupby-Min.  Oracle: NOT IN + min-per-text in plain SQL."""
+    from ray.data.aggregate import Min
+
+    from equi7grid_ray.stages.bloom import bloom_anti_join
+    from equi7grid_ray.stages.dedup import _column_bytes, hash_bytes_offsets
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        flat, offs = _column_bytes(batch.column("text"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "h": pa.array(hash_bytes_offsets(flat, offs), pa.int64()),
+        })
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(add_hash, batch_format="pyarrow")
+    new = docs.filter(expr="doc_id >= 100")
+    prior = docs.filter(expr="doc_id < 100").select_columns(["h"])
+    fresh = bloom_anti_join(new, prior, on="h", fpp=0.01)
+    return (
+        fresh.groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2031,6 +2064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_semi": q_orders_bloom_semi,
         "pack_sequences": q_pack_sequences,
         "docs_balanced_sample": q_docs_balanced_sample,
+        "incremental_dedup": q_incremental_dedup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2470,6 +2504,14 @@ def oracle_sql() -> dict[str, str]:
         "audio_pcm_features": _sqlgen().audio_pcm_sql(500),
         "docs_stratified_sample": _sqlgen().stratified_sample_sql(_SAMPLE_RATES, default_rate=0.0625),
         "docs_balanced_sample": _sqlgen().balanced_sample_sql("lang"),
+        "incremental_dedup": (
+            # text-equality mirror of the engine's content-hash
+            # anti-join (collision-free at oracle scale)
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "WHERE doc_id >= 100 AND text NOT IN "
+            "(SELECT text FROM documents WHERE doc_id < 100) "
+            "GROUP BY text"
+        ),
         "docs_split_counts": _split_counts_sql(),
         "supplier_topk_per_nation": (
             "WITH r AS (SELECT l_suppkey, "

@@ -125,3 +125,31 @@ def test_bloom_semi_join_matches_pandas(ray_session):
     assert (lcanon[["key", "payload"]].to_numpy(np.int64)
             == rcanon[["key", "payload"]].to_numpy(np.int64)).all()
     assert set(out.columns) == {"key", "payload"}
+
+
+def test_bloom_anti_join_matches_pandas(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.bloom import bloom_anti_join
+
+    rng = np.random.default_rng(29)
+    big = pd.DataFrame({
+        "key": rng.integers(0, 300, 2500).astype(np.int64),
+        "payload": rng.integers(0, 1000, 2500).astype(np.int64),
+    })
+    small = pd.DataFrame({
+        "key": rng.choice(300, size=60, replace=False).astype(np.int64),
+    })
+    # duplicate keys on the small side must not duplicate output rows
+    small = pd.concat([small, small.head(10)], ignore_index=True)
+    out = bloom_anti_join(
+        ray.data.from_pandas(big), ray.data.from_pandas(small),
+        on="key", fpp=0.05, n_partitions=8,
+    ).to_pandas()
+    want = big[~big["key"].isin(set(small["key"]))]
+    lc = out.sort_values(["key", "payload"]).reset_index(drop=True)
+    rc = want.sort_values(["key", "payload"]).reset_index(drop=True)
+    assert len(lc) == len(rc)
+    assert (lc[["key", "payload"]].to_numpy(np.int64)
+            == rc[["key", "payload"]].to_numpy(np.int64)).all()
+    assert set(out.columns) == {"key", "payload"}
