@@ -1532,6 +1532,39 @@ def q_incremental_dedup(sf_dir: str):
     )
 
 
+def q_spatial_neighbor_pairs(sf_dir: str):
+    """Grid-partitioned spatial self-join: all customer-point pairs
+    within 200 km in the projected sweep.  Cell replication (factor-9,
+    metadata only) + one vectorized self-merge per hash partition +
+    canonical min-id-home emission = exact pairs with no all-pairs
+    stage.  Oracle: the O(n^2) inequality self-join."""
+    from equi7grid_ray.stages.neighbors import neighbor_pairs
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def to_xy(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "id": pa.array(ck, pa.int64()),
+            "x": pa.array(((ck * _XMUL) % _XMOD).astype(np.float64)),
+            "y": pa.array(((ck * _YMUL) % _YMOD).astype(np.float64)),
+        })
+
+    pts = ds.map_batches(to_xy, batch_format="pyarrow")
+    pairs = neighbor_pairs(pts, radius=200_000.0)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "d2": pa.array(batch.column("d2").to_numpy().astype(np.int64),
+                           pa.int64()),
+        })
+
+    return pairs.map_batches(to_int, batch_format="pyarrow")
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2065,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "docs_balanced_sample": q_docs_balanced_sample,
         "incremental_dedup": q_incremental_dedup,
+        "spatial_neighbor_pairs": q_spatial_neighbor_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2511,6 +2545,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id >= 100 AND text NOT IN "
             "(SELECT text FROM documents WHERE doc_id < 100) "
             "GROUP BY text"
+        ),
+        "spatial_neighbor_pairs": (
+            f"WITH p AS (SELECT c_custkey AS id, "
+            f"(c_custkey * {_XMUL}) % {_XMOD} AS x, "
+            f"(c_custkey * {_YMUL}) % {_YMOD} AS y FROM customer) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2 "
+            "FROM p a JOIN p b ON a.id < b.id "
+            "WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) "
+            "<= 40000000000"
         ),
         "docs_split_counts": _split_counts_sql(),
         "supplier_topk_per_nation": (

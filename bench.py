@@ -226,6 +226,16 @@ def _driver_queries() -> dict[str, float]:
         "customers_no_events",
         "contaminated_docs",
         "docs_split_counts",
+        "near_dup_components",
+        "chunk_dedup_docs",
+        "doc_repetition",
+        "zorder_hist",
+        "zorder_bbox_prune",
+        "orders_bloom_semi",
+        "incremental_dedup",
+        "pack_sequences",
+        "docs_balanced_sample",
+        "spatial_neighbor_pairs",
     ]
     qs = e.queries()
     for name in sel:

@@ -153,3 +153,34 @@ def test_bloom_anti_join_matches_pandas(ray_session):
     assert (lc[["key", "payload"]].to_numpy(np.int64)
             == rc[["key", "payload"]].to_numpy(np.int64)).all()
     assert set(out.columns) == {"key", "payload"}
+
+
+def test_neighbor_pairs_matches_brute_force(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.neighbors import neighbor_pairs
+
+    rng = np.random.default_rng(7)
+    n = 600
+    x = rng.uniform(-500, 1500, n)   # negative coords exercise floor
+    y = rng.uniform(-300, 900, n)
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    R = 60.0
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)}))
+    out = neighbor_pairs(ds, radius=R, n_partitions=8).to_pandas()
+    got = set(zip(out["id_a"].astype(np.int64), out["id_b"].astype(np.int64)))
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    within = (dx * dx + dy * dy) <= R * R
+    ia, ib = np.nonzero(within)
+    want = {(int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+            for a, b in zip(ia, ib) if a < b}
+    assert got == want
+    assert len(out) == len(got)  # no duplicate emissions
+    # larger cells than the radius are also exact
+    out2 = neighbor_pairs(ds, radius=R, cell_size=150.0,
+                          n_partitions=8).to_pandas()
+    got2 = set(zip(out2["id_a"].astype(np.int64),
+                   out2["id_b"].astype(np.int64)))
+    assert got2 == want
