@@ -1565,6 +1565,46 @@ def q_spatial_neighbor_pairs(sf_dir: str):
     return pairs.map_batches(to_int, batch_format="pyarrow")
 
 
+def q_distortion_planar(sf_dir: str):
+    """Planar length distortion k = d/(a*sin(d/a)) (reference
+    core.py:292-324) over the projected sweep against the EU centre,
+    histogrammed at 1e-6 resolution.  Unlike the geodesic variant this
+    is closed-form float math both engines share (hypot/sin/round), so
+    it IS oracle-checkable: micro-rounding absorbs any sub-ulp libm
+    difference."""
+    from ray.data.aggregate import Sum
+
+    from equi7grid_ray.aeqd import length_distortion_planar
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        x, y = _derive_xy(batch)
+        k = length_distortion_planar("EU", x.astype(np.float64),
+                                     y.astype(np.float64))
+        b = np.rint(k * 1e6).astype(np.int64)
+        vals, counts = np.unique(b, return_counts=True)
+        return pa.table({"k_micro": pa.array(vals, pa.int64()),
+                         "pn": pa.array(counts, pa.int64())})
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("k_micro")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-class embedding centroids in fixed-point: dense per-batch
+    (cls x dim) int64 fold, O(cls*dim) partials per task, keyed Sum
+    merge.  Integer sums are reduction-order-independent, so the
+    LATERAL-unnest SQL oracle matches by hash."""
+    from equi7grid_ray.stages.similarity import grouped_centroids
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return grouped_centroids(ds, n_classes=8)
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2099,6 +2139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_balanced_sample": q_docs_balanced_sample,
         "incremental_dedup": q_incremental_dedup,
         "spatial_neighbor_pairs": q_spatial_neighbor_pairs,
+        "distortion_planar": q_distortion_planar,
+        "embedding_centroids": q_embedding_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2545,6 +2587,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id >= 100 AND text NOT IN "
             "(SELECT text FROM documents WHERE doc_id < 100) "
             "GROUP BY text"
+        ),
+        "embedding_centroids": (
+            "SELECT vec_id % 8 AS cls, u.i AS dim, "
+            "CAST(sum(CAST(round(CAST(u.e AS DOUBLE) * 1000000) AS BIGINT)) "
+            "AS BIGINT) AS s, count(*) AS n "
+            "FROM embeddings, LATERAL (SELECT unnest(embedding) AS e, "
+            "unnest(range(len(embedding))) AS i) u "
+            "GROUP BY cls, dim"
+        ),
+        "distortion_planar": (
+            f"WITH xy AS (SELECT (l_orderkey * {_XMUL}) % {_XMOD} AS x, "
+            f"(l_suppkey * {_YMUL}) % {_YMOD} AS y FROM lineitem), "
+            "dd AS (SELECT sqrt((x - 5837287.81977)*(x - 5837287.81977) + "
+            "(y - 2121415.69617)*(y - 2121415.69617)) AS d FROM xy) "
+            "SELECT CAST(round(CASE WHEN d = 0 THEN 1.0 "
+            "ELSE d / 6378137.0 / sin(d / 6378137.0) END * 1000000) "
+            "AS BIGINT) AS k_micro, count(*) AS n FROM dd GROUP BY k_micro"
         ),
         "spatial_neighbor_pairs": (
             f"WITH p AS (SELECT c_custkey AS id, "

@@ -236,6 +236,8 @@ def _driver_queries() -> dict[str, float]:
         "pack_sequences",
         "docs_balanced_sample",
         "spatial_neighbor_pairs",
+        "distortion_planar",
+        "embedding_centroids",
     ]
     qs = e.queries()
     for name in sel:

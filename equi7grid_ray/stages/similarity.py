@@ -354,3 +354,50 @@ class GridKNNTiles:
             "tile": pa.array(names.tolist(), pa.string()),
             "d2": pa.array(sd2, pa.int64()),
         })
+
+
+def grouped_centroids(ds, *, n_classes: int, cls_fn=None,
+                      col: str = "embedding", id_col: str = "vec_id",
+                      scale: int = 1_000_000):
+    """Per-class embedding centroids in FIXED-POINT: each batch folds
+    its vectors into a dense (n_classes x dim) int64 accumulator of
+    round(e * scale) plus per-class counts, so the shuffle moves
+    O(n_classes * dim) partial rows per task and the merge is a plain
+    keyed Sum.  Integer sums are order-independent, which makes the
+    SQL oracle hash-exact (floats would depend on reduction order).
+
+    ``cls_fn(ids) -> int64 array`` derives the class (default
+    ``id % n_classes``).  Returns (cls, dim, s, n): centroid[cls][dim]
+    = s / (n * scale).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e = _stack_embeddings(batch, col)
+        x = e.astype(np.float64) * scale
+        # half-away-from-zero (the SQL round rule; np.rint is ties-to-
+        # even and diverges on the exact-.5 values this corpus hits)
+        q = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+        cls = (cls_fn(ids) if cls_fn is not None
+               else ids % n_classes).astype(np.int64)
+        dim = q.shape[1]
+        acc = np.zeros((n_classes, dim), np.int64)
+        np.add.at(acc, cls, q)
+        cnt = np.bincount(cls, minlength=n_classes).astype(np.int64)
+        cc, dd = np.meshgrid(np.arange(n_classes, dtype=np.int64),
+                             np.arange(dim, dtype=np.int64), indexing="ij")
+        return pa.table({
+            "cls": pa.array(cc.ravel(), pa.int64()),
+            "dim": pa.array(dd.ravel(), pa.int64()),
+            "ps": pa.array(acc.ravel(), pa.int64()),
+            "pn": pa.array(np.repeat(cnt, dim), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["cls", "dim"])
+        .aggregate(Sum("ps", alias_name="s"),
+                   Sum("pn", alias_name="n"))
+    )

@@ -722,3 +722,27 @@ def test_balanced_sample_rates_and_nesting(ray_session):
     assert abs(got["de"] - 150) < 60
     out2 = balanced_sample(ray.data.from_arrow(tbl), "lang").to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])  # deterministic
+
+
+def test_grouped_centroids_matches_numpy(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.similarity import grouped_centroids
+
+    rng = np.random.default_rng(53)
+    n, dim, k = 300, 16, 5
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    }))
+    out = grouped_centroids(ds, n_classes=k).to_pandas() \
+        .sort_values(["cls", "dim"]).reset_index(drop=True)
+    x = emb.astype(np.float64) * 1e6
+    q = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+    for c in range(k):
+        m = ids % k == c
+        sub = out[out["cls"] == c]
+        assert (sub["n"] == m.sum()).all()
+        assert (sub["s"].to_numpy() == q[m].sum(axis=0)).all()
