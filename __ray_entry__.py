@@ -1605,6 +1605,19 @@ def q_embedding_centroids(sf_dir: str):
     return grouped_centroids(ds, n_classes=8)
 
 
+def q_events_profile(sf_dir: str):
+    """ANALYZE-style table profile of 4 events columns: counts, null
+    counts, exact cardinality (distinct-pair shuffle only), value range
+    for ints / length range for strings.  Oracle: UNION ALL of plain
+    per-column aggregates."""
+    from equi7grid_ray.stages.profile import profile_columns
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "props"])
+    return profile_columns(ds, int_cols=["event_id", "user_id"],
+                           str_cols=["event_type", "props"])
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2141,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_neighbor_pairs": q_spatial_neighbor_pairs,
         "distortion_planar": q_distortion_planar,
         "embedding_centroids": q_embedding_centroids,
+        "events_profile": q_events_profile,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2587,6 +2601,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id >= 100 AND text NOT IN "
             "(SELECT text FROM documents WHERE doc_id < 100) "
             "GROUP BY text"
+        ),
+        "events_profile": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col, count(*) AS n, "
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_null, count(DISTINCT {c}) AS n_distinct, "
+                f"min({e}) AS min_v, max({e}) AS max_v FROM events"
+                for c, e in [("event_id", "event_id"),
+                             ("user_id", "user_id"),
+                             ("event_type", "length(event_type)"),
+                             ("props", "length(props)")]
+            )
         ),
         "embedding_centroids": (
             "SELECT vec_id % 8 AS cls, u.i AS dim, "

@@ -238,6 +238,7 @@ def _driver_queries() -> dict[str, float]:
         "spatial_neighbor_pairs",
         "distortion_planar",
         "embedding_centroids",
+        "events_profile",
     ]
     qs = e.queries()
     for name in sel:

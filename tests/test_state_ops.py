@@ -746,3 +746,22 @@ def test_grouped_centroids_matches_numpy(ray_session):
         sub = out[out["cls"] == c]
         assert (sub["n"] == m.sum()).all()
         assert (sub["s"].to_numpy() == q[m].sum(axis=0)).all()
+
+
+def test_profile_columns_with_nulls(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.profile import profile_columns
+
+    tbl = pa.table({
+        "a": pa.array([5, None, 2, 2, 9, None], pa.int64()),
+        "s": pa.array(["xx", "y", None, "xx", "zzzz", "y"], pa.string()),
+    })
+    out = profile_columns(ray.data.from_arrow(tbl),
+                          int_cols=["a"], str_cols=["s"]) \
+        .to_pandas().set_index("col")
+    a, s = out.loc["a"], out.loc["s"]
+    assert (a["n"], a["n_null"], a["n_distinct"], a["min_v"], a["max_v"]) \
+        == (6, 2, 3, 2, 9)
+    assert (s["n"], s["n_null"], s["n_distinct"], s["min_v"], s["max_v"]) \
+        == (6, 1, 3, 1, 4)
