@@ -1618,6 +1618,16 @@ def q_events_profile(sf_dir: str):
                            str_cols=["event_type", "props"])
 
 
+def q_docs_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): multi-granularity counts where
+    only the finest level aggregates input rows; coarser levels
+    re-aggregate the finest RESULT (O(domain), not O(corpus))."""
+    from equi7grid_ray.stages.pivot import rollup_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return rollup_counts(ds, keys=["lang", "source"])
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2155,6 +2165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distortion_planar": q_distortion_planar,
         "embedding_centroids": q_embedding_centroids,
         "events_profile": q_events_profile,
+        "docs_rollup": q_docs_rollup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2601,6 +2612,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id >= 100 AND text NOT IN "
             "(SELECT text FROM documents WHERE doc_id < 100) "
             "GROUP BY text"
+        ),
+        "docs_rollup": (
+            "SELECT COALESCE(lang, '<all>') AS lang, "
+            "COALESCE(source, '<all>') AS source, count(*) AS n "
+            "FROM documents GROUP BY ROLLUP(lang, source)"
         ),
         "events_profile": (
             " UNION ALL ".join(

@@ -239,6 +239,7 @@ def _driver_queries() -> dict[str, float]:
         "distortion_planar",
         "embedding_centroids",
         "events_profile",
+        "docs_rollup",
     ]
     qs = e.queries()
     for name in sel:

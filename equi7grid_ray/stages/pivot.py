@@ -96,3 +96,73 @@ def melt(ds, *, id_cols: list[str], value_cols: list[str],
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rollup_counts(ds, *, keys: list[str], all_label: str = "<all>"):
+    """SQL ``GROUP BY ROLLUP(k1, k2, ...)``: counts at every prefix
+    granularity -- (k1, k2), (k1, <all>), (<all>, <all>).
+
+    Scale shape: only the FINEST level ever aggregates over input rows
+    (per-batch value_counts partials, one keyed Sum shuffle); every
+    coarser level re-aggregates the finest RESULT, whose size is
+    bounded by the key-domain product, not the corpus.  The coarse
+    passes are therefore O(domain) regardless of input scale.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    if not keys:
+        raise ValueError("rollup_counts: need at least one key")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sub = batch.select(keys)
+        counted = sub.group_by(keys).aggregate([([], "count_all")])
+        return counted.rename_columns(keys + ["pn"])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("pn", alias_name="pn"))
+    )
+
+    levels = [finest]
+    for lvl in range(len(keys) - 1, -1, -1):
+        kept = keys[:lvl]
+        if kept:
+            agg = (finest.select_columns(kept + ["pn"])
+                   .groupby(kept).aggregate(Sum("pn", alias_name="pn")))
+        else:
+            from equi7grid_ray.arrowutil import single_group
+
+            def total(t: pa.Table) -> pa.Table:
+                cols = {k: pa.array([all_label], pa.string()) for k in keys}
+                cols["pn"] = pa.array(
+                    [pc.sum(t.column("pn")).as_py() or 0], pa.int64())
+                return pa.table(cols)
+
+            levels.append(single_group(
+                finest.select_columns(["pn"]), total, keys + ["pn"],
+                batch_format="pyarrow"))
+            continue
+
+        def relabel(batch: pa.Table, kept=kept) -> pa.Table:
+            cols = {k: batch.column(k) for k in kept}
+            n = batch.num_rows
+            for k in keys[len(kept):]:
+                cols[k] = pa.array([all_label] * n, pa.string())
+            cols["pn"] = batch.column("pn")
+            return pa.table(cols)
+
+        levels.append(agg.map_batches(relabel, batch_format="pyarrow"))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in keys}
+        cols["n"] = batch.column("pn")
+        return pa.table(cols)
+
+    return out.map_batches(rename, batch_format="pyarrow")

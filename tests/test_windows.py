@@ -267,3 +267,30 @@ def test_assign_splits_partitions_and_nests(ray_session):
                     [lambda s: s == "train"].index)
     full_train = set(lab[lab["split"] == "train"]["doc_id"])
     assert sub_train <= full_train
+
+
+def test_rollup_counts_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from equi7grid_ray.stages.pivot import rollup_counts
+
+    rng = np.random.default_rng(13)
+    langs = rng.choice(["en", "de", "fr"], 4000)
+    srcs = rng.choice(["web", "book", "wiki"], 4000)
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array(langs), "source": pa.array(srcs)}))
+    out = rollup_counts(ds, keys=["lang", "source"]).to_pandas() \
+        .sort_values(["lang", "source"]).reset_index(drop=True)
+    df = pd.DataFrame({"lang": langs, "source": srcs})
+    fin = df.groupby(["lang", "source"]).size().reset_index(name="n")
+    l1 = df.groupby("lang").size().reset_index(name="n")
+    l1["source"] = "<all>"
+    tot = pd.DataFrame({"lang": ["<all>"], "source": ["<all>"],
+                        "n": [len(df)]})
+    want = pd.concat([fin, l1, tot])[["lang", "source", "n"]] \
+        .sort_values(["lang", "source"]).reset_index(drop=True)
+    assert out[["lang", "source"]].equals(want[["lang", "source"]])
+    assert (out["n"].to_numpy(np.int64) == want["n"].to_numpy(np.int64)).all()
