@@ -1628,6 +1628,16 @@ def q_docs_rollup(sf_dir: str):
     return rollup_counts(ds, keys=["lang", "source"])
 
 
+def q_doc_surprisal(sf_dir: str):
+    """Unigram LM quality scores: per-doc total token surprisal in
+    all-integer bit-length form (bitlen(N//c) ~ log2) -- no float log
+    crosses the oracle boundary."""
+    from equi7grid_ray.stages.text import surprisal_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return surprisal_scores(ds, max_vocab=4096)
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2166,6 +2176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_embedding_centroids,
         "events_profile": q_events_profile,
         "docs_rollup": q_docs_rollup,
+        "doc_surprisal": q_doc_surprisal,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2617,6 +2628,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(lang, '<all>') AS lang, "
             "COALESCE(source, '<all>') AS source, count(*) AS n "
             "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "doc_surprisal": (
+            # integer bit-length surprisal mirror of
+            # stages/text.py:surprisal_scores (vocab cut 4096 by
+            # count desc, token asc; OOV scores as count 1)
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS t FROM documents), "
+            "cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt), "
+            "vocab AS (SELECT t, c, row_number() OVER "
+            "(ORDER BY c DESC, t) AS rk FROM cnt), "
+            "keep AS (SELECT t, c FROM vocab WHERE rk <= 4096), "
+            "scored AS (SELECT tok.doc_id, "
+            "length(format('{:b}', tot.n // COALESCE(k.c, 1))) AS s "
+            "FROM tok LEFT JOIN keep k ON tok.t = k.t, tot) "
+            "SELECT doc_id, count(*) AS n_toks, "
+            "CAST(sum(s) AS BIGINT) AS ssum FROM scored GROUP BY doc_id"
         ),
         "events_profile": (
             " UNION ALL ".join(

@@ -240,6 +240,7 @@ def _driver_queries() -> dict[str, float]:
         "embedding_centroids",
         "events_profile",
         "docs_rollup",
+        "doc_surprisal",
     ]
     qs = e.queries()
     for name in sel:

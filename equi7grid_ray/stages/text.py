@@ -400,3 +400,82 @@ def repetition_stats(batch: pa.Table, *, id_col: str = "doc_id",
         "n_distinct_bigrams": pa.array(n_distinct_bg, pa.int64()),
         "max_bigram_n": pa.array(max_bg, pa.int64()),
     })
+
+
+def surprisal_scores(ds, *, col: str = "text", id_col: str = "doc_id",
+                     max_vocab: int = 4096):
+    """CCNet-style unigram LM quality signal: per-document total token
+    surprisal against the corpus's own unigram distribution (documents
+    full of rare tokens score high = "surprising" = likely noise;
+    boilerplate scores low).
+
+    ALL-INTEGER surprisal: s(t) = bit_length(N // c_t) ~ log2(N/c_t)+1,
+    which keeps the SQL oracle exact (length(format('{:b}', ...)) --
+    no float log crosses the comparison boundary.
+
+    Two passes, both combiner-first: (1) global token counts (per-batch
+    Arrow value_counts -> keyed Sum over DISTINCT tokens), cut to a
+    deterministic top-``max_vocab`` vocabulary by (count desc, token
+    asc) -- out-of-vocab tokens score as count 1; (2) a broadcast
+    lookup stage (pc.index_in against the vocab array, one gather, one
+    segment-reduce per batch).  Tokenization is split-on-single-space
+    to mirror SQL string_split.
+    """
+    from ray.data.aggregate import Sum
+
+    from equi7grid_ray.arrowutil import collect_tables
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column(col), " "))
+        vc = toks.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "n_": vc.field("counts").cast(pa.int64()),
+        })
+
+    counts = collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_", alias_name="n")),
+        schema=pa.schema([("token", pa.string()), ("n", pa.int64())]),
+    ).to_pandas()
+    n_total = int(counts["n"].sum())
+    vocab = counts.sort_values(["n", "token"], ascending=[False, True],
+                               kind="mergesort").head(max_vocab)
+
+    def _bitlen(x: np.ndarray) -> np.ndarray:
+        # exact integer bit length via the float64 exponent field
+        # (values < 2^53; a 100-TB corpus stays far below that)
+        return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+    bl = _bitlen(n_total // vocab["n"].to_numpy(np.int64))
+    default_bl = int(_bitlen(np.array([max(n_total, 1)]))[0])
+    vocab_arr = pa.array(vocab["token"].tolist(), pa.string())
+
+    class _Score:
+        def __init__(self):
+            self.vs = vocab_arr
+            self.lut = np.concatenate([bl, [default_bl]])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(batch.column(col), " ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = pc.list_flatten(toks)
+            ntok = pc.list_value_length(toks) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = pc.index_in(flat, value_set=self.vs)
+            codes = idx.fill_null(len(self.vs)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            s = self.lut[codes]
+            starts = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+            ssum = np.add.reduceat(s, starts) if len(s) else \
+                np.zeros(len(ntok), np.int64)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "n_toks": pa.array(ntok, pa.int64()),
+                "ssum": pa.array(ssum.astype(np.int64), pa.int64()),
+            })
+
+    return ds.map_batches(_Score, batch_format="pyarrow",
+                          concurrency=(1, 4), num_cpus=1)

@@ -765,3 +765,39 @@ def test_profile_columns_with_nulls(ray_session):
         == (6, 2, 3, 2, 9)
     assert (s["n"], s["n_null"], s["n_distinct"], s["min_v"], s["max_v"]) \
         == (6, 1, 3, 1, 4)
+
+
+def test_surprisal_scores_matches_counter_reference(ray_session):
+    """surprisal_scores vs a Counter-based Python reference, with a
+    vocab cap small enough to exercise the out-of-vocab default."""
+    from collections import Counter
+
+    import ray
+
+    from equi7grid_ray.stages.text import surprisal_scores
+
+    rng = np.random.default_rng(61)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    # skewed multinomial so the top-8 cut is meaningful
+    p = np.arange(40, 0, -1, dtype=np.float64) ** 2
+    p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, size=int(n), p=p))
+             for n in rng.integers(1, 50, size=60)]
+    ids = list(range(60))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    V = 8
+    out = surprisal_scores(ds, max_vocab=V).to_pandas().set_index("doc_id")
+
+    cnt = Counter()
+    for t in texts:
+        cnt.update(t.split(" "))
+    n_total = sum(cnt.values())
+    keep = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    for d, t in zip(ids, texts):
+        toks = t.split(" ")
+        ssum = sum((n_total // keep.get(tk, 1)).bit_length() for tk in toks)
+        assert out.loc[d, "n_toks"] == len(toks)
+        assert out.loc[d, "ssum"] == ssum
