@@ -1638,6 +1638,27 @@ def q_doc_surprisal(sf_dir: str):
     return surprisal_scores(ds, max_vocab=4096)
 
 
+def q_triangle_count(sf_dir: str):
+    """Triangles in a derived 500-node graph (degree-oriented wedge
+    closure -- out-degrees O(sqrt(m)), wedge + closure shuffles move
+    int pairs only).  Oracle: the canonical SQL triple self-join."""
+    from equi7grid_ray.stages.graph import triangle_count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "id_a": pa.array(ok % 500, pa.int64()),
+            "id_b": pa.array((pk * 11) % 500, pa.int64()),
+        })
+
+    return triangle_count(ds.map_batches(to_edges, batch_format="pyarrow"))
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2177,6 +2198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": q_events_profile,
         "docs_rollup": q_docs_rollup,
         "doc_surprisal": q_doc_surprisal,
+        "triangle_count": q_triangle_count,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2628,6 +2650,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(lang, '<all>') AS lang, "
             "COALESCE(source, '<all>') AS source, count(*) AS n "
             "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "triangle_count": (
+            "WITH e AS (SELECT DISTINCT "
+            "least(l_orderkey % 500, (l_partkey * 11) % 500) AS u, "
+            "greatest(l_orderkey % 500, (l_partkey * 11) % 500) AS v "
+            "FROM lineitem "
+            "WHERE l_orderkey % 500 <> (l_partkey * 11) % 500) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM e a JOIN e b ON b.u = a.v "
+            "JOIN e c ON c.u = a.u AND c.v = b.v"
         ),
         "doc_surprisal": (
             # integer bit-length surprisal mirror of

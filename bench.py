@@ -241,6 +241,7 @@ def _driver_queries() -> dict[str, float]:
         "events_profile",
         "docs_rollup",
         "doc_surprisal",
+        "triangle_count",
     ]
     qs = e.queries()
     for name in sel:

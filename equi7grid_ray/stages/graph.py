@@ -202,3 +202,151 @@ def canonical_assignments(docs, components, *, id_col: str = "doc_id"):
         })
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def triangle_count(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
+                   n_partitions: int = 32):
+    """Count triangles in the undirected graph given as an edge list.
+
+    The classic distributed shape (degree-oriented node-iterator,
+    Schank/Wagner; the MapReduce variant of Suri & Vassilvitskii):
+
+    1. dedupe edges and compute degrees (keyed aggregates);
+    2. orient every edge from its (degree, id)-smaller endpoint to the
+       larger -- out-degrees are then O(sqrt(m)), which bounds the
+       wedge blowup that kills naive enumeration on skewed graphs;
+    3. wedges: ONE vectorized self-merge of oriented edges per hash
+       partition of source nodes (each wedge (v, w) materializes
+       exactly once, at its apex);
+    4. close: hash-join the wedge list against the oriented edge set
+       on (v, w) -- a partition-cogroup membership probe.
+
+    Degrees are broadcast (bounded by #edge-endpoints, the small side
+    of any near-dup graph); the wedge and closure shuffles move only
+    (node, node) int pairs.  Returns a 1-row Dataset ``(n_triangles)``.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from equi7grid_ray.arrowutil import collect_tables, single_group
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column(id_b).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        # batch-local dedupe (combiner) before the distinct shuffle
+        key = u * (np.int64(1) << np.int64(32)) + v
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({"u": pa.array(u[idx], pa.int64()),
+                         "v": pa.array(v[idx], pa.int64())})
+
+    edges = (
+        pairs.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="__c"))
+        .select_columns(["u", "v"])
+        .materialize()  # reused by degrees, wedges and closure
+    )
+
+    deg_tbl = collect_tables(
+        edges.map_batches(
+            lambda b: pa.table({
+                "node": pa.array(np.concatenate([
+                    b.column("u").to_numpy(zero_copy_only=False),
+                    b.column("v").to_numpy(zero_copy_only=False),
+                ]).astype(np.int64), pa.int64())}),
+            batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg")),
+        schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+    )
+    nodes = deg_tbl.column("node").to_numpy().astype(np.int64)
+    degs = deg_tbl.column("deg").to_numpy().astype(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    dref = ray.put((nodes[order], degs[order]))
+
+    def rank_of(ids: np.ndarray, snodes, sdegs) -> np.ndarray:
+        pos = np.searchsorted(snodes, ids)
+        # every queried id exists by construction
+        return sdegs[pos] * (np.int64(1) << np.int64(33)) + ids
+
+    def orient(batch: pa.Table) -> pa.Table:
+        snodes, sdegs = ray.get(dref)
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        ru = rank_of(u, snodes, sdegs)
+        rv = rank_of(v, snodes, sdegs)
+        src = np.where(ru <= rv, u, v)
+        dst = np.where(ru <= rv, v, u)
+        part = ((src.view(np.uint64) * _GOLD) >> np.uint64(33)) \
+            % np.uint64(n_partitions)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "part": pa.array(part.astype(np.int32), pa.int32())})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow") \
+        .materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        j = g[["src", "dst"]].merge(g[["src", "dst"]], on="src",
+                                    suffixes=("_1", "_2"))
+        lt = j["dst_1"].to_numpy(np.int64) < j["dst_2"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "u": j["dst_1"].to_numpy(np.int64)[lt],
+            "v": j["dst_2"].to_numpy(np.int64)[lt],
+        })
+
+    wedge_ds = oriented.groupby("part").map_groups(
+        wedges, batch_format="pandas")
+
+    # closure: does wedge (u, v) exist as an edge (in either
+    # orientation)?  Tag wedges and oriented edges into one schema,
+    # hash-partition on a canonical (min, max) key, one vectorized
+    # membership probe per partition.
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        key = lo * (np.int64(1) << np.int64(32)) + hi
+        part = ((key.view(np.uint64) * _GOLD) >> np.uint64(33)) \
+            % np.uint64(n_partitions)
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "kind": pa.array(np.zeros(len(key), np.int8)),
+                         "part": pa.array(part.astype(np.int32), pa.int32())})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        key = u * (np.int64(1) << np.int64(32)) + v  # already u < v
+        part = ((key.view(np.uint64) * _GOLD) >> np.uint64(33)) \
+            % np.uint64(n_partitions)
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "kind": pa.array(np.ones(len(key), np.int8)),
+                         "part": pa.array(part.astype(np.int32), pa.int32())})
+
+    tagged = wedge_ds.map_batches(tag_wedge, batch_format="pyarrow") \
+        .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        wk = g["key"].to_numpy(np.int64)[kind == 0]
+        ek = np.unique(g["key"].to_numpy(np.int64)[kind == 1])
+        n = int(np.isin(wk, ek).sum()) if len(wk) and len(ek) else 0
+        return pd.DataFrame({"pt": [np.int64(n)]})
+
+    parts = tagged.groupby("part").map_groups(close, batch_format="pandas")
+
+    def total(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"n_triangles": pa.array(
+            [pc.sum(t.column("pt")).as_py() or 0], pa.int64())})
+
+    return single_group(parts, total, ["n_triangles"],
+                        batch_format="pyarrow")

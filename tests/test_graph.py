@@ -89,3 +89,34 @@ def test_canonical_assignments_full_corpus(ray_session):
     expect[9] = 2
     assert out["canonical"].tolist() == expect
     assert out["doc_id"].tolist() == list(range(12))
+
+
+def test_triangle_count_matches_naive(ray_session):
+    import itertools
+
+    import ray
+
+    from equi7grid_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(19)
+    n_nodes = 60
+    edges = set()
+    for _ in range(400):
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    adj = {i: set() for i in range(n_nodes)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(1 for a, b, c in itertools.combinations(range(n_nodes), 3)
+               if b in adj[a] and c in adj[a] and c in adj[b])
+    # feed edges with duplicates and both orientations
+    el = list(edges) + [(b, a) for a, b in list(edges)[:100]]
+    ds = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in el], pa.int64()),
+        "id_b": pa.array([b for _, b in el], pa.int64()),
+    }))
+    out = triangle_count(ds, n_partitions=8).to_pandas()
+    assert out["n_triangles"].tolist() == [want]
+    assert want > 0
