@@ -75,17 +75,20 @@ def neighbor_pairs(ds, *, radius: float, x_col: str = "x", y_col: str = "y",
         })
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # ONE vectorized self-merge over this partition's cells: pairs
-        # co-located in a cell, then the exact distance + canonical
-        # emission rule (min id must be home here)
-        cols = ["ck", id_col, "x", "y", "home"]
-        j = g[cols].merge(g[cols], on="ck", suffixes=("_a", "_b"))
+        # ONE vectorized merge over this partition's cells.  The LEFT
+        # side carries only HOME rows: the canonical rule emits a pair
+        # (a < b) solely where a is home, so home x replicated is the
+        # complete candidate set -- a 9x smaller intermediate than the
+        # naive all x all self-merge (each cell holds ~9x replicas).
+        cols = ["ck", id_col, "x", "y"]
+        left = g.loc[g["home"].to_numpy(bool), cols]
+        j = left.merge(g[cols], on="ck", suffixes=("_a", "_b"))
         a_id = j[f"{id_col}_a"].to_numpy(np.int64)
         b_id = j[f"{id_col}_b"].to_numpy(np.int64)
         dx = j["x_a"].to_numpy() - j["x_b"].to_numpy()
         dy = j["y_a"].to_numpy() - j["y_b"].to_numpy()
         d2 = dx * dx + dy * dy
-        keep = (a_id < b_id) & (d2 <= r2) & j["home_a"].to_numpy(bool)
+        keep = (a_id < b_id) & (d2 <= r2)
         return pd.DataFrame({
             "id_a": a_id[keep],
             "id_b": b_id[keep],

@@ -433,15 +433,21 @@ def surprisal_scores(ds, *, col: str = "text", id_col: str = "doc_id",
             "n_": vc.field("counts").cast(pa.int64()),
         })
 
-    counts = collect_tables(
+    # distinct-token aggregate, materialized once (it feeds both the
+    # total and the vocabulary cut); the SORT+LIMIT happens distributed
+    # so the driver only ever holds max_vocab rows
+    counts_ds = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("token")
-        .aggregate(Sum("n_", alias_name="n")),
+        .aggregate(Sum("n_", alias_name="n"))
+        .materialize()
+    )
+    n_total = int(counts_ds.sum("n") or 0)
+    vocab = collect_tables(
+        counts_ds.sort(["n", "token"], descending=[True, False])
+        .limit(max_vocab),
         schema=pa.schema([("token", pa.string()), ("n", pa.int64())]),
     ).to_pandas()
-    n_total = int(counts["n"].sum())
-    vocab = counts.sort_values(["n", "token"], ascending=[False, True],
-                               kind="mergesort").head(max_vocab)
 
     def _bitlen(x: np.ndarray) -> np.ndarray:
         # exact integer bit length via the float64 exponent field
