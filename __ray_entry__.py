@@ -1659,6 +1659,16 @@ def q_triangle_count(sf_dir: str):
     return triangle_count(ds.map_batches(to_edges, batch_format="pyarrow"))
 
 
+def q_docs_rank_ntile(sf_dir: str):
+    """Global row_number + NTILE(8) over (n_chars, doc_id) without a
+    global sort: per-value counts -> broadcast prefix LUT, one
+    value-cogroup for within-value order, closed-form bucket."""
+    from equi7grid_ray.stages.rank import global_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return global_rank(ds, value_col="n_chars", id_col="doc_id", n_tiles=8)
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2199,6 +2209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": q_docs_rollup,
         "doc_surprisal": q_doc_surprisal,
         "triangle_count": q_triangle_count,
+        "docs_rank_ntile": q_docs_rank_ntile,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2650,6 +2661,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(lang, '<all>') AS lang, "
             "COALESCE(source, '<all>') AS source, count(*) AS n "
             "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "docs_rank_ntile": (
+            "SELECT doc_id, n_chars, "
+            "row_number() OVER (ORDER BY n_chars, doc_id) AS rnk, "
+            "ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket "
+            "FROM documents"
         ),
         "triangle_count": (
             "WITH e AS (SELECT DISTINCT "

@@ -242,6 +242,7 @@ def _driver_queries() -> dict[str, float]:
         "docs_rollup",
         "doc_surprisal",
         "triangle_count",
+        "docs_rank_ntile",
     ]
     qs = e.queries()
     for name in sel:

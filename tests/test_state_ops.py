@@ -801,3 +801,28 @@ def test_surprisal_scores_matches_counter_reference(ray_session):
         ssum = sum((n_total // keep.get(tk, 1)).bit_length() for tk in toks)
         assert out.loc[d, "n_toks"] == len(toks)
         assert out.loc[d, "ssum"] == ssum
+
+
+def test_global_rank_matches_duckdb_ntile(ray_session):
+    import duckdb
+    import ray
+
+    from equi7grid_ray.stages.rank import global_rank
+
+    rng = np.random.default_rng(71)
+    n = 2000
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    vals = rng.integers(0, 40, size=n).astype(np.int64)  # heavy ties
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "v": pa.array(vals)}))
+    out = global_rank(ds, value_col="v", id_col="doc_id", n_tiles=7) \
+        .to_pandas().sort_values("rnk").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(
+        {"doc_id": ids, "v": vals}))
+    want = con.sql(
+        "SELECT doc_id, v, row_number() OVER (ORDER BY v, doc_id) AS rnk, "
+        "ntile(7) OVER (ORDER BY v, doc_id) AS bucket FROM t"
+    ).df().sort_values("rnk").reset_index(drop=True)
+    for c in ("doc_id", "v", "rnk", "bucket"):
+        assert (out[c].to_numpy(np.int64) == want[c].to_numpy(np.int64)).all(), c
