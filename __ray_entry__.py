@@ -1669,6 +1669,59 @@ def q_docs_rank_ntile(sf_dir: str):
     return global_rank(ds, value_col="n_chars", id_col="doc_id", n_tiles=8)
 
 
+def q_events_hourly_distinct(sf_dir: str):
+    """Exact per-hour distinct users: per-batch DISTINCT (window,
+    user) pairs (combiner), distinct-pair shuffle, count per window --
+    the windowed COUNT(DISTINCT) pattern where only distinct pairs
+    ever cross the wire."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        w = ts // (3600 * 1_000_000)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = np.unique(w * (np.int64(1) << np.int64(32)) + u)
+        return pa.table({
+            "w": pa.array(key >> np.int64(32), pa.int64()),
+            "u": pa.array(key & ((np.int64(1) << np.int64(32)) - 1),
+                          pa.int64()),
+        })
+
+    def to_ts(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        start = (w * 3600 * 1_000_000).astype("datetime64[us]")
+        return pa.table({
+            "window_start": pa.array(start),
+            "n_users": batch.column("n_users"),
+        })
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["w", "u"])
+        .aggregate(Count(alias_name="__c"))
+        .groupby("w")
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(to_ts, batch_format="pyarrow")
+    )
+
+
+def q_lineitem_skyline(sf_dir: str):
+    """2-D skyline: lineitems not dominated on (min l_quantity, max
+    l_extendedprice).  Associative front-of-fronts -- each batch
+    reduces to its local Pareto front, one final merge; no all-pairs
+    dominance and no shuffle of non-front rows.  Oracle: per-quantity
+    group max + windowed cummax of the strictly-smaller quantities."""
+    from equi7grid_ray.stages.rank import pareto_front_2d
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    return pareto_front_2d(ds, min_col="l_quantity",
+                           max_col="l_extendedprice")
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2210,6 +2263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_surprisal": q_doc_surprisal,
         "triangle_count": q_triangle_count,
         "docs_rank_ntile": q_docs_rank_ntile,
+        "events_hourly_distinct": q_events_hourly_distinct,
+        "lineitem_skyline": q_lineitem_skyline,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2661,6 +2716,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(lang, '<all>') AS lang, "
             "COALESCE(source, '<all>') AS source, count(*) AS n "
             "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "lineitem_skyline": (
+            # dominance via per-quantity max price + cummax over
+            # strictly smaller quantities; duplicates of a front point
+            # all survive (JOIN keeps every matching row)
+            "WITH g AS (SELECT l_quantity AS q, max(l_extendedprice) AS gp "
+            "FROM lineitem GROUP BY q), "
+            "m AS (SELECT q, gp, max(gp) OVER (ORDER BY q "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp "
+            "FROM g), "
+            "k AS (SELECT q, gp FROM m WHERE mp IS NULL OR gp > mp) "
+            "SELECT l_quantity, l_extendedprice FROM lineitem "
+            "JOIN k ON l_quantity = k.q AND l_extendedprice = k.gp"
+        ),
+        "events_hourly_distinct": (
+            "SELECT to_timestamp((epoch_us(ts) // 3600000000) * 3600)"
+            "::TIMESTAMP AS window_start, "
+            "count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY window_start"
         ),
         "docs_rank_ntile": (
             "SELECT doc_id, n_chars, "

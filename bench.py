@@ -243,6 +243,8 @@ def _driver_queries() -> dict[str, float]:
         "doc_surprisal",
         "triangle_count",
         "docs_rank_ntile",
+        "events_hourly_distinct",
+        "lineitem_skyline",
     ]
     qs = e.queries()
     for name in sel:

@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["global_rank"]
+__all__ = ["global_rank", "pareto_front_2d"]
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -117,3 +117,56 @@ def global_rank(ds, *, value_col: str, id_col: str, n_tiles: int = 0,
         .groupby("part")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def _front_2d(q: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D skyline (minimize q, maximize p):
+    row kept iff no other row has q' <= q and p' >= p with one strict.
+    Vectorized: sort (q asc, p desc), per-q-group max, cummax of the
+    previous groups."""
+    n = len(q)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-p, q))
+    sq, sp = q[order], p[order]
+    new_q = np.empty(n, dtype=bool)
+    new_q[0] = True
+    new_q[1:] = sq[1:] != sq[:-1]
+    gidx = np.cumsum(new_q) - 1
+    gmax = sp[new_q]                       # p desc within q: first = max
+    mprev = np.concatenate([[-np.inf], np.maximum.accumulate(gmax)[:-1]])
+    keep_sorted = (sp == gmax[gidx]) & (sp > mprev[gidx])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def pareto_front_2d(ds, *, min_col: str, max_col: str):
+    """Distributed 2-D skyline: rows not dominated by any other row
+    (dominator: ``min_col`` <= AND ``max_col`` >= with one strict).
+    Duplicate (q, p) points all survive (neither dominates the other).
+
+    Scale shape: the front operator is ASSOCIATIVE -- front(front(A)
+    UNION front(B)) = front(A UNION B) -- so each batch reduces to its
+    local front (tiny) and one final pass merges the partials; no
+    all-pairs dominance test, no shuffle of non-front rows.
+    """
+    from equi7grid_ray.arrowutil import single_group
+
+    def local(batch: pa.Table) -> pa.Table:
+        q = batch.column(min_col).to_numpy(zero_copy_only=False)
+        p = batch.column(max_col).to_numpy(zero_copy_only=False)
+        keep = _front_2d(np.asarray(q, np.float64),
+                         np.asarray(p, np.float64))
+        return batch.select([min_col, max_col]).filter(pa.array(keep))
+
+    def final(t: pa.Table) -> pa.Table:
+        q = t.column(min_col).to_numpy(zero_copy_only=False)
+        p = t.column(max_col).to_numpy(zero_copy_only=False)
+        keep = _front_2d(np.asarray(q, np.float64),
+                         np.asarray(p, np.float64))
+        return t.filter(pa.array(keep))
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    return single_group(partials, final, [min_col, max_col],
+                        batch_format="pyarrow")

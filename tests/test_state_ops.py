@@ -826,3 +826,22 @@ def test_global_rank_matches_duckdb_ntile(ray_session):
     ).df().sort_values("rnk").reset_index(drop=True)
     for c in ("doc_id", "v", "rnk", "bucket"):
         assert (out[c].to_numpy(np.int64) == want[c].to_numpy(np.int64)).all(), c
+
+
+def test_pareto_front_matches_naive(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.rank import pareto_front_2d
+
+    rng = np.random.default_rng(83)
+    q = rng.integers(0, 15, 800).astype(np.float64)
+    p = rng.integers(0, 30, 800).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({"q": pa.array(q), "p": pa.array(p)}))
+    out = pareto_front_2d(ds, min_col="q", max_col="p").to_pandas()
+    ref = []
+    for i in range(len(q)):
+        dom = (q <= q[i]) & (p >= p[i]) & ((q < q[i]) | (p > p[i]))
+        if not dom.any():
+            ref.append((q[i], p[i]))
+    got = sorted(zip(out["q"], out["p"]))
+    assert got == sorted(ref)
