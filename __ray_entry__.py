@@ -1722,6 +1722,20 @@ def q_lineitem_skyline(sf_dir: str):
                            max_col="l_extendedprice")
 
 
+def q_user_event_sequences(sf_dir: str):
+    """Ordered per-user event-type sequences (SQL string_agg ORDER BY
+    -- the assemble-the-session-into-a-training-example step): one
+    key cogroup, one lexsort + one vectorized binary_join per
+    partition."""
+    from equi7grid_ray.stages.pack import assemble_sequences
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    return assemble_sequences(ds, key_col="user_id",
+                              order_cols=["ts", "event_id"],
+                              token_col="event_type")
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2265,6 +2279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rank_ntile": q_docs_rank_ntile,
         "events_hourly_distinct": q_events_hourly_distinct,
         "lineitem_skyline": q_lineitem_skyline,
+        "user_event_sequences": q_user_event_sequences,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2716,6 +2731,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COALESCE(lang, '<all>') AS lang, "
             "COALESCE(source, '<all>') AS source, count(*) AS n "
             "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "user_event_sequences": (
+            "SELECT user_id, count(*) AS n_items, "
+            "string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq "
+            "FROM events GROUP BY user_id"
         ),
         "lineitem_skyline": (
             # dominance via per-quantity max price + cummax over

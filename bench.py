@@ -245,6 +245,7 @@ def _driver_queries() -> dict[str, float]:
         "docs_rank_ntile",
         "events_hourly_distinct",
         "lineitem_skyline",
+        "user_event_sequences",
     ]
     qs = e.queries()
     for name in sel:

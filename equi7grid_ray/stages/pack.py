@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "assemble_sequences"]
 
 
 def pack_sequences(ds, *, budget: int, shard_size: int = 64,
@@ -89,4 +89,64 @@ def pack_sequences(ds, *, budget: int, shard_size: int = 64,
         ds.map_batches(counts, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(pack, batch_format="pandas")
+    )
+
+
+def assemble_sequences(ds, *, key_col: str, order_cols: list[str],
+                       token_col: str, sep: str = " ",
+                       n_partitions: int = 32):
+    """Ordered per-key concatenation -- SQL ``string_agg(token, sep
+    ORDER BY ...) GROUP BY key`` -- the "assemble the user's session /
+    conversation into one training example" step.
+
+    Scale shape: one hash-partition cogroup on the key; within a
+    partition ONE lexsort orders every key's rows, run offsets rebuild
+    an Arrow list array, and a single ``pc.binary_join`` concatenates
+    ALL keys' sequences vectorized (no per-key Python join).
+
+    Returns ``(key_col, n_items, seq)``.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        part = ((k.view(np.uint64) * _GOLD) >> np.uint64(33)) \
+            % np.uint64(n_partitions)
+        cols = {key_col: batch.column(key_col),
+                token_col: batch.column(token_col)}
+        for c in order_cols:
+            cols[c] = batch.column(c)
+        cols["part"] = pa.array(part.astype(np.int32), pa.int32())
+        return pa.table(cols)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[key_col].to_numpy(np.int64)
+        sort_cols = [g[c].to_numpy() for c in reversed(order_cols)]
+        order = np.lexsort(tuple(sort_cols) + (keys,))
+        sk = keys[order]
+        toks = pa.array(g[token_col].to_numpy()[order].tolist(),
+                        pa.string())
+        new_run = np.empty(len(sk), dtype=bool)
+        if len(sk):
+            new_run[0] = True
+            new_run[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(new_run)
+        offsets = np.concatenate([starts, [len(sk)]]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), toks)
+        joined = pc.binary_join(lst, sep)
+        lens = np.diff(offsets).astype(np.int64)
+        return pd.DataFrame({
+            key_col: pd.Series(sk[starts], dtype=np.int64),
+            "n_items": pd.Series(lens, dtype=np.int64),
+            "seq": pd.Series(joined.to_pylist(), dtype=object),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
     )

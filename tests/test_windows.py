@@ -294,3 +294,33 @@ def test_rollup_counts_matches_pandas(ray_session):
         .sort_values(["lang", "source"]).reset_index(drop=True)
     assert out[["lang", "source"]].equals(want[["lang", "source"]])
     assert (out["n"].to_numpy(np.int64) == want["n"].to_numpy(np.int64)).all()
+
+
+def test_assemble_sequences_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from equi7grid_ray.stages.pack import assemble_sequences
+
+    rng = np.random.default_rng(91)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "o1": rng.integers(0, 100, n).astype(np.int64),
+        "o2": np.arange(n, dtype=np.int64),  # unique tiebreak
+        "tok": rng.choice(["a", "bb", "ccc", "d"], n),
+    })
+    out = assemble_sequences(
+        ray.data.from_pandas(df), key_col="k", order_cols=["o1", "o2"],
+        token_col="tok", sep="|", n_partitions=8,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = (df.sort_values(["k", "o1", "o2"])
+            .groupby("k")["tok"]
+            .agg(lambda s: "|".join(s))
+            .reset_index(name="seq"))
+    assert (out["k"].to_numpy(np.int64) == want["k"].to_numpy(np.int64)).all()
+    assert out["seq"].tolist() == want["seq"].tolist()
+    assert (out["n_items"].to_numpy(np.int64)
+            == df.groupby("k").size().sort_index().to_numpy(np.int64)).all()
