@@ -2671,20 +2671,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_dedup_docs": (
             # mirror of stages/dedup.py:chunk_dedup (K=16): 1-based
-            # inclusive list slices; first occurrence = min
-            # (doc_id, chunk_idx) composite key
+            # inclusive list slices; first occurrence = lexicographic
+            # min (doc_id, chunk_idx) via a row_number window
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
             "FROM documents), "
             "paras AS (SELECT doc_id, c.i AS idx, "
             "array_to_string(toks[c.i*16+1 : least((c.i+1)*16, len(toks))], ' ') AS para "
             "FROM t, LATERAL (SELECT unnest(range((len(toks)+15)//16)) AS i) c), "
-            "keyed AS (SELECT doc_id, idx, para, "
-            "doc_id * 1048576 + idx AS k FROM paras), "
-            "firsts AS (SELECT para, MIN(k) AS mk FROM keyed GROUP BY para) "
-            "SELECT k.doc_id, count(*) AS n_chunks, "
-            "CAST(sum(CASE WHEN k.k = f.mk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
-            "CAST(sum(CASE WHEN k.k = f.mk THEN length(k.para) ELSE 0 END) AS BIGINT) AS kept_len "
-            "FROM keyed k JOIN firsts f USING (para) GROUP BY k.doc_id"
+            "keyed AS (SELECT doc_id, idx, para, row_number() OVER "
+            "(PARTITION BY para ORDER BY doc_id, idx) AS rn FROM paras) "
+            "SELECT doc_id, count(*) AS n_chunks, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+            "CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS kept_len "
+            "FROM keyed GROUP BY doc_id"
         ),
         "image_stats": _sqlgen().image_stats_sql(500),
         "image_dhash": _sqlgen().image_dhash_sql(500),

@@ -6,7 +6,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["binary_view", "continent_codes", "collect_tables",
-           "single_group"]
+           "single_group", "hash_partition"]
 
 
 def binary_view(col) -> tuple[memoryview, np.ndarray]:
@@ -97,3 +97,15 @@ def single_group(ds, fn, out_cols: list[str], *,
     )
     grouped = tagged.groupby("__g").map_groups(fn, batch_format=batch_format)
     return grouped.select_columns(out_cols)
+
+
+def hash_partition(keys, n_partitions: int):
+    """Deterministic partition ids for int64 keys: splitmix64 finalizer
+    then modulo.  The ONE shared implementation of the hash-partition
+    idiom (graph/pack/rank/neighbors/chunk-dedup cogroups)."""
+    import numpy as np
+
+    from equi7grid_ray.stages.dedup import _mix64
+
+    k = np.asarray(keys).astype(np.int64).view(np.uint64)
+    return (_mix64(k) % np.uint64(n_partitions)).astype(np.int32)

@@ -90,13 +90,16 @@ def build_bloom(ds, on: str, *, fpp: float = 0.001,
     if n_keys is None:
         n_keys = ds.count()
     m, k = BloomFilter.params(n_keys, fpp)
-    proto = BloomFilter(np.zeros(m // 64, np.uint64), m, k)
 
     def partials(batch: pa.Table) -> pa.Table:
         v = batch.column(on).drop_null().to_numpy(zero_copy_only=False)
         if len(v) == 0:
             return pa.table({"pos": pa.array([], pa.int64())})
-        pos = np.unique(proto.positions(v).ravel()).astype(np.int64)
+        # positions() never touches .words -- build the probe from
+        # (m, k) only so the task closure ships two ints, not m/8
+        # zero bytes
+        probe = BloomFilter(np.empty(0, np.uint64), m, k)
+        pos = np.unique(probe.positions(v).ravel()).astype(np.int64)
         return pa.table({"pos": pa.array(pos, pa.int64())})
 
     pos_tbl = collect_tables(

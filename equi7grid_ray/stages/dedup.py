@@ -585,7 +585,7 @@ def chunk_dedup(ds, *, tokens_per_chunk: int = 16, id_col: str = "doc_id",
             col = col.combine_chunks()
         empty = pa.table({
             "h": pa.array([], pa.int64()),
-            "key": pa.array([], pa.int64()),
+            "idx": pa.array([], pa.int64()),
             id_col: pa.array([], pa.int64()),
             "clen": pa.array([], pa.int64()),
             "part": pa.array([], pa.int32()),
@@ -622,21 +622,34 @@ def chunk_dedup(ds, *, tokens_per_chunk: int = 16, id_col: str = "doc_id",
         flat, offs = _column_bytes(chunk_str)
         h = hash_bytes_offsets(flat, offs)
         ids = batch.column(id_col).to_numpy().astype(np.int64)[doc_idx]
-        key = ids * (1 << 20) + within
-        clen = np.diff(offs).astype(np.int64)
-        part = ((h.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                >> np.uint64(33)) % np.uint64(n_partitions)
+        # CHARACTER length (matches SQL length(); the byte-offset diff
+        # would diverge on non-ASCII text)
+        clen = pc.utf8_length(chunk_str).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        from equi7grid_ray.arrowutil import hash_partition
         return pa.table({
             "h": pa.array(h, pa.int64()),
-            "key": pa.array(key, pa.int64()),
+            "idx": pa.array(within, pa.int64()),
             id_col: pa.array(ids, pa.int64()),
             "clen": pa.array(clen, pa.int64()),
-            "part": pa.array(part.astype(np.int32), pa.int32()),
+            "part": pa.array(hash_partition(h, n_partitions), pa.int32()),
         })
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        mk = g.groupby("h")["key"].transform("min")
-        kept = (g["key"] == mk).to_numpy()
+        # first occurrence = lexicographic min (doc_id, idx) per hash --
+        # composite comparison, no packed key (safe for the full int64
+        # doc_id range and any chunk count)
+        h = g["h"].to_numpy(np.int64)
+        d = g[id_col].to_numpy(np.int64)
+        ix = g["idx"].to_numpy(np.int64)
+        order = np.lexsort((ix, d, h))
+        sh = h[order]
+        first = np.empty(len(sh), dtype=bool)
+        if len(sh):
+            first[0] = True
+            first[1:] = sh[1:] != sh[:-1]
+        kept = np.zeros(len(sh), dtype=bool)
+        kept[order] = first
         out = g.assign(
             kept=kept.astype(np.int64),
             kept_len=np.where(kept, g["clen"].to_numpy(np.int64), 0),

@@ -43,10 +43,11 @@ _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _part_of(node: np.ndarray, n_partitions: int) -> np.ndarray:
-    """Deterministic hash partition of int64 node ids (golden-ratio
-    multiply so consecutive ids spread across partitions)."""
-    h = node.astype(np.int64).view(np.uint64) * _GOLD
-    return ((h >> np.uint64(33)) % np.uint64(n_partitions)).astype(np.int32)
+    """Deterministic hash partition of int64 node ids (shared
+    splitmix64 partitioner)."""
+    from equi7grid_ray.arrowutil import hash_partition
+
+    return hash_partition(node, n_partitions)
 
 
 def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
@@ -182,7 +183,8 @@ def canonical_assignments(docs, components, *, id_col: str = "doc_id"):
 
     from equi7grid_ray.arrowutil import collect_tables
 
-    comp = collect_tables(components)
+    comp = collect_tables(components, schema=pa.schema(
+        [("node", pa.int64()), ("component", pa.int64())]))
     nodes = comp.column("node").to_numpy().astype(np.int64)
     lbls = comp.column("component").to_numpy().astype(np.int64)
     order = np.argsort(nodes, kind="stable")
@@ -240,11 +242,17 @@ def triangle_count(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
         a, b = a[keep], b[keep]
         u = np.minimum(a, b)
         v = np.maximum(a, b)
-        # batch-local dedupe (combiner) before the distinct shuffle
-        key = u * (np.int64(1) << np.int64(32)) + v
-        _, idx = np.unique(key, return_index=True)
-        return pa.table({"u": pa.array(u[idx], pa.int64()),
-                         "v": pa.array(v[idx], pa.int64())})
+        # batch-local dedupe (combiner) before the distinct shuffle --
+        # lexsort-run dedupe of the PAIR, no id packing (safe for the
+        # full int64 id range)
+        order = np.lexsort((v, u))
+        su, sv = u[order], v[order]
+        first = np.empty(len(su), dtype=bool)
+        if len(su):
+            first[0] = True
+            first[1:] = (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])
+        return pa.table({"u": pa.array(su[first], pa.int64()),
+                         "v": pa.array(sv[first], pa.int64())})
 
     edges = (
         pairs.map_batches(canon, batch_format="pyarrow")
@@ -271,24 +279,23 @@ def triangle_count(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
     order = np.argsort(nodes, kind="stable")
     dref = ray.put((nodes[order], degs[order]))
 
-    def rank_of(ids: np.ndarray, snodes, sdegs) -> np.ndarray:
-        pos = np.searchsorted(snodes, ids)
-        # every queried id exists by construction
-        return sdegs[pos] * (np.int64(1) << np.int64(33)) + ids
-
     def orient(batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import hash_partition
+
         snodes, sdegs = ray.get(dref)
         u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
-        ru = rank_of(u, snodes, sdegs)
-        rv = rank_of(v, snodes, sdegs)
-        src = np.where(ru <= rv, u, v)
-        dst = np.where(ru <= rv, v, u)
-        part = ((src.view(np.uint64) * _GOLD) >> np.uint64(33)) \
-            % np.uint64(n_partitions)
+        du = sdegs[np.searchsorted(snodes, u)]
+        dv = sdegs[np.searchsorted(snodes, v)]
+        # lexicographic (degree, id) order -- a strict total order with
+        # no packed-key collisions anywhere in the int64 id range
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
         return pa.table({"src": pa.array(src, pa.int64()),
                          "dst": pa.array(dst, pa.int64()),
-                         "part": pa.array(part.astype(np.int32), pa.int32())})
+                         "part": pa.array(hash_partition(src, n_partitions),
+                                          pa.int32())})
 
     oriented = edges.map_batches(orient, batch_format="pyarrow") \
         .materialize()
@@ -309,36 +316,45 @@ def triangle_count(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
     # orientation)?  Tag wedges and oriented edges into one schema,
     # hash-partition on a canonical (min, max) key, one vectorized
     # membership probe per partition.
+    def _pair_part(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        # partition-consistent (not injective -- membership compares
+        # the actual (u, v) columns) mix of the pair
+        from equi7grid_ray.arrowutil import hash_partition
+
+        with np.errstate(over="ignore"):
+            mixed = lo.view(np.uint64) * _GOLD ^ hi.view(np.uint64)
+        return hash_partition(mixed.view(np.int64), n_partitions)
+
     def tag_wedge(batch: pa.Table) -> pa.Table:
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
+        u = batch.column("u").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         lo = np.minimum(u, v)
         hi = np.maximum(u, v)
-        key = lo * (np.int64(1) << np.int64(32)) + hi
-        part = ((key.view(np.uint64) * _GOLD) >> np.uint64(33)) \
-            % np.uint64(n_partitions)
-        return pa.table({"key": pa.array(key, pa.int64()),
-                         "kind": pa.array(np.zeros(len(key), np.int8)),
-                         "part": pa.array(part.astype(np.int32), pa.int32())})
+        return pa.table({"u": pa.array(lo, pa.int64()),
+                         "v": pa.array(hi, pa.int64()),
+                         "kind": pa.array(np.zeros(len(lo), np.int8)),
+                         "part": pa.array(_pair_part(lo, hi), pa.int32())})
 
     def tag_edge(batch: pa.Table) -> pa.Table:
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        key = u * (np.int64(1) << np.int64(32)) + v  # already u < v
-        part = ((key.view(np.uint64) * _GOLD) >> np.uint64(33)) \
-            % np.uint64(n_partitions)
-        return pa.table({"key": pa.array(key, pa.int64()),
-                         "kind": pa.array(np.ones(len(key), np.int8)),
-                         "part": pa.array(part.astype(np.int32), pa.int32())})
+        u = batch.column("u").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)  # already u < v
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "kind": pa.array(np.ones(len(u), np.int8)),
+                         "part": pa.array(_pair_part(u, v), pa.int32())})
 
     tagged = wedge_ds.map_batches(tag_wedge, batch_format="pyarrow") \
         .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
 
     def close(g: pd.DataFrame) -> pd.DataFrame:
         kind = g["kind"].to_numpy()
-        wk = g["key"].to_numpy(np.int64)[kind == 0]
-        ek = np.unique(g["key"].to_numpy(np.int64)[kind == 1])
-        n = int(np.isin(wk, ek).sum()) if len(wk) and len(ek) else 0
+        w = g.loc[kind == 0, ["u", "v"]]
+        e = g.loc[kind == 1, ["u", "v"]].drop_duplicates()
+        n = len(w.merge(e, on=["u", "v"])) if len(w) and len(e) else 0
         return pd.DataFrame({"pt": [np.int64(n)]})
 
     parts = tagged.groupby("part").map_groups(close, batch_format="pandas")

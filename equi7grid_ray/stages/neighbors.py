@@ -29,9 +29,6 @@ import pyarrow as pa
 
 __all__ = ["neighbor_pairs"]
 
-_GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-
 def neighbor_pairs(ds, *, radius: float, x_col: str = "x", y_col: str = "y",
                    id_col: str = "id", cell_size: float | None = None,
                    n_partitions: int = 32):
@@ -63,15 +60,15 @@ def neighbor_pairs(ds, *, radius: float, x_col: str = "x", y_col: str = "y",
         ck_all = np.concatenate([o[0] for o in outs])
         home = np.concatenate([
             np.full(n, o[1], dtype=bool) for o in outs])
-        part = ((ck_all.view(np.uint64) * _GOLD) >> np.uint64(33)) \
-            % np.uint64(n_partitions)
+        from equi7grid_ray.arrowutil import hash_partition
+        part = hash_partition(ck_all, n_partitions)
         return pa.table({
             "ck": pa.array(ck_all, pa.int64()),
             id_col: pa.array(np.tile(ids, 9), pa.int64()),
             "x": pa.array(np.tile(x, 9)),
             "y": pa.array(np.tile(y, 9)),
             "home": pa.array(home),
-            "part": pa.array(part.astype(np.int32), pa.int32()),
+            "part": pa.array(part, pa.int32()),
         })
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:

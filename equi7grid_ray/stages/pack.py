@@ -109,18 +109,16 @@ def assemble_sequences(ds, *, key_col: str, order_cols: list[str],
     import pandas as pd
     import pyarrow.compute as pc
 
-    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+    from equi7grid_ray.arrowutil import hash_partition
 
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        part = ((k.view(np.uint64) * _GOLD) >> np.uint64(33)) \
-            % np.uint64(n_partitions)
         cols = {key_col: batch.column(key_col),
                 token_col: batch.column(token_col)}
         for c in order_cols:
             cols[c] = batch.column(c)
-        cols["part"] = pa.array(part.astype(np.int32), pa.int32())
+        cols["part"] = pa.array(hash_partition(k, n_partitions), pa.int32())
         return pa.table(cols)
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:

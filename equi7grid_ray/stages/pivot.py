@@ -124,6 +124,9 @@ def rollup_counts(ds, *, keys: list[str], all_label: str = "<all>"):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(keys)
         .aggregate(Sum("pn", alias_name="pn"))
+        # consumed by every level: without this each coarser level
+        # would re-scan the full input
+        .materialize()
     )
 
     levels = [finest]

@@ -113,4 +113,12 @@ def profile_columns(ds, *, int_cols: list[str], str_cols: list[str]):
         .groupby("col")
         .aggregate(Count(alias_name="n_distinct"))
     )
-    return broadcast_join(stats, ndv, on="col", how="inner")
+    joined = broadcast_join(stats, ndv, on="col", how="left")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        # an all-null column emits no distinct partials: n_distinct 0
+        nd = pc.fill_null(batch.column("n_distinct"), 0).cast(pa.int64())
+        return batch.set_column(
+            batch.schema.get_field_index("n_distinct"), "n_distinct", nd)
+
+    return joined.map_batches(fill, batch_format="pyarrow")

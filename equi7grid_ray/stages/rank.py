@@ -31,9 +31,6 @@ import pyarrow as pa
 
 __all__ = ["global_rank", "pareto_front_2d"]
 
-_GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-
 def global_rank(ds, *, value_col: str, id_col: str, n_tiles: int = 0,
                 n_partitions: int = 32):
     """Rank rows by ``(value_col, id_col)`` ascending.
@@ -75,14 +72,14 @@ def global_rank(ds, *, value_col: str, id_col: str, n_tiles: int = 0,
         pivot = rem * (base + 1)
 
     def add_part(batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import hash_partition
+
         v = batch.column(value_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        part = ((v.view(np.uint64) * _GOLD) >> np.uint64(33)) \
-            % np.uint64(n_partitions)
         return pa.table({
             id_col: batch.column(id_col),
             value_col: pa.array(v, pa.int64()),
-            "part": pa.array(part.astype(np.int32), pa.int32()),
+            "part": pa.array(hash_partition(v, n_partitions), pa.int32()),
         })
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:

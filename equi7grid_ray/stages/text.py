@@ -426,7 +426,8 @@ def surprisal_scores(ds, *, col: str = "text", id_col: str = "doc_id",
     from equi7grid_ray.arrowutil import collect_tables
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.split_pattern(batch.column(col), " "))
+        txt = pc.fill_null(batch.column(col), "")
+        toks = pc.list_flatten(pc.split_pattern(txt, " "))
         vc = toks.value_counts()
         return pa.table({
             "token": vc.field("values"),
@@ -464,7 +465,10 @@ def surprisal_scores(ds, *, col: str = "text", id_col: str = "doc_id",
             self.lut = np.concatenate([bl, [default_bl]])
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            toks = pc.split_pattern(batch.column(col), " ")
+            # null text scores as the empty string (one empty token),
+            # keeping ntok >= 1 so reduceat never sees empty segments
+            toks = pc.split_pattern(pc.fill_null(batch.column(col), ""),
+                                    " ")
             if isinstance(toks, pa.ChunkedArray):
                 toks = toks.combine_chunks()
             flat = pc.list_flatten(toks)

@@ -120,3 +120,41 @@ def test_triangle_count_matches_naive(ray_session):
     out = triangle_count(ds, n_partitions=8).to_pandas()
     assert out["n_triangles"].tolist() == [want]
     assert want > 0
+
+
+def test_canonical_assignments_no_pairs(ray_session):
+    """Zero candidate pairs: every doc is its own canonical id."""
+    import ray
+
+    from equi7grid_ray.stages.graph import (canonical_assignments,
+                                            connected_components)
+
+    empty = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+    }))
+    comp = connected_components(empty)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3, 7, 11], pa.int64())}))
+    out = canonical_assignments(docs, comp).to_pandas() \
+        .sort_values("doc_id")
+    assert out["canonical"].tolist() == [3, 7, 11]
+
+
+def test_triangle_count_huge_node_ids(ray_session):
+    """Ids beyond 2^32 must not collide (regression: packed keys)."""
+    import ray
+
+    from equi7grid_ray.stages.graph import triangle_count
+
+    base = 1 << 40
+    # one real triangle among huge ids plus decoys that would collide
+    # under u*(2^32)+v packing
+    pairs = [(base, base + 1), (base + 1, base + 2), (base, base + 2),
+             (1, 0), (0, 1 << 32), (7, base)]
+    ds = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "id_b": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+    out = triangle_count(ds, n_partitions=4).to_pandas()
+    assert out["n_triangles"].tolist() == [1]

@@ -845,3 +845,38 @@ def test_pareto_front_matches_naive(ray_session):
             ref.append((q[i], p[i]))
     got = sorted(zip(out["q"], out["p"]))
     assert got == sorted(ref)
+
+
+def test_surprisal_scores_null_and_empty_text(ray_session):
+    """Null text scores as the empty string; no reduceat crash."""
+    import ray
+
+    from equi7grid_ray.stages.text import surprisal_scores
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c", None, "a a"], pa.string()),
+    })
+    out = surprisal_scores(ray.data.from_arrow(tbl), max_vocab=10) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[2, "n_toks"] == 1  # '' is one (empty) token
+    assert out.loc[1, "n_toks"] == 3 and out.loc[3, "n_toks"] == 2
+    assert (out["ssum"] > 0).all()
+
+
+def test_chunk_dedup_huge_doc_ids(ray_session):
+    """doc_id beyond 2^43 must not corrupt first-occurrence resolution
+    (regression: packed composite key)."""
+    import ray
+
+    from equi7grid_ray.stages.dedup import chunk_dedup
+
+    big = 1 << 50
+    tbl = pa.table({
+        "doc_id": pa.array([big, big + 1], pa.int64()),
+        "text": pa.array(["x y z", "x y z"], pa.string()),
+    })
+    out = chunk_dedup(ray.data.from_arrow(tbl), tokens_per_chunk=16) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[big, "n_kept"] == 1
+    assert out.loc[big + 1, "n_kept"] == 0
