@@ -1736,6 +1736,54 @@ def q_user_event_sequences(sf_dir: str):
                               token_col="event_type")
 
 
+def _per_source_cap_sql(k: int = 5) -> str:
+    """Mirror of q_docs_per_source_cap: splitmix64(doc_id xor salt) in
+    HUGEINT, reinterpreted as SIGNED int64 (matching the engine's
+    numpy view) for the per-source row_number cut."""
+    from equi7grid_ray.sqlgen import _mix64_ctes
+    from equi7grid_ray.stages.sample import SAMPLE_SALT
+
+    return f"""
+WITH h0 AS (
+  SELECT doc_id, source,
+    xor(doc_id::UBIGINT, {int(SAMPLE_SALT)}::UBIGINT) AS h
+  FROM documents),
+{_mix64_ctes('h0', 'h', 'doc_id, source')},
+signed AS (
+  SELECT doc_id, source,
+    CASE WHEN h >= 9223372036854775808::UBIGINT
+         THEN CAST(CAST(h AS HUGEINT) - 18446744073709551616 AS BIGINT)
+         ELSE CAST(h AS BIGINT) END AS hs
+  FROM mixed)
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY hs, doc_id) AS rn
+  FROM signed) WHERE rn <= {k}"""
+
+
+def q_docs_per_source_cap(sf_dir: str):
+    """Per-source quota cap (crawl politeness / domain rebalancing):
+    keep at most 5 documents per source, chosen by deterministic
+    id-hash order (a fair sample, not first-N) -- grouped_topk's
+    combiner prunes to 5 per key before the shuffle."""
+    from equi7grid_ray.stages.dedup import _mix64
+    from equi7grid_ray.stages.sample import SAMPLE_SALT
+    from equi7grid_ray.stages.topk import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hs = _mix64(ids.view(np.uint64) ^ SAMPLE_SALT).view(np.int64)
+        return batch.append_column("hs", pa.array(hs, pa.int64()))
+
+    capped = grouped_topk(ds.map_batches(add_hash, batch_format="pyarrow"),
+                          key="source", value="hs", k=5, ascending=True,
+                          tie_cols=["doc_id"])
+    return capped.select_columns(["source", "doc_id"])
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2280,6 +2328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_distinct": q_events_hourly_distinct,
         "lineitem_skyline": q_lineitem_skyline,
         "user_event_sequences": q_user_event_sequences,
+        "docs_per_source_cap": q_docs_per_source_cap,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2731,6 +2780,7 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(source, '<all>') AS source, count(*) AS n "
             "FROM documents GROUP BY ROLLUP(lang, source)"
         ),
+        "docs_per_source_cap": _per_source_cap_sql(),
         "user_event_sequences": (
             "SELECT user_id, count(*) AS n_items, "
             "string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq "

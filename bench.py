@@ -246,6 +246,7 @@ def _driver_queries() -> dict[str, float]:
         "events_hourly_distinct",
         "lineitem_skyline",
         "user_event_sequences",
+        "docs_per_source_cap",
     ]
     qs = e.queries()
     for name in sel:
