@@ -33,6 +33,7 @@ __all__ = [
     "add_zorder_column",
     "zorder_ranges",
     "filter_bbox_via_zorder",
+    "write_zordered",
 ]
 
 _M1 = np.uint64(0x00FF_00FF_00FF_00FF)
@@ -180,3 +181,17 @@ def filter_bbox_via_zorder(ds, bbox: tuple[float, float, float, float], *,
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def write_zordered(ds, path: str, *, x_col: str = "x", y_col: str = "y",
+                   x_range: tuple[float, float],
+                   y_range: tuple[float, float], bits: int = 16,
+                   row_group_rows: int = 4096):
+    """Write a spatially-clustered parquet layout: Morton keys added,
+    ONE range shuffle (`ds.sort("zkey")` -- the only all-to-all, paid
+    once at ingest), then parquet with small row groups so the key's
+    min/max statistics prune rectangle queries forever after."""
+    keyed = add_zorder_column(ds, x_col=x_col, y_col=y_col,
+                              x_range=x_range, y_range=y_range, bits=bits)
+    keyed.sort("zkey").write_parquet(path, row_group_size=row_group_rows)
+    return path

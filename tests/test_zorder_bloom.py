@@ -184,3 +184,56 @@ def test_neighbor_pairs_matches_brute_force(ray_session):
     got2 = set(zip(out2["id_a"].astype(np.int64),
                    out2["id_b"].astype(np.int64)))
     assert got2 == want
+
+
+def test_write_zordered_prunes_row_groups(ray_session, tmp_path):
+    """The zkey-sorted parquet layout actually prunes: row groups whose
+    zkey min/max misses every query interval are skipped, and the
+    pruned scan returns exactly the bbox rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from equi7grid_ray.stages.zorder import (morton_key, write_zordered,
+                                             zorder_ranges)
+
+    rng = np.random.default_rng(43)
+    n = 40_000
+    x = rng.uniform(0, 1024, n)
+    y = rng.uniform(0, 1024, n)
+    ds = ray.data.from_arrow(pa.table({
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "x": pa.array(x), "y": pa.array(y)}))
+    out = str(tmp_path / "zsorted")
+    write_zordered(ds, out, x_range=(0, 1024), y_range=(0, 1024),
+                   bits=10, row_group_rows=2048)
+
+    bbox = (100.0, 100.0, 228.0, 228.0)  # 1/64 of the area
+    cells = [int(v * 1024 / 1024) for v in bbox]
+    ranges = zorder_ranges(cells[0], cells[1], cells[2], cells[3], bits=10)
+
+    total_rg, touched_rg, kept = 0, 0, []
+    for f in glob.glob(f"{out}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        for rg in range(pf.metadata.num_row_groups):
+            total_rg += 1
+            col = pf.metadata.row_group(rg).column(
+                pf.schema_arrow.names.index("zkey"))
+            lo, hi = col.statistics.min, col.statistics.max
+            if any(r_lo <= hi and lo <= r_hi for r_lo, r_hi in ranges):
+                touched_rg += 1
+                kept.append(pf.read_row_group(rg))
+    # the sorted layout must skip the large majority of row groups for
+    # a small rectangle
+    assert total_rg >= 15
+    assert touched_rg <= total_rg // 3
+    # exactness: the pruned scan plus the predicate equals brute force
+    t = pa.concat_tables(kept)
+    xx = t.column("x").to_numpy()
+    yy = t.column("y").to_numpy()
+    m = ((xx >= bbox[0]) & (xx <= bbox[2])
+         & (yy >= bbox[1]) & (yy <= bbox[3]))
+    want = ((x >= bbox[0]) & (x <= bbox[2])
+            & (y >= bbox[1]) & (y <= bbox[3])).sum()
+    assert m.sum() == want
