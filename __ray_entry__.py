@@ -1784,6 +1784,18 @@ def q_docs_per_source_cap(sf_dir: str):
     return capped.select_columns(["source", "doc_id"])
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase, first-touch): per
+    user the furthest stage reached where each stage must occur
+    strictly after the previous stage's completion event.  One key
+    cogroup, len(stages) vectorized groupby-min passes per partition.
+    Oracle: chained min-ts joins."""
+    from equi7grid_ray.stages.windows import funnel_stages
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_stages(ds, stages=["view", "click", "purchase"])
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2329,6 +2341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_skyline": q_lineitem_skyline,
         "user_event_sequences": q_user_event_sequences,
         "docs_per_source_cap": q_docs_per_source_cap,
+        "events_funnel": q_events_funnel,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2781,6 +2794,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY ROLLUP(lang, source)"
         ),
         "docs_per_source_cap": _per_source_cap_sql(),
+        "events_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+            "u AS (SELECT DISTINCT user_id FROM events WHERE event_type "
+            "IN ('view', 'click', 'purchase')) "
+            "SELECT u.user_id, CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3 "
+            "WHEN s2.user_id IS NOT NULL THEN 2 "
+            "WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS stage "
+            "FROM u LEFT JOIN s1 ON u.user_id = s1.user_id "
+            "LEFT JOIN s2 ON u.user_id = s2.user_id "
+            "LEFT JOIN s3 ON u.user_id = s3.user_id"
+        ),
         "user_event_sequences": (
             "SELECT user_id, count(*) AS n_items, "
             "string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq "

@@ -247,6 +247,7 @@ def _driver_queries() -> dict[str, float]:
         "lineitem_skyline",
         "user_event_sequences",
         "docs_per_source_cap",
+        "events_funnel",
     ]
     qs = e.queries()
     for name in sel:

@@ -14,7 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["tumbling_window", "hopping_window", "sessionize"]
+__all__ = ["tumbling_window", "hopping_window", "sessionize",
+           "cumulative_over", "funnel_stages"]
 
 _US = 1_000_000
 
@@ -159,3 +160,73 @@ def cumulative_over(ds, *, key: str, order: list[str],
         return out
 
     return parted.groupby("__part").map_groups(run, batch_format="pandas")
+
+
+def funnel_stages(ds, *, stages: list[str], key_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  n_partitions: int = 32):
+    """Ordered funnel analysis: for each key, how far through the
+    ``stages`` sequence it progressed, where stage i counts only if an
+    event of that type occurs STRICTLY AFTER the timestamp that
+    completed stage i-1 (first-touch semantics).
+
+    Scale shape: rows not in ``stages`` are filtered at the map stage;
+    one hash cogroup on the key; within a partition each stage is ONE
+    vectorized pandas groupby-min over the events later than the
+    previous stage's completion time -- len(stages) passes over the
+    partition, never per key.
+
+    Returns ``(key_col, stage)`` with stage in [0, len(stages)]
+    (0 = never did stage one).
+    """
+    import pandas as pd
+
+    from equi7grid_ray.arrowutil import hash_partition
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch.column(type_col),
+                        value_set=pa.array(stages, pa.string()))
+        sub = batch.filter(mask)
+        k = sub.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        st = pc.index_in(sub.column(type_col),
+                         value_set=pa.array(stages, pa.string())) \
+            .to_numpy(zero_copy_only=False).astype(np.int8)
+        ts = sub.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            key_col: pa.array(k, pa.int64()),
+            "st": pa.array(st, pa.int8()),
+            "tsu": pa.array(ts, pa.int64()),
+            "part": pa.array(hash_partition(k, n_partitions), pa.int32()),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        keys = pd.unique(g[key_col])
+        done = pd.Series(np.full(len(keys), -np.inf), index=keys)
+        reached = pd.Series(np.zeros(len(keys), np.int64), index=keys)
+        for i in range(len(stages)):
+            ev = g[g["st"] == i]
+            # completion times of the previous stage, aligned to events
+            prev = done.reindex(ev[key_col]).to_numpy()
+            ok = ev[ev["tsu"].to_numpy() > prev]
+            t = ok.groupby(key_col)["tsu"].min()
+            nxt = pd.Series(np.full(len(keys), np.inf), index=keys)
+            nxt.loc[t.index] = t.to_numpy()
+            hit = np.isfinite(nxt.to_numpy())
+            reached[hit] = i + 1
+            done = nxt.where(hit, np.inf)
+            if not hit.any():
+                break
+        return pd.DataFrame({
+            key_col: pd.Series(keys, dtype=np.int64),
+            "stage": pd.Series(reached.to_numpy(), dtype=np.int64),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+    )

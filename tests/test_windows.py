@@ -324,3 +324,42 @@ def test_assemble_sequences_matches_pandas(ray_session):
     assert out["seq"].tolist() == want["seq"].tolist()
     assert (out["n_items"].to_numpy(np.int64)
             == df.groupby("k").size().sort_index().to_numpy(np.int64)).all()
+
+
+def test_funnel_stages_matches_naive(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from equi7grid_ray.stages.windows import funnel_stages
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    users = rng.integers(0, 120, n).astype(np.int64)
+    types = rng.choice(["view", "click", "purchase", "error"], n)
+    ts = pd.to_datetime(
+        rng.integers(0, 10**7, n), unit="s").astype("datetime64[us]")
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(users),
+        "event_type": pa.array(types),
+        "ts": pa.array(ts),
+    }))
+    out = funnel_stages(ds, stages=["view", "click", "purchase"],
+                        n_partitions=8).to_pandas()
+    got = dict(zip(out["user_id"].astype(np.int64),
+                   out["stage"].astype(np.int64)))
+
+    df = pd.DataFrame({"u": users, "t": types, "ts": ts})
+    want = {}
+    for u, g in df[df["t"].isin(["view", "click", "purchase"])].groupby("u"):
+        done = pd.Timestamp.min
+        stage = 0
+        for s in ["view", "click", "purchase"]:
+            cand = g[(g["t"] == s) & (g["ts"] > done)]
+            if cand.empty:
+                break
+            done = cand["ts"].min()
+            stage += 1
+        want[int(u)] = stage
+    assert got == want
