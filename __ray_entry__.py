@@ -1796,6 +1796,21 @@ def q_events_funnel(sf_dir: str):
     return funnel_stages(ds, stages=["view", "click", "purchase"])
 
 
+def q_simhash_near_dup(sf_dir: str):
+    """EXACT SimHash Hamming<=3 near-duplicate pairs via the shared
+    4x16 banding (pigeonhole: recall 1.0 with no bucket cap) -- the
+    text twin of image_dhash_pairs, both on stages/hamming.py.
+    Oracle: O(n^2) bit_count join over the simhash SQL mirror."""
+    from equi7grid_ray.stages.dedup import simhash64
+    from equi7grid_ray.stages.hamming import banded_hamming_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(simhash64, batch_format="pyarrow")
+    return banded_hamming_pairs(hashed, hash_col="simhash",
+                                id_col="doc_id", max_dist=3,
+                                max_bucket=None)
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2342,6 +2357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequences": q_user_event_sequences,
         "docs_per_source_cap": q_docs_per_source_cap,
         "events_funnel": q_events_funnel,
+        "simhash_near_dup": q_simhash_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2699,6 +2715,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tile, count(*) AS n FROM t GROUP BY tile"
         ),
         "simhash_docs": _sqlgen().simhash_sql(),
+        "simhash_near_dup": (
+            f"WITH s AS ({_sqlgen().simhash_sql()}) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
         "lsh_near_dup": _sqlgen().lsh_pairs_sql(),
         "lsh_near_dup_verified": _sqlgen().lsh_verified_pairs_sql(threshold=0.8),
         "near_dup_components": _sqlgen().components_sql(),

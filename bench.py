@@ -248,6 +248,7 @@ def _driver_queries() -> dict[str, float]:
         "user_event_sequences",
         "docs_per_source_cap",
         "events_funnel",
+        "simhash_near_dup",
     ]
     qs = e.queries()
     for name in sel:

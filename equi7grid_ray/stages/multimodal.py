@@ -179,81 +179,12 @@ def dhash_near_dup(ds, max_dist: int = 3, id_col: str = "image_id",
 
     hashed = ds.map_batches(DHashImages, fn_constructor_kwargs={"id_col": id_col},
                             batch_format="pyarrow", concurrency=concurrency)
+    from equi7grid_ray.stages.hamming import banded_hamming_pairs
 
-    def band_expand(batch: pa.Table) -> pa.Table:
-        dh = batch.column("dhash").to_numpy().view(np.uint64)
-        n = len(dh)
-        band = np.tile(np.arange(4, dtype=np.int32), n)
-        shifts = (48 - 16 * band).astype(np.uint64)
-        key = ((np.repeat(dh, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
-        part = ((key * np.int64(4) + band) % n_partitions).astype(np.int32)
-        ids = batch.column(id_col).take(
-            pa.array(np.repeat(np.arange(n, dtype=np.int64), 4)))
-        return pa.table(
-            {
-                id_col: ids,
-                "dhash": pa.array(np.repeat(dh.view(np.int64), 4), pa.int64()),
-                "band": pa.array(band, pa.int32()),
-                "band_key": pa.array(key, pa.int64()),
-                "part": pa.array(part, pa.int32()),
-            }
-        )
-
-    parted = hashed.map_batches(band_expand, batch_format="pyarrow")
-    _empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                           "id_b": pd.Series([], dtype=object)})
-
-    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
-        sizes = g.groupby(["band", "band_key"])[id_col].transform("size")
-        mask = sizes >= 2
-        if max_bucket is not None:
-            mask &= sizes <= max_bucket
-        ids = g[id_col].to_numpy(dtype=str)  # '<U' array: vectorized compares
-        # integer-only frame for the wide self-merge (no string payload)
-        g2 = pd.DataFrame({
-            "band": g["band"].to_numpy(),
-            "band_key": g["band_key"].to_numpy(),
-            "dhash": g["dhash"].to_numpy(),
-            "ix": np.arange(len(g), dtype=np.int64),
-        })[mask.to_numpy()]
-        if g2.empty:
-            return _empty.copy()
-        m = g2.merge(g2, on=["band", "band_key"], suffixes=("_a", "_b"))
-        m = m[m["ix_a"].to_numpy() < m["ix_b"].to_numpy()]
-        x = m["dhash_a"].to_numpy().astype(np.int64).view(np.uint64) ^ \
-            m["dhash_b"].to_numpy().astype(np.int64).view(np.uint64)
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        keep = ham <= max_dist
-        if max_bucket is None:
-            # first-matching-band rule: a pair colliding in several
-            # bands is emitted only where band == its lowest matching
-            # band, so pairs are globally unique with NO dedupe
-            # shuffle.  Only valid when no bucket is dropped: with a
-            # finite max_bucket the lowest matching band's bucket may
-            # have been cut, which would silently lose the pair (the
-            # capped path below dedupes instead).
-            band = m["band"].to_numpy()
-            prior = np.zeros(len(x), dtype=bool)
-            for k in range(3):
-                segk = ((x >> np.uint64(48 - 16 * k)) & np.uint64(0xFFFF)) == 0
-                prior |= segk & (band > k)
-            keep &= ~prior
-        ia = m["ix_a"].to_numpy()[keep]
-        ib = m["ix_b"].to_numpy()[keep]
-        a, b = ids[ia], ids[ib]
-        lo = a <= b  # '<U' comparison is vectorized (minimum/maximum are not)
-        return pd.DataFrame({"id_a": np.where(lo, a, b),
-                             "id_b": np.where(lo, b, a)})
-
-    pairs = parted.groupby("part").map_groups(pairs_in_partition,
-                                              batch_format="pandas")
-    if max_bucket is None:
-        return pairs
-    # capped path: a pair is emitted by EVERY matching surviving band
-    # (so it survives as long as ANY of its buckets is under the cap),
-    # then deduped -- the extra shuffle carries only result pairs
-    return (pairs.groupby(["id_a", "id_b"]).count()
-            .select_columns(["id_a", "id_b"]))
+    return banded_hamming_pairs(hashed, hash_col="dhash", id_col=id_col,
+                                max_dist=max_dist,
+                                n_partitions=n_partitions,
+                                max_bucket=max_bucket)
 
 
 class AudioFeatures:

@@ -130,3 +130,39 @@ def test_dhash_near_dup_capped_bucket_keeps_other_band_pairs(ray_session):
                          max_bucket=4).to_pandas()
     pairs = set(zip(got["id_a"], got["id_b"]))
     assert ("v0", "v1") in pairs, pairs
+
+
+def test_banded_hamming_pairs_int_ids_brute_force(ray_session):
+    """Generic banded pairing with integer ids: exact vs brute force,
+    both capped and uncapped paths."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from equi7grid_ray.stages.hamming import banded_hamming_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 2**63 - 1, 60, dtype=np.int64)
+    hashes = [int(v) for v in base]
+    # plant near-dups at distances 0..3 plus a distance-4 decoy
+    for d in (0, 1, 2, 3, 4):
+        h = int(base[d])
+        for b in range(d):
+            h ^= 1 << (b * 17)
+        hashes.append(h)
+    ids = np.arange(len(hashes), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vid": pa.array(ids), "h": pa.array(hashes, pa.int64())}))
+    want = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            if bin((hashes[i] ^ hashes[j]) & (2**64 - 1)).count("1") <= 3:
+                want.add((i, j))
+    for cap in (None, 100):
+        out = banded_hamming_pairs(
+            ds, hash_col="h", id_col="vid", max_dist=3, max_bucket=cap,
+        ).to_pandas()
+        got = {(int(min(a, b)), int(max(a, b)))
+               for a, b in zip(out["id_a"], out["id_b"])}
+        assert got == want, cap
+    assert any(d for d in want)  # planted pairs actually present
