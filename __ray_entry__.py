@@ -1811,6 +1811,25 @@ def q_simhash_near_dup(sf_dir: str):
                                 max_bucket=None)
 
 
+def q_orders_validate(sf_dir: str):
+    """Declarative data-quality gate over orders (dbt-test role):
+    null / range / uniqueness / referential-integrity violation counts,
+    each a distributed aggregate (combiner-first distinct; broadcast
+    anti-join for the FK orphan count)."""
+    from equi7grid_ray.stages.validate import check_table
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return check_table(
+        orders,
+        not_null=["o_custkey"],
+        positive=["o_totalprice"],
+        unique=["o_orderkey", "o_custkey"],
+        foreign_key={"o_custkey": (cust, "c_custkey")},
+    )
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2358,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_source_cap": q_docs_per_source_cap,
         "events_funnel": q_events_funnel,
         "simhash_near_dup": q_simhash_near_dup,
+        "orders_validate": q_orders_validate,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2720,6 +2740,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "AND bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        "orders_validate": (
+            "SELECT 'not_null:o_custkey' AS \"check\", "
+            "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_violations FROM orders "
+            "UNION ALL SELECT 'positive:o_totalprice', "
+            "CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 "
+            "THEN 1 ELSE 0 END) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'unique:o_orderkey', "
+            "count(*) - count(DISTINCT o_orderkey) FROM orders "
+            "UNION ALL SELECT 'unique:o_custkey', "
+            "count(*) - count(DISTINCT o_custkey) FROM orders "
+            "UNION ALL SELECT 'foreign_key:o_custkey', "
+            "CAST(sum(CASE WHEN o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM orders"
         ),
         "lsh_near_dup": _sqlgen().lsh_pairs_sql(),
         "lsh_near_dup_verified": _sqlgen().lsh_verified_pairs_sql(threshold=0.8),

@@ -249,6 +249,7 @@ def _driver_queries() -> dict[str, float]:
         "docs_per_source_cap",
         "events_funnel",
         "simhash_near_dup",
+        "orders_validate",
     ]
     qs = e.queries()
     for name in sel:

@@ -491,3 +491,30 @@ def test_broadcast_join_semi_anti(ray_session, sides):
     assert len(semi) == len(exp_semi) and len(anti) == len(exp_anti)
     assert len(semi) + len(anti) == len(ldf)
     assert set(semi["k"]) <= keys and not (set(anti["k"]) & keys)
+
+
+def test_check_table_constraints(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from equi7grid_ray.stages.validate import check_table
+
+    t = pa.table({
+        "id": pa.array([1, 2, 2, 4, 5], pa.int64()),      # 1 dup
+        "amt": pa.array([3.0, -1.0, 0.0, 2.0, None]),     # 2 nonpos + null
+        "fk": pa.array([10, 11, 99, 10, None], pa.int64()),
+    })
+    ref = pa.table({"k": pa.array([10, 11, 12], pa.int64())})
+    out = check_table(
+        ray.data.from_arrow(t),
+        not_null=["amt", "fk"],
+        positive=["amt"],
+        unique=["id"],
+        foreign_key={"fk": (ray.data.from_arrow(ref), "k")},
+    ).to_pandas().set_index("check")["n_violations"]
+    assert out["not_null:amt"] == 1
+    assert out["not_null:fk"] == 1
+    assert out["positive:amt"] == 3   # -1, 0, and the null
+    assert out["unique:id"] == 1
+    assert out["foreign_key:fk"] == 2  # 99 and the null
