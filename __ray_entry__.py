@@ -1830,6 +1830,51 @@ def q_orders_validate(sf_dir: str):
     )
 
 
+def _weighted_sample_sql() -> str:
+    """Mirror of q_lineitem_weighted_sample: splitmix64(rid xor salt)
+    with the all-integer (qty << 32) // 50 threshold."""
+    from equi7grid_ray.sqlgen import _mix64_ctes
+    from equi7grid_ray.stages.sample import SAMPLE_SALT
+
+    return f"""
+WITH h0 AS (
+  SELECT l_orderkey * 16 + l_linenumber AS rid,
+         CAST(l_quantity AS BIGINT) AS qty,
+    xor((l_orderkey * 16 + l_linenumber)::UBIGINT,
+        {int(SAMPLE_SALT)}::UBIGINT) AS h
+  FROM lineitem),
+{_mix64_ctes('h0', 'h', 'rid, qty')}
+SELECT rid, qty FROM mixed
+WHERE h % 4294967296 < least((qty * 4294967296) // 50, 4294967296)"""
+
+
+def q_lineitem_weighted_sample(sf_dir: str):
+    """Deterministic importance sampling: lineitems kept with
+    probability l_quantity/50 via all-integer id-hash thresholds --
+    reproducible across runs/cluster sizes, nests in uniform ladders.
+    Oracle: the same splitmix64 + integer-threshold arithmetic."""
+    from equi7grid_ray.stages.sample import weighted_sample
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "rid": pa.array(ok * 16 + ln, pa.int64()),
+            "qty": pa.array(q, pa.int64()),
+        })
+
+    kept = weighted_sample(ds.map_batches(prep, batch_format="pyarrow"),
+                           weight_col="qty", id_col="rid", max_weight=50)
+    return kept
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2378,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "simhash_near_dup": q_simhash_near_dup,
         "orders_validate": q_orders_validate,
+        "lineitem_weighted_sample": q_lineitem_weighted_sample,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2741,6 +2787,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "AND bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
+        "lineitem_weighted_sample": _weighted_sample_sql(),
         "orders_validate": (
             "SELECT 'not_null:o_custkey' AS \"check\", "
             "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "

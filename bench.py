@@ -250,6 +250,7 @@ def _driver_queries() -> dict[str, float]:
         "events_funnel",
         "simhash_near_dup",
         "orders_validate",
+        "lineitem_weighted_sample",
     ]
     qs = e.queries()
     for name in sel:

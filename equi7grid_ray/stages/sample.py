@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hash_sample", "stratified_sample", "assign_splits", "balanced_sample",
+__all__ = ["hash_sample", "stratified_sample", "assign_splits", "balanced_sample", "weighted_sample",
            "SAMPLE_SALT"]
 
 SAMPLE_SALT = np.uint64(0xA076_1D64_78BD_642F)  # distinct from dedup/fp seeds
@@ -153,6 +153,32 @@ def balanced_sample(ds, key_col: str, id_col: str = "doc_id"):
         codes = (col.indices.fill_null(-1)
                  .to_numpy(zero_copy_only=False).astype(np.int64))
         keep = _keep_mask(ids, lut[codes])
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
+                    max_weight: int):
+    """Deterministic importance sampling: row kept with probability
+    ``weight / max_weight`` (weights integer, rows with weight >=
+    max_weight always kept), decided by the same splitmix64 id hash as
+    :func:`hash_sample` -- so weighted samples are reproducible across
+    runs / cluster sizes / block layouts AND nest inside uniform
+    hash_sample ladders.  Thresholds are ALL-INTEGER
+    ``(w << 32) // max_weight`` (SQL-mirrorable exactly).  Pure map
+    stage, zero shuffle."""
+    mw = int(max_weight)
+    if mw <= 0:
+        raise ValueError("max_weight must be positive")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        thr = np.minimum((w << np.int64(32)) // mw,
+                         np.int64(1) << np.int64(32)).astype(np.uint64)
+        keep = _keep_mask(ids, thr)
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -880,3 +880,29 @@ def test_chunk_dedup_huge_doc_ids(ray_session):
         .to_pandas().set_index("doc_id")
     assert out.loc[big, "n_kept"] == 1
     assert out.loc[big + 1, "n_kept"] == 0
+
+
+def test_weighted_sample_rates_and_determinism(ray_session):
+    import pandas as pd
+    import ray
+
+    from equi7grid_ray.stages.sample import weighted_sample
+
+    rng = np.random.default_rng(97)
+    n = 30_000
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 11, n).astype(np.int64)  # weights 1..10
+    tbl = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    out = weighted_sample(ray.data.from_arrow(tbl), weight_col="w",
+                          max_weight=10).to_pandas()
+    out2 = weighted_sample(ray.data.from_arrow(tbl), weight_col="w",
+                           max_weight=10).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])  # deterministic
+    # per-weight empirical rate ~ w/10
+    kept = out.groupby("w")["doc_id"].count()
+    base = pd.Series(w).value_counts()
+    for wt in range(1, 11):
+        rate = kept.get(wt, 0) / base[wt]
+        assert abs(rate - wt / 10) < 0.08, (wt, rate)
+    # weight >= max is always kept
+    assert kept[10] == base[10]
