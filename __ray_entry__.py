@@ -1875,6 +1875,31 @@ def q_lineitem_weighted_sample(sf_dir: str):
     return kept
 
 
+def q_user_coverage(sf_dir: str):
+    """Gaps-and-islands: per user the merged coverage of derived event
+    intervals (start = ts, duration 10-70 min from event_id) -- ONE
+    sort + groupby-cummax pass per partition detects all islands.
+    Oracle: windowed running-max + island-id cumsum."""
+    from equi7grid_ray.stages.windows import merge_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dur = ((eid % 7) + 1) * 600_000_000
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "s": pa.array(ts, pa.int64()),
+            "e": pa.array(ts + dur, pa.int64()),
+        })
+
+    return merge_intervals(ds.map_batches(prep, batch_format="pyarrow"),
+                           key_col="user_id", start_col="s", end_col="e")
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2424,6 +2449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": q_simhash_near_dup,
         "orders_validate": q_orders_validate,
         "lineitem_weighted_sample": q_lineitem_weighted_sample,
+        "user_coverage": q_user_coverage,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2788,6 +2814,25 @@ def oracle_sql() -> dict[str, str]:
             "AND bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "lineitem_weighted_sample": _weighted_sample_sql(),
+        "user_coverage": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + ((event_id % 7) + 1) * 600000000 AS e "
+            "FROM events), "
+            "w AS (SELECT user_id, s, e, CASE WHEN "
+            "max(e) OVER (PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+            "OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "THEN 1 ELSE 0 END AS ni FROM iv), "
+            "w2 AS (SELECT user_id, s, e, sum(ni) OVER "
+            "(PARTITION BY user_id ORDER BY s, e "
+            "ROWS UNBOUNDED PRECEDING) AS island FROM w), "
+            "isl AS (SELECT user_id, island, min(s) AS s0, max(e) AS e1, "
+            "count(*) AS n FROM w2 GROUP BY user_id, island) "
+            "SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals, "
+            "count(*) AS n_islands, CAST(sum(e1 - s0) AS BIGINT) AS covered "
+            "FROM isl GROUP BY user_id"
+        ),
         "orders_validate": (
             "SELECT 'not_null:o_custkey' AS \"check\", "
             "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "

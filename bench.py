@@ -251,6 +251,7 @@ def _driver_queries() -> dict[str, float]:
         "simhash_near_dup",
         "orders_validate",
         "lineitem_weighted_sample",
+        "user_coverage",
     ]
     qs = e.queries()
     for name in sel:

@@ -230,3 +230,64 @@ def funnel_stages(ds, *, stages: list[str], key_col: str = "user_id",
         .groupby("part")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def merge_intervals(ds, *, key_col: str, start_col: str, end_col: str,
+                    n_partitions: int = 32):
+    """Gaps-and-islands: per key, merge overlapping/touching intervals
+    into maximal islands and report coverage -- the sensor-uptime /
+    merged-session primitive.  Interval [s, e] joins the current island
+    iff s <= the running max end of the key's earlier intervals
+    (touching endpoints merge).
+
+    Scale shape: one hash cogroup on the key; within a partition ONE
+    sort + pandas groupby-cummax/shift pass detects island starts for
+    EVERY key at once, one groupby aggregates islands -- no per-key
+    Python.  Integer bounds keep the SQL-window oracle hash-exact.
+
+    Returns ``(key_col, n_intervals, n_islands, covered)`` where
+    ``covered`` is the union length.
+    """
+    from equi7grid_ray.arrowutil import hash_partition
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            key_col: pa.array(k, pa.int64()),
+            "s": batch.column(start_col).cast(pa.int64()),
+            "e": batch.column(end_col).cast(pa.int64()),
+            "part": pa.array(hash_partition(k, n_partitions), pa.int32()),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "s", "e"], kind="stable")
+        grp = g.groupby(key_col, sort=False)
+        prev_max_e = grp["e"].cummax().groupby(
+            g[key_col], sort=False).shift(1)
+        new_island = g["s"].to_numpy() > prev_max_e.fillna(
+            np.iinfo(np.int64).min).to_numpy()
+        island = np.cumsum(new_island)  # globally unique per island
+        tmp = pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "island": island,
+            "s": g["s"].to_numpy(),
+            "e": g["e"].to_numpy(),
+        })
+        isl = tmp.groupby("island", sort=False).agg(
+            k=(key_col, "first"), s0=("s", "min"), e1=("e", "max"),
+            n=("s", "size"))
+        isl["len"] = isl["e1"] - isl["s0"]
+        out = isl.groupby("k", as_index=False).agg(
+            n_intervals=("n", "sum"),
+            n_islands=("n", "size"),
+            covered=("len", "sum"),
+        ).rename(columns={"k": key_col})
+        return out.astype({key_col: np.int64, "n_intervals": np.int64,
+                           "n_islands": np.int64, "covered": np.int64})
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -363,3 +363,40 @@ def test_funnel_stages_matches_naive(ray_session):
             stage += 1
         want[int(u)] = stage
     assert got == want
+
+
+def test_merge_intervals_matches_naive(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from equi7grid_ray.stages.windows import merge_intervals
+
+    rng = np.random.default_rng(55)
+    n = 5000
+    keys = rng.integers(0, 50, n).astype(np.int64)
+    s = rng.integers(0, 100_000, n).astype(np.int64)
+    e = s + rng.integers(1, 3000, n)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys), "s": pa.array(s), "e": pa.array(e)}))
+    out = merge_intervals(ds, key_col="k", start_col="s", end_col="e",
+                          n_partitions=8).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+
+    want = []
+    for k in sorted(set(keys)):
+        iv = sorted(zip(s[keys == k], e[keys == k]))
+        islands = []
+        for a, b in iv:
+            if islands and a <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], b)
+            else:
+                islands.append([a, b])
+        want.append((k, len(iv), len(islands),
+                     sum(b - a for a, b in islands)))
+    wdf = pd.DataFrame(want, columns=["k", "n_intervals", "n_islands",
+                                      "covered"])
+    for c in ("n_intervals", "n_islands", "covered"):
+        assert (out[c].to_numpy(np.int64)
+                == wdf[c].to_numpy(np.int64)).all(), c
