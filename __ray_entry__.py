@@ -1900,6 +1900,44 @@ def q_user_coverage(sf_dir: str):
                            key_col="user_id", start_col="s", end_col="e")
 
 
+def q_user_growth(sf_dir: str):
+    """Cumulative cohort growth: running count of distinct users by
+    first-seen hour.  Shuffle = one groupby(user).Min (distinct users
+    only); per-hour first-appearance counts are bounded by the time
+    domain, so the running sum is a driver-side cumsum over a tiny
+    table.  Oracle: min-hour per user + a window cumsum."""
+    from ray.data.aggregate import Min
+
+    from equi7grid_ray.arrowutil import collect_tables
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        hour = ts // (3600 * 1_000_000)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "day": pa.array(hour, pa.int64()),
+        })
+
+    firsts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="d0"))
+    )
+    t = collect_tables(
+        firsts.select_columns(["d0"]),
+        schema=pa.schema([("d0", pa.int64())]),
+    )
+    days, counts = np.unique(t.column("d0").to_numpy(), return_counts=True)
+    return pa.table({
+        "hour": pa.array(days, pa.int64()),
+        "cum_users": pa.array(np.cumsum(counts).astype(np.int64),
+                              pa.int64()),
+    })
+
+
 def q_docs_balanced_sample(sf_dir: str):
     """Class-balanced deterministic downsampling: every language
     sampled at min_count/count via all-integer id-hash thresholds --
@@ -2450,6 +2488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_validate": q_orders_validate,
         "lineitem_weighted_sample": q_lineitem_weighted_sample,
         "user_coverage": q_user_coverage,
+        "user_growth": q_user_growth,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2814,6 +2853,14 @@ def oracle_sql() -> dict[str, str]:
             "AND bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "lineitem_weighted_sample": _weighted_sample_sql(),
+        "user_growth": (
+            "WITH f AS (SELECT user_id, "
+            "min(epoch_us(ts) // 3600000000) AS d0 FROM events "
+            "GROUP BY user_id), "
+            "c AS (SELECT d0 AS hour, count(*) AS n FROM f GROUP BY d0) "
+            "SELECT hour, CAST(sum(n) OVER (ORDER BY hour "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM c"
+        ),
         "user_coverage": (
             "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + ((event_id % 7) + 1) * 600000000 AS e "

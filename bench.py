@@ -252,6 +252,7 @@ def _driver_queries() -> dict[str, float]:
         "orders_validate",
         "lineitem_weighted_sample",
         "user_coverage",
+        "user_growth",
     ]
     qs = e.queries()
     for name in sel:
