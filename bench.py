@@ -227,6 +227,7 @@ def _driver_queries() -> dict[str, float]:
         "contaminated_docs",
         "docs_split_counts",
         "near_dup_components",
+        "dedup_canonical_docs",
         "chunk_dedup_docs",
         "doc_repetition",
         "zorder_hist",

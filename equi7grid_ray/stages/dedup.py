@@ -430,64 +430,124 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _ngram_window_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All char-``n``-gram Horner window hashes per row of a string
+    column, mirroring :func:`ngram_jaccard` / the SQL oracle's
+    ``substring(text, i, n)`` set semantics: rows SHORTER than ``n``
+    contribute exactly ONE window -- the whole (possibly empty) text.
+
+    Exactness: the Horner hash is a verified bijection over all 2^24
+    3-byte windows (exhaustively checked), and windows of < n bytes can
+    only collide with n-byte windows whose leading byte is NUL -- which
+    valid text never contains -- so distinct-hash counts equal distinct
+    n-gram counts exactly for ASCII corpora."""
+    h, doc_of = shingle_hashes(col, n)
+    flat, offs = _column_bytes(col)
+    lens = np.diff(offs)
+    short = np.nonzero(lens < n)[0]
+    if len(short):
+        hs = np.zeros(len(short), np.uint64)
+        starts = offs[short]
+        slens = lens[short]
+        with np.errstate(over="ignore"):
+            for j in range(int(slens.max()) if len(slens) else 0):
+                m = slens > j
+                hs[m] = hs[m] * _PRIME + flat[starts[m] + j]
+        h = np.concatenate([h, hs])
+        doc_of = np.concatenate([doc_of, short.astype(np.int64)])
+    return h, doc_of
+
+
+def _ngram_set_per_row(col, n: int,
+                       nrows: int) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]:
+    """(sorted-unique window hashes, row index, per-row distinct count)
+    for every row of a string column -- one vectorized pass, no Python
+    per row."""
+    h, row = _ngram_window_hashes(col, n)
+    if len(h):
+        order = np.lexsort((h, row))
+        h, row = h[order], row[order]
+        keep = np.ones(len(h), bool)
+        keep[1:] = (row[1:] != row[:-1]) | (h[1:] != h[:-1])
+        h, row = h[keep], row[keep]
+    counts = np.bincount(row, minlength=nrows).astype(np.int64)
+    return h, row, counts
+
+
 def verified_near_dup_pairs(ds, *, threshold: float = 0.8, n: int = 3,
                             num_perm: int = 64, bands: int = 16,
                             shingle: int = 8, id_col: str = "doc_id",
-                            text_col: str = "text", max_bucket: int = 200):
+                            text_col: str = "text", max_bucket: int = 200,
+                            n_partitions: int = 32):
     """LSH candidates -> exact character-n-gram Jaccard verification ->
     pairs with similarity >= ``threshold`` (the full near-dup dedup
     pipeline: cheap banded recall, exact precision).
 
-    Scale shape: the candidate set is bounded by the banded-LSH design
-    (mega-buckets cut at ``max_bucket``), i.e. proportional to the true
-    duplicate mass, not to the corpus -- so pairs are collected driver-
-    side, the corpus is SCANNED ONCE with a broadcast id-set filter, and
-    only candidate texts (a tiny slice) leave the stream.  For corpora
-    where even the duplicate mass is too large to collect, run the same
-    verify as two shuffle_hash_joins plus a map_batches -- the operators
-    exist; this path optimizes the common case."""
-    import ray
+    Scale shape (fully distributed -- nothing touches the driver): the
+    candidate pair set, bounded by the banded-LSH design (mega-buckets
+    cut at ``max_bucket``), is cogrouped with the corpus texts twice --
+    hash-partitioned on ``id_a`` then ``id_b`` via
+    :func:`~equi7grid_ray.stages.join.shuffle_hash_join` -- so each
+    pair row picks up its two texts with two O(rows) shuffles; the
+    final map_batches verifies each partition VECTORIZED: one Horner
+    pass builds every row's distinct n-gram hash set
+    (:func:`_ngram_set_per_row`), and |A ∩ B| falls out of a single
+    lexsort-and-count over the concatenated (row, hash) streams.  No
+    per-pair Python work, no driver-side collection; memory per task is
+    O(batch text bytes)."""
     import ray.data as rd
+
+    from equi7grid_ray.stages.join import shuffle_hash_join
 
     _empty = pa.table({"id_a": pa.array([], pa.int64()),
                        "id_b": pa.array([], pa.int64())})
-    batches = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in lsh_candidate_pairs(
-            ds, num_perm=num_perm, bands=bands, shingle=shingle,
-            id_col=id_col, text_col=text_col, max_bucket=max_bucket,
-        ).iter_batches(batch_format="pyarrow")
-    ]
-    pairs_tbl = pa.concat_tables(batches) if batches else _empty
-    if pairs_tbl.num_rows == 0:  # clean corpus: nothing to verify
+    pairs = lsh_candidate_pairs(
+        ds, num_perm=num_perm, bands=bands, shingle=shingle,
+        id_col=id_col, text_col=text_col, max_bucket=max_bucket,
+    ).materialize()  # bounded: O(duplicate mass) 16-byte rows, kept in
+    # the object store (NOT the driver heap); avoids re-running the LSH
+    # sweep for the empty-corpus check below and the two joins.
+    if pairs.count() == 0:  # clean corpus: nothing to verify
         return rd.from_arrow(_empty)
-    ida = pairs_tbl.column("id_a").to_numpy(zero_copy_only=False)
-    idb = pairs_tbl.column("id_b").to_numpy(zero_copy_only=False)
-    want = np.unique(np.concatenate([ida, idb]))
-    want_ref = ray.put(want) if ray.is_initialized() else want
 
-    def filter_docs(batch: pa.Table) -> pa.Table:
-        w = ray.get(want_ref) if ray.is_initialized() else want_ref
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, w)
-        return batch.select([id_col, text_col]).filter(pa.array(keep))
+    def _docs_as(key: str, text_out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                key: batch.column(id_col).cast(pa.int64()),
+                text_out: batch.column(text_col),
+            })
+        return ds.map_batches(fn, batch_format="pyarrow")
 
-    texts_tbl = pa.concat_tables(
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in ds.map_batches(filter_docs, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    )
-    lut = dict(zip(texts_tbl.column(id_col).to_pylist(),
-                   texts_tbl.column(text_col).to_pylist()))
-    keep_a, keep_b = [], []
-    for a, b in zip(ida.tolist(), idb.tolist()):
-        if ngram_jaccard(lut[a], lut[b], n) >= threshold:
-            keep_a.append(a)
-            keep_b.append(b)
-    return rd.from_arrow(pa.table({
-        "id_a": pa.array(keep_a, pa.int64()),
-        "id_b": pa.array(keep_b, pa.int64()),
-    }))
+    with_a = shuffle_hash_join(pairs, _docs_as("id_a", "text_a"),
+                               on="id_a", n_partitions=n_partitions)
+    with_ab = shuffle_hash_join(with_a, _docs_as("id_b", "text_b"),
+                                on="id_b", n_partitions=n_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        if nrows == 0:
+            return _empty
+        ha, ra, na = _ngram_set_per_row(batch.column("text_a"), n, nrows)
+        hb, rb, nb = _ngram_set_per_row(batch.column("text_b"), n, nrows)
+        rows = np.concatenate([ra, rb])
+        hs = np.concatenate([ha, hb])
+        order = np.lexsort((hs, rows))
+        rows, hs = rows[order], hs[order]
+        dup = (rows[1:] == rows[:-1]) & (hs[1:] == hs[:-1])
+        ni = np.bincount(rows[:-1][dup], minlength=nrows).astype(np.int64)
+        union = na + nb - ni
+        # both sets empty can't happen (even "" yields one window), but
+        # guard the division anyway
+        jac = ni / np.maximum(union, 1)
+        jac[union == 0] = 1.0
+        keep = pa.array(jac >= threshold)
+        return pa.table({
+            "id_a": batch.column("id_a").cast(pa.int64()).filter(keep),
+            "id_b": batch.column("id_b").cast(pa.int64()).filter(keep),
+        })
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 def shingle_hashes(col, k: int = 8) -> tuple[np.ndarray, np.ndarray]:

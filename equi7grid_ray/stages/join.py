@@ -232,13 +232,21 @@ def shuffle_hash_join(
         _add_part_fn(on, n_partitions), batch_format="pyarrow"
     )
     np_types = _np_types(super_fields)
+    # Emit Arrow with an explicit schema: keeps empty partitions
+    # schema-stable (object->null inference) AND keeps the output
+    # chainable -- pandas nullable-Int64 blocks break Ray's schema
+    # introspection when this join's output feeds another join.
+    out_schema = pa.schema([(name, typ) for name, typ in super_fields
+                            if name != "__side"])
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         gl = _restore_dtypes(g[g["__side"] == 0][[on] + lcols], np_types,
                              plain=(on,))
         gr = _restore_dtypes(g[g["__side"] == 1][[on] + rcols], np_types,
                              plain=(on,))
-        return gl.merge(gr, on=on, how=how)
+        return pa.Table.from_pandas(gl.merge(gr, on=on, how=how),
+                                    schema=out_schema,
+                                    preserve_index=False)
 
     return parted.groupby("__part").map_groups(merge, batch_format="pandas")
 

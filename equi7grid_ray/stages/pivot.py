@@ -116,7 +116,11 @@ def rollup_counts(ds, *, keys: list[str], all_label: str = "<all>"):
         raise ValueError("rollup_counts: need at least one key")
 
     def partial(batch: pa.Table) -> pa.Table:
-        sub = batch.select(keys)
+        # Coarser levels substitute the string `all_label`, so every key
+        # column must be string-typed already at the finest level or the
+        # per-level union would mix schemas.
+        sub = pa.table({k: pc.cast(batch.column(k), pa.string())
+                        for k in keys})
         counted = sub.group_by(keys).aggregate([([], "count_all")])
         return counted.rename_columns(keys + ["pn"])
 

@@ -118,7 +118,16 @@ def profile_columns(ds, *, int_cols: list[str], str_cols: list[str]):
     def fill(batch: pa.Table) -> pa.Table:
         # an all-null column emits no distinct partials: n_distinct 0
         nd = pc.fill_null(batch.column("n_distinct"), 0).cast(pa.int64())
-        return batch.set_column(
+        batch = batch.set_column(
             batch.schema.get_field_index("n_distinct"), "n_distinct", nd)
+        # an all-null column never contributes a real min/max partial, so
+        # the +/-INT64 sentinels would surface; SQL min()/max() is NULL
+        all_null = pc.equal(batch.column("n"), batch.column("n_null"))
+        for name in ("min_v", "max_v"):
+            col = pc.if_else(all_null, pa.scalar(None, pa.int64()),
+                             batch.column(name).cast(pa.int64()))
+            batch = batch.set_column(
+                batch.schema.get_field_index(name), name, col)
+        return batch
 
     return joined.map_batches(fill, batch_format="pyarrow")

@@ -171,13 +171,18 @@ def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
     mw = int(max_weight)
     if mw <= 0:
         raise ValueError("max_weight must be positive")
+    if mw >= (1 << 31):
+        raise ValueError("max_weight must be < 2**31 so the all-integer "
+                         "threshold (w << 32) // max_weight stays in int64")
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        thr = np.minimum((w << np.int64(32)) // mw,
-                         np.int64(1) << np.int64(32)).astype(np.uint64)
+        # Clamp into [0, mw]: negative weights drop the row (threshold 0),
+        # weights >= mw always keep it, and (w << 32) cannot overflow.
+        w = np.clip(w, np.int64(0), np.int64(mw))
+        thr = ((w << np.int64(32)) // mw).astype(np.uint64)
         keep = _keep_mask(ids, thr)
         return batch.filter(pa.array(keep))
 

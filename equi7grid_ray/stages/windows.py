@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize",
-           "cumulative_over", "funnel_stages"]
+           "cumulative_over", "funnel_stages", "merge_intervals"]
 
 _US = 1_000_000
 

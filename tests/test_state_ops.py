@@ -523,6 +523,51 @@ def test_verified_near_dup_pairs(ray_session):
         assert ngram_jaccard(docs[a], docs[b]) >= 0.9
 
 
+def test_verified_near_dup_parity_brute_force(ray_session):
+    """The distributed partition-cogroup verify must emit EXACTLY the
+    brute-force result: every LSH candidate pair re-checked with the
+    per-pair Python ngram_jaccard, at two thresholds."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.dedup import (lsh_candidate_pairs,
+                                            ngram_jaccard,
+                                            verified_near_dup_pairs)
+
+    rng = np.random.default_rng(11)
+    words = ["ray", "data", "arrow", "batch", "tile", "grid", "shard"]
+    docs = [" ".join(rng.choice(words, 30).tolist()) + f" t{i}"
+            for i in range(40)]
+    for i in (2, 7, 13):  # planted near-dups at varying edit distance
+        docs.append(docs[i] + " z")
+        docs.append(docs[i][:-3])
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    cand = lsh_candidate_pairs(rd.from_arrow(t)).to_pandas()
+    cand_pairs = list(map(tuple, cand[["id_a", "id_b"]].values.tolist()))
+    assert cand_pairs, "fixture must generate candidates"
+    for thr in (0.6, 0.9):
+        want = {(a, b) for a, b in cand_pairs
+                if ngram_jaccard(docs[a], docs[b]) >= thr}
+        out = verified_near_dup_pairs(
+            rd.from_arrow(t), threshold=thr).to_pandas()
+        got = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+        assert got == want
+
+
+def test_ngram_set_short_doc_semantics():
+    """_ngram_set_per_row mirrors ngram_jaccard for rows shorter than n
+    (whole text = one window) and the empty string."""
+    from equi7grid_ray.stages.dedup import _ngram_set_per_row
+
+    col = pa.array(["ab", "ab", "abc", "", "a"])
+    h, row, counts = _ngram_set_per_row(col, 3, 5)
+    assert counts.tolist() == [1, 1, 1, 1, 1]
+    by_row = {int(r): int(v) for v, r in zip(h.tolist(), row.tolist())}
+    assert by_row[0] == by_row[1]          # same short text -> same set
+    assert by_row[0] != by_row[2]          # "ab" vs "abc"
+    assert by_row[3] not in (by_row[0], by_row[4])  # "" distinct
+
+
 def test_bpe_token_count():
     """GPT-2-style pre-tokenizer counts (contraction split, letter/digit
     runs, punctuation runs, whitespace runs -- incl. unicode \\p{L})."""
