@@ -297,24 +297,27 @@ class RegridStage:
             out_c0[idxs] = c0v
             out_wh[idxs] = whv
             out_ww[idxs] = wwv
-            # target pixel centers in proj coords (pure-numpy grid build)
-            tgt_x_all = []
-            tgt_y_all = []
-            for k in range(m):
-                xs = tllx[k] + (c0v[k] + 0.5 + np.arange(wwv[k])) * s
-                ys = tlly[k] + self.tile_size - (r0v[k] + 0.5 + np.arange(whv[k])) * s
-                gx, gy = np.meshgrid(xs, ys)
-                tgt_x_all.append(gx.ravel())
-                tgt_y_all.append(gy.ravel())
-            if not tgt_x_all:
+            # target pixel centers in proj coords: ONE flat ragged build
+            # (repeat + cumsum offsets), no per-pair meshgrid loop --
+            # cell g of pair k maps to (row, col) = divmod(g - offs[k],
+            # wwv[k]), identical ordering to the old meshgrid.ravel()
+            sz = whv * wwv
+            total = int(sz.sum())
+            if total == 0:
                 continue
-            tx = np.concatenate(tgt_x_all)
-            ty = np.concatenate(tgt_y_all)
+            offs = np.concatenate([[0], np.cumsum(sz)])
+            pair_of = np.repeat(np.arange(m, dtype=np.int64), sz)
+            lidx = np.arange(total, dtype=np.int64) - offs[pair_of]
+            wwp = wwv[pair_of]
+            rowp = lidx // wwp
+            colp = lidx - rowp * wwp
+            tx = tllx[pair_of] + (c0v[pair_of] + 0.5 + colp) * s
+            ty = (tlly[pair_of] + self.tile_size
+                  - (r0v[pair_of] + 0.5 + rowp) * s)
             if self.src_crs == "equi7":
                 tlon, tlat = tx, ty  # identity: source plane == target plane
             else:
                 tlon, tlat = aeqd.inverse(cont, tx, ty)  # one vectorized call
-            offs = np.concatenate([[0], np.cumsum(whv * wwv)])
             for k, j in enumerate(idxs):
                 wh, ww = int(whv[k]), int(wwv[k])
                 if wh * ww == 0:
