@@ -41,6 +41,31 @@ __all__ = ["connected_components", "canonical_assignments"]
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
+#: rounds used by the most recent connected_components() call on this
+#: process (driver-side observability for tests / bench notes)
+last_rounds: int = 0
+
+
+def _local_min_labels(a: np.ndarray,
+                      b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """In-memory min-label fixpoint over one edge block: returns
+    (unique nodes, component-minimum per node), pure numpy -- iterated
+    ``minimum.at`` over the edges plus a pointer jump, O(E log n)
+    total.  Index order equals id order (np.unique sorts), so the
+    index-space minimum IS the id-space minimum."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ua, ub = inv[: len(a)], inv[len(a):]
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        l2 = lbl.copy()
+        np.minimum.at(l2, ua, lbl[ub])
+        np.minimum.at(l2, ub, lbl[ua])
+        l2 = l2[l2]  # pointer jump: halves chain lengths each pass
+        if np.array_equal(l2, lbl):
+            break
+        lbl = l2
+    return nodes, nodes[lbl]
+
 
 def _part_of(node: np.ndarray, n_partitions: int) -> np.ndarray:
     """Deterministic hash partition of int64 node ids (shared
@@ -70,6 +95,16 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column(id_a).to_numpy().astype(np.int64)
         b = batch.column(id_b).to_numpy().astype(np.int64)
+        if len(a):
+            # Local contraction (zero extra shuffle): collapse each
+            # block's edge set to a spanning STAR forest (node -> block-
+            # local component minimum).  Connectivity is preserved
+            # exactly; intra-block diameter drops to <= 2, so the global
+            # hash-to-min loop converges in fewer rounds -- LSH-bucket
+            # pair blocks are near-cliques and collapse almost entirely.
+            # keep node==root rows too: they preserve self-edge-only
+            # nodes (a==b pairs) in the node set, and are no-op messages
+            a, b = _local_min_labels(a, b)
         node = np.concatenate([a, b])
         val = np.concatenate([b, a])
         return pa.table({
@@ -78,18 +113,37 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
             "kind": pa.array(np.zeros(len(node), dtype=np.int8), pa.int8()),
         })
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = _part_of(batch.column("node").to_numpy(), n_partitions)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    # Edges are loop-invariant: hash-partition them ONCE here instead of
+    # re-hashing the union every round.
+    edges = (pairs.map_batches(to_edges, batch_format="pyarrow")
+             .map_batches(add_part, batch_format="pyarrow")
+             .materialize())
     if edges.count() == 0:
         def empty(batch: pa.Table) -> pa.Table:
             return pa.table({"node": batch.column("node"),
                              "component": batch.column("val")})
         return edges.map_batches(empty, batch_format="pyarrow")
 
+    # Seed labels with min(self, direct neighbours) -- on star-contracted
+    # edges that is already the block-local component minimum, saving the
+    # first message round outright.
     labels = (
-        edges.select_columns(["node"])
+        edges.select_columns(["node", "val"])
         .groupby("node")
-        .aggregate(Min("node", alias_name="lbl"))
-        .select_columns(["node", "lbl"])
+        .aggregate(Min("val", alias_name="nmin"))
+        .map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "lbl": pa.array(
+                    np.minimum(b.column("node").to_numpy().astype(np.int64),
+                               b.column("nmin").to_numpy().astype(np.int64)),
+                    pa.int64()),
+            }),
+            batch_format="pyarrow")
         .materialize()
     )
 
@@ -104,15 +158,13 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
             np.ones(len(node), dtype=np.int8),
             np.full(int(q.sum()), 2, dtype=np.int8),
         ])
+        part = _part_of(out_node, n_partitions)
         return pa.table({
             "node": pa.array(out_node, pa.int64()),
             "val": pa.array(out_val, pa.int64()),
             "kind": pa.array(kind, pa.int8()),
+            "part": pa.array(part, pa.int32()),
         })
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = _part_of(batch.column("node").to_numpy(), n_partitions)
-        return batch.append_column("part", pa.array(part, pa.int32()))
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
         """One vectorized pass over a hash partition: every node's rows
@@ -142,13 +194,15 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
             "lbl": pd.Series(out_lbl, dtype=np.int64),
         })
 
+    global last_rounds
+    last_rounds = 0
     prev_sum = None
-    for _ in range(max_rounds):
-        tagged = labels.map_batches(tag_labels, batch_format="pyarrow") \
-                       .union(edges)
-        msgs = tagged.map_batches(add_part, batch_format="pyarrow") \
-                     .groupby("part") \
-                     .map_groups(propagate, batch_format="pandas")
+    for _round in range(max_rounds):
+        last_rounds = _round + 1
+        msgs = (labels.map_batches(tag_labels, batch_format="pyarrow")
+                .union(edges)
+                .groupby("part")
+                .map_groups(propagate, batch_format="pandas"))
         labels = (
             msgs.groupby("node")
             .aggregate(Min("lbl", alias_name="lbl"))
