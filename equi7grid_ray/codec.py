@@ -1,5 +1,5 @@
-"""Minimal image codec on the stdlib only (zlib): 8-bit grayscale PNG and
-raw C-order bytes.
+"""Minimal image codec on the stdlib only (zlib): 8-bit grayscale or
+RGB (color type 2) PNG and raw C-order bytes.
 
 Stands in for the reference's rasterio/GDAL raster I/O
 (/root/reference/src/equi7grid/warp.py:290-330) -- the sandbox has no
@@ -29,32 +29,50 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png_gray8(img: np.ndarray, level: int = 6) -> bytes:
-    """Encode a (h, w) uint8 array as an 8-bit grayscale PNG."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    h, w = img.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, 8-bit
-    raw = np.empty((h, w + 1), dtype=np.uint8)
+def _encode_png(img: np.ndarray, ctype: int, level: int) -> bytes:
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.empty((h, w * ch + 1), dtype=np.uint8)
     raw[:, 0] = 0  # filter type 0 per scanline
-    raw[:, 1:] = img
+    raw[:, 1:] = img.reshape(h, w * ch)
     idat = zlib.compress(raw.tobytes(), level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def decode_png_gray8(buf, copy: bool = True) -> np.ndarray:
-    """Decode an 8-bit grayscale PNG produced by any filter-0/1/2 encoder.
+def encode_png_gray8(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode a (h, w) uint8 array as an 8-bit grayscale PNG."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("gray8 PNG needs a (h, w) array")
+    return _encode_png(img, 0, level)
+
+
+def encode_png_rgb8(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode a (h, w, 3) uint8 array as an 8-bit RGB (color type 2)
+    PNG -- pure zlib, interleaved filter-0 scanlines."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("rgb8 PNG needs a (h, w, 3) array")
+    return _encode_png(img, 2, level)
+
+
+def decode_png(buf, copy: bool = True) -> np.ndarray:
+    """Decode an 8-bit grayscale (color type 0) or RGB (color type 2)
+    PNG produced by any filter-0/1/2 encoder; returns (h, w) or
+    (h, w, 3).
 
     Accepts any bytes-like object (bytes, memoryview over an Arrow value
     buffer) without copying the payload.  By default the returned array
     is an independent writable copy; hot read-only paths pass
     ``copy=False`` to get a view into the decompressed buffer (saves one
     full-image copy per decode, but the result is read-only and pins the
-    (h, w+1) buffer alive)."""
+    (h, w*ch + 1) buffer alive)."""
     buf = memoryview(buf)
     if bytes(buf[:8]) != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
-    w = h = None
+    w = h = ch = None
     idat_parts: list = []
     while pos < len(buf):
         (ln,) = struct.unpack_from(">I", buf, pos)
@@ -62,29 +80,42 @@ def decode_png_gray8(buf, copy: bool = True) -> np.ndarray:
         payload = buf[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, bit, ctype = struct.unpack_from(">IIBB", payload, 0)
-            if bit != 8 or ctype != 0:
-                raise NotImplementedError("only 8-bit grayscale PNG supported")
+            if bit != 8 or ctype not in (0, 2):
+                raise NotImplementedError(
+                    "only 8-bit grayscale/RGB PNG supported")
+            ch = 1 if ctype == 0 else 3
         elif tag == b"IDAT":
             idat_parts.append(payload)
         elif tag == b"IEND":
             break
         pos += 12 + ln
     idat = idat_parts[0] if len(idat_parts) == 1 else b"".join(idat_parts)
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w + 1)
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8) \
+        .reshape(h, w * ch + 1)
     filters = raw[:, 0]
     if (filters == 0).all():
-        return raw[:, 1:].copy() if copy else raw[:, 1:]
+        img = raw[:, 1:].copy() if copy else raw[:, 1:]
+        return img if ch == 1 else img.reshape(h, w, ch)
     img = raw[:, 1:].copy()
     for r in range(h):  # per-scanline unfilter (sub/up only)
         f = filters[r]
         if f == 0:
             continue
-        if f == 1:  # sub
-            img[r] = np.cumsum(img[r], dtype=np.uint64).astype(np.uint8)
+        if f == 1:  # sub: recon[x] = raw[x] + recon[x - bpp], per channel
+            img[r] = np.cumsum(img[r].reshape(w, ch), axis=0,
+                               dtype=np.uint64).astype(np.uint8).reshape(-1)
         elif f == 2:  # up
             img[r] = (img[r].astype(np.uint16) + img[r - 1]).astype(np.uint8)
         else:
             raise NotImplementedError(f"PNG filter {f} unsupported")
+    return img if ch == 1 else img.reshape(h, w, ch)
+
+
+def decode_png_gray8(buf, copy: bool = True) -> np.ndarray:
+    """Back-compat alias: decode a PNG known to be 8-bit grayscale."""
+    img = decode_png(buf, copy=copy)
+    if img.ndim != 2:
+        raise ValueError("expected a grayscale PNG")
     return img
 
 
@@ -92,7 +123,7 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw":
         return np.ascontiguousarray(img, dtype=np.uint8).tobytes()
     if fmt == "png":
-        return encode_png_gray8(img)
+        return encode_png_rgb8(img) if img.ndim == 3 else encode_png_gray8(img)
     raise NotImplementedError(f"format {fmt!r} (real image libs not in sandbox)")
 
 
@@ -108,9 +139,11 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int, dtype="uint8",
             return a.reshape(bands, h, w)
         return a.reshape(h, w)
     if fmt == "png":
-        if np.dtype(dtype) != np.uint8 or bands != 1:
-            raise NotImplementedError("png payloads are single-band 8-bit grayscale")
-        return decode_png_gray8(buf, copy=copy)
+        if np.dtype(dtype) != np.uint8:
+            raise NotImplementedError("png payloads are 8-bit")
+        # channel count comes from the IHDR, not the bands argument:
+        # returns (h, w) for grayscale, (h, w, 3) interleaved for RGB
+        return decode_png(buf, copy=copy)
     raise NotImplementedError(f"format {fmt!r} (real image libs not in sandbox)")
 
 

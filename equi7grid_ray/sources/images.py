@@ -95,6 +95,48 @@ def make_batch(start: int, n: int) -> pa.Table:
     )
 
 
+def make_rgb_batch(start: int, n: int) -> pa.Table:
+    """RGB variant of :func:`make_batch`: every row is an 8-bit RGB
+    (color type 2) PNG with band-offset deterministic pixels
+
+        px(band, r, c) = (r*h + c*w + i + 85*band) % 256
+
+    so the SQL oracle can rederive channel-exact stats.  Same schema as
+    the grayscale table (``fmt`` stays ``png``: the channel count lives
+    in the PNG header, as it does for real payloads)."""
+    idx = np.arange(start, start + n, dtype=np.int64)
+    w = np.array([_SIZES[i % 3] for i in idx], dtype=np.int32)
+    h = np.array([_SIZES[(i // 3) % 3] for i in idx], dtype=np.int32)
+    lon, lat = centers_for_index(idx)
+    payloads = []
+    for j, i in enumerate(idx):
+        hh, ww = int(h[j]), int(w[j])
+        r = np.arange(hh, dtype=np.int64)[:, None, None]
+        c = np.arange(ww, dtype=np.int64)[None, :, None]
+        b = np.arange(3, dtype=np.int64)[None, None, :]
+        img = ((r * hh + c * ww + int(i) + 85 * b) % 256).astype(np.uint8)
+        payloads.append(encode_image(img, "png"))
+    prefix = np.zeros((n, 64), dtype=np.uint8)
+    for j, p in enumerate(payloads):
+        k = min(64, len(p))
+        prefix[j, :k] = np.frombuffer(p[:k], dtype=np.uint8)
+    captions = [
+        f"synthetic rgb scene {int(i)} at ({lo:.4f},{la:.4f})"
+        for i, lo, la in zip(idx, lon, lat)
+    ]
+    return pa.table(
+        {
+            "image_id": pa.array([f"rgb{int(i):012d}" for i in idx], pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "w": pa.array(w, pa.int32()),
+            "h": pa.array(h, pa.int32()),
+            "fmt": pa.array(["png"] * n, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(fnv1a64_prefix(prefix), pa.int64()),
+        }
+    )
+
+
 def _row0_prefix() -> np.ndarray:
     img = ((np.arange(32)[:, None] * 32 + np.arange(32)[None, :] * 32) % 256).astype(np.uint8)
     b = encode_image(img, "raw")[:64]

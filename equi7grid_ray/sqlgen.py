@@ -271,6 +271,28 @@ FROM px GROUP BY i
 """
 
 
+def image_stats_rgb_sql(n_images: int = 300) -> str:
+    """Mirror of sources/images.py make_rgb_batch + DecodeImages
+    px_mean: pixel (band, r, c) of image i is
+    ((r*h + c*w + i + 85*band) % 256); the mean runs over all three
+    channels (integer sum exact in float64)."""
+    return f"""
+WITH img AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+px AS (
+  SELECT i, ((r.r * h + c.c * w + i + 85 * b.b) % 256) AS v
+  FROM img,
+  LATERAL (SELECT unnest(range(h)) AS r) r,
+  LATERAL (SELECT unnest(range(w)) AS c) c,
+  LATERAL (SELECT unnest(range(3)) AS b) b)
+SELECT printf('rgb%012d', i) AS image_id, avg(v) AS px_mean
+FROM px GROUP BY i
+"""
+
+
 def audio_pcm_sql(n_images: int = 500) -> str:
     """Mirror of stages/multimodal.py:PCMAudioFeatures over the
     synthetic payload table: pixel byte p of image i is

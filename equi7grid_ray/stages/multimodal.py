@@ -135,6 +135,8 @@ class DHashImages:
                 )
             img = decode_image(data[offs[j] : offs[j + 1]], f,
                                int(ws[j]), int(hs[j]), copy=False)
+            if img.ndim == 3:  # RGB payload: integer luma (R+G+B)//3
+                img = (img.sum(axis=2, dtype=np.uint32) // 3).astype(np.uint8)
             ri, ci = self._sample_idx(int(ws[j]), int(hs[j]))
             grids[j] = img[np.ix_(ri, ci)]
         # one vectorized compare + packbits over the whole batch:

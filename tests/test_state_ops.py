@@ -192,6 +192,67 @@ def test_hyperplane_lsh_buckets():
     assert out.bucket[4] == out.bucket[10]
 
 
+def test_png_rgb8_roundtrip():
+    """Pure-zlib RGB (color type 2) PNG: encode -> decode bit-exact,
+    including filter-1/2 unfilter with the 3-byte pixel stride."""
+    import struct
+    import zlib
+
+    from equi7grid_ray.codec import decode_png, encode_png_rgb8
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png_rgb8(img)), img)
+    # gray still round-trips through the shared decoder
+    from equi7grid_ray.codec import encode_png_gray8
+
+    g = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png_gray8(g)), g)
+
+    # hand-build filtered scanlines (sub + up) and check the unfilter
+    h, w = 4, 5
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    flat = img.reshape(h, w * 3).astype(np.int16)
+    raw[0, 0] = 1  # sub
+    d = flat[0].reshape(w, 3).copy()
+    d[1:] -= flat[0].reshape(w, 3)[:-1]
+    raw[0, 1:] = (d.reshape(-1) % 256).astype(np.uint8)
+    for r in range(1, h):
+        raw[r, 0] = 2  # up
+        raw[r, 1:] = ((flat[r] - flat[r - 1]) % 256).astype(np.uint8)
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    buf = (sig + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(buf), img)
+
+
+def test_rgb_fixture_decodes():
+    from equi7grid_ray.sources.images import make_rgb_batch
+    from equi7grid_ray.stages.multimodal import DecodeImages, DHashImages
+
+    b = make_rgb_batch(0, 9)
+    out = DecodeImages()(b)
+    # thumbnails are (16, 16, 3) for RGB payloads
+    assert len(out.column("thumb")[0].as_py()) == 16 * 16 * 3
+    # exact mean vs the generating pattern for row 0 (32x32, i=0)
+    r = np.arange(32)[:, None, None]
+    c = np.arange(32)[None, :, None]
+    bb = np.arange(3)[None, None, :]
+    img = ((r * 32 + c * 32 + 0 + 85 * bb) % 256).astype(np.uint8)
+    assert out.column("px_mean")[0].as_py() == img.mean()
+    # dHash handles RGB via integer luma without raising
+    dh = DHashImages()(b)
+    assert dh.num_rows == 9
+
+
 def test_multimodal_stages():
     from equi7grid_ray.sources.images import make_batch
     from equi7grid_ray.stages.multimodal import (
