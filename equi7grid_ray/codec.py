@@ -119,6 +119,101 @@ def decode_png_gray8(buf, copy: bool = True) -> np.ndarray:
     return img
 
 
+_V256 = np.arange(256, dtype=np.int64)
+_V256SQ = _V256 * _V256
+
+
+def png_stream_stats(buf, keep_rows=None, chunk: int = 1 << 16):
+    """One STREAMING inflate pass over a filter-0 8-bit gray/RGB PNG:
+    pixel sum + sum-of-squares (exact integers) and, optionally, full
+    copies of the requested scanlines -- without ever materializing the
+    decoded frame.  Decompression runs through a bounded ``chunk``-byte
+    window (zlib.decompressobj max_length), so the working set stays
+    cache-resident no matter how large the frame is; per window the
+    stats are one bincount + two 256-long dot products.
+
+    Returns ``(psum, psumsq, h, w, ch, rows)`` where ``rows`` is a
+    ``(len(keep_rows), w*ch)`` uint8 array (or None), or ``None`` when
+    any scanline uses a non-zero filter -- callers fall back to
+    :func:`decode_png` (filtered PNGs need full reconstruction anyway).
+    """
+    buf = memoryview(buf)
+    if bytes(buf[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = ch = None
+    idat_parts: list = []
+    while pos < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = bytes(buf[pos + 4 : pos + 8])
+        if tag == b"IHDR":
+            w, h, bit, ctype = struct.unpack_from(">IIBB", buf, pos + 8)
+            if bit != 8 or ctype not in (0, 2):
+                raise NotImplementedError(
+                    "only 8-bit grayscale/RGB PNG supported")
+            ch = 1 if ctype == 0 else 3
+        elif tag == b"IDAT":
+            idat_parts.append(buf[pos + 8 : pos + 8 + ln])
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+
+    stride = w * ch + 1
+    rows = None
+    spans: list[tuple[int, int, int]] = []  # (stream_start, stream_end, out_row)
+    if keep_rows is not None:
+        rows = np.empty((len(keep_rows), w * ch), dtype=np.uint8)
+        spans = [(int(r) * stride + 1, int(r) * stride + stride, k)
+                 for k, r in enumerate(keep_rows)]
+
+    psum = 0
+    psumsq = 0
+    spos = 0  # absolute position in the decompressed filter+pixel stream
+
+    def process(arr: np.ndarray) -> bool:
+        nonlocal psum, psumsq, spos
+        ln = len(arr)
+        # filter bytes live at multiples of stride; verify 0
+        k0 = -(-spos // stride)
+        if arr[k0 * stride - spos :: stride].any():
+            return False  # filtered PNG: caller decodes fully
+        # filter bytes are 0, so they contribute nothing: stats over
+        # the raw window ARE the pixel stats
+        cnt = np.bincount(arr, minlength=256)
+        psum += int(cnt @ _V256)
+        psumsq += int(cnt @ _V256SQ)
+        for s0, s1, k in spans:
+            a = max(s0, spos)
+            b = min(s1, spos + ln)
+            if a < b:
+                rows[k, a - s0 : b - s0] = arr[a - spos : b - spos]
+        spos += ln
+        return True
+
+    if h * stride <= chunk:
+        # frame fits the window: one-shot inflate, same bounded memory
+        idat = idat_parts[0] if len(idat_parts) == 1 else \
+            b"".join(bytes(p) for p in idat_parts)
+        if not process(np.frombuffer(zlib.decompress(idat), dtype=np.uint8)):
+            return None
+    else:
+        d = zlib.decompressobj()
+        for part in idat_parts:
+            data = d.decompress(part, chunk)
+            while True:
+                if data and not process(np.frombuffer(data, dtype=np.uint8)):
+                    return None
+                if not d.unconsumed_tail:
+                    break
+                data = d.decompress(d.unconsumed_tail, chunk)
+        tail = d.flush()
+        if tail and not process(np.frombuffer(tail, dtype=np.uint8)):
+            return None
+    if spos != h * stride:
+        raise ValueError("truncated PNG stream")
+    return psum, psumsq, h, w, ch, rows
+
+
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw":
         return np.ascontiguousarray(img, dtype=np.uint8).tobytes()

@@ -222,9 +222,8 @@ def dedup_images_by_phash(ds, id_col: str = "image_id"):
 
 def tile_histogram(assignments) -> "pa.Table":
     """Small grouped aggregate over the assignment stream: rows per tile.
-    Pre-aggregates inside map_batches (combiner) before the shuffle, so
-    the groupby moves at most |tiles| rows per block."""
-    from ray.data.aggregate import Sum
+    Pre-aggregates inside map_batches (combiner), so at most |tiles|
+    rows leave each block; the bounded partials fold on the driver."""
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         col = batch.column("tile")
@@ -253,13 +252,32 @@ def tile_histogram(assignments) -> "pa.Table":
         )
 
     partial = assignments.map_batches(partial_counts, batch_format="pyarrow")
-    # Run the heavy map phase to completion BEFORE attaching the shuffle:
-    # with an AllToAllOperator in the same streaming plan, Ray's resource
-    # allocator reserves ~half the CPUs for the pending shuffle and the
-    # map phase runs at half parallelism (measured 2x wall).  The partials
-    # are <= |tasks| x |tiles| rows -- a few MB even at 10^6 tasks -- so
-    # materializing them is scale-safe, and the aggregate then runs on a
-    # trivially small input.  Coalescing to a few blocks first avoids the
-    # sort-aggregate's per-block cost (~27ms/block measured).
-    partial = partial.materialize().repartition(16)
-    return partial.groupby("tile").aggregate(Sum("partial_n", alias_name="n"))
+    # The partials are <= |tasks| x |tiles| rows -- a few MB even at 10^6
+    # tasks -- so the final combine STREAMS them to the driver and folds
+    # every ~500k rows with ONE Arrow group_by, keeping memory O(|tiles|).
+    # (iter_batches also keeps the map phase at full parallelism: an
+    # AllToAllOperator in the same plan makes Ray's resource allocator
+    # reserve ~half the CPUs for the pending shuffle -- measured 2x wall
+    # -- and Ray's sort-aggregate costs ~40 ms per input block regardless
+    # of size: 64 tiny blocks = 2.5 s vs 0.25 s for this combine.  A
+    # bounded terminal aggregate is the sanctioned driver-side case.)
+    acc: list[pa.Table] = []
+    n_acc_rows = 0
+    out = None
+
+    def fold(tables: list[pa.Table]):
+        merged = pa.concat_tables(tables).group_by("tile") \
+            .aggregate([("partial_n", "sum")])
+        return merged.rename_columns(["tile", "partial_n"])
+
+    for b in partial.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        acc.append(t)
+        n_acc_rows += t.num_rows
+        if n_acc_rows >= 500_000:
+            acc = [fold(acc)]
+            n_acc_rows = acc[0].num_rows
+    out = fold(acc) if acc else pa.table(
+        {"tile": pa.array([], pa.string()),
+         "partial_n": pa.array([], pa.int64())})
+    return out.rename_columns(["tile", "n"]).sort_by("tile")

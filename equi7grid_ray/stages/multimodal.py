@@ -16,7 +16,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from equi7grid_ray.codec import decode_image
+from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "dhash_near_dup", "AudioFeatures",
            "PCMAudioFeatures", "FrameSampler", "fake_decode"]
@@ -63,17 +63,36 @@ class DecodeImages:
         means = np.empty(len(fmts))
         stds = np.empty(len(fmts))
         thumbs: list[bytes] = []
+        t = self.thumb
         for j, f in enumerate(fmts):
             if f not in ("raw", "png"):
                 raise NotImplementedError(
                     f"image format {f!r}: real codecs unavailable in sandbox"
                 )
             b = data[offs[j] : offs[j + 1]]
+            if f == "png":
+                # streaming inflate: stats + only the sampled thumbnail
+                # scanlines come out of the bounded window; the decoded
+                # frame is never materialized
+                ri = (np.arange(t) * int(hs[j]) // t) if t else None
+                st = png_stream_stats(b, keep_rows=ri)
+                if st is not None:
+                    psum, psq, hh, ww, ch, rows = st
+                    cnt = hh * ww * ch
+                    means[j] = psum / cnt
+                    var = psq / cnt - means[j] * means[j]
+                    stds[j] = np.sqrt(var if var > 0 else 0.0)
+                    if t:
+                        ci = (np.arange(t) * ww // t)
+                        sampled = rows.reshape(t, ww, ch)[:, ci]
+                        thumbs.append(sampled.tobytes())
+                    else:
+                        thumbs.append(b"")
+                    continue
             img = decode_image(b, f, int(ws[j]), int(hs[j]), copy=False)
             means[j] = img.mean()
             stds[j] = img.std()
-            if self.thumb:
-                t = self.thumb
+            if t:
                 ri = (np.arange(t) * img.shape[0] // t)
                 ci = (np.arange(t) * img.shape[1] // t)
                 thumbs.append(img[np.ix_(ri, ci)].tobytes())
@@ -133,11 +152,26 @@ class DHashImages:
                 raise NotImplementedError(
                     f"image format {f!r}: real codecs unavailable in sandbox"
                 )
+            ri, ci = self._sample_idx(int(ws[j]), int(hs[j]))
+            if f == "png":
+                # streaming inflate: only the 8 sampled scanlines leave
+                # the bounded window (no decoded-frame materialization)
+                st = png_stream_stats(data[offs[j] : offs[j + 1]],
+                                      keep_rows=ri)
+                if st is not None:
+                    _s, _q, _h, ww2, ch, rows = st
+                    sampled = rows.reshape(self.GRID_H, ww2, ch)[:, ci]
+                    if ch == 3:  # RGB payload: integer luma (R+G+B)//3
+                        sampled = (sampled.sum(axis=2, dtype=np.uint32)
+                                   // 3).astype(np.uint8)
+                    else:
+                        sampled = sampled[:, :, 0]
+                    grids[j] = sampled
+                    continue
             img = decode_image(data[offs[j] : offs[j + 1]], f,
                                int(ws[j]), int(hs[j]), copy=False)
             if img.ndim == 3:  # RGB payload: integer luma (R+G+B)//3
                 img = (img.sum(axis=2, dtype=np.uint32) // 3).astype(np.uint8)
-            ri, ci = self._sample_idx(int(ws[j]), int(hs[j]))
             grids[j] = img[np.ix_(ri, ci)]
         # one vectorized compare + packbits over the whole batch:
         # bit k = r*8 + c (MSB-first) = grid[r, c+1] > grid[r, c]

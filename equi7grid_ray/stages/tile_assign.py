@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 from equi7grid_ray import aeqd
 from equi7grid_ray.cells import cell_id
-from equi7grid_ray.codec import decode_image
+from equi7grid_ray.codec import decode_image, png_stream_stats
 from equi7grid_ray.grid import GridSpec, full_names, tile_ll_from_xy
 from equi7grid_ray.sources.images import centers_for_index
 from equi7grid_ray.tiling_state import get_grid_state
@@ -208,11 +208,18 @@ class TileAssigner:
                     ws[raw_rows].astype(np.float64) * hs[raw_rows], 1.0
                 )
             for j in np.flatnonzero(is_png):
-                img = decode_image(
-                    data[offs[j] : offs[j + 1]], "png", int(ws[j]), int(hs[j]),
-                    copy=False,  # read-only mean over a view
-                )
-                px_mean[j] = img.mean()
+                # streaming inflate: exact integer pixel sum through a
+                # bounded window, no decoded-frame materialization
+                st = png_stream_stats(data[offs[j] : offs[j + 1]])
+                if st is None:  # filtered PNG: needs full reconstruction
+                    img = decode_image(
+                        data[offs[j] : offs[j + 1]], "png",
+                        int(ws[j]), int(hs[j]), copy=False,
+                    )
+                    px_mean[j] = img.mean()
+                else:
+                    psum, _sq, hh, ww, ch, _ = st
+                    px_mean[j] = psum / (hh * ww * ch)
 
         # packed uint8 zone bitmask: 1 byte/row instead of a (n, 7) bool
         # matrix (DRAM pressure at high concurrency)
