@@ -1012,3 +1012,35 @@ def test_weighted_sample_rates_and_determinism(ray_session):
         assert abs(rate - wt / 10) < 0.08, (wt, rate)
     # weight >= max is always kept
     assert kept[10] == base[10]
+
+
+def test_apply_changes_cdc(ray_session):
+    """CDC merge: latest surviving row per key; deletes win equal-seq
+    ties; base rows lose to any change; absent-key deletes are no-ops;
+    idempotent when replayed."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.cdc import apply_changes
+
+    base = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    changes = pa.table({
+        "k": pa.array([2, 2, 3, 5, 6, 6], pa.int64()),
+        "seq": pa.array([0, 1, 5, 2, 3, 3], pa.int64()),
+        "op": pa.array(["upsert", "upsert", "delete", "upsert",
+                        "upsert", "delete"], pa.string()),
+        "v": pa.array([21, 22, 0, 50, 60, 0], pa.int64()),
+    })
+    out = apply_changes(rd.from_arrow(base), rd.from_arrow(changes),
+                        key_col="k", seq_col="seq").to_pandas()
+    got = dict(zip(out["k"], out["v"]))
+    # k=1,4 untouched; k=2 latest upsert 22; k=3 deleted; k=5 inserted;
+    # k=6 equal-seq delete outranks the upsert
+    assert got == {1: 10, 2: 22, 4: 40, 5: 50}
+    # idempotence: replay the changes onto the result
+    out2 = apply_changes(
+        rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)),
+        rd.from_arrow(changes), key_col="k", seq_col="seq").to_pandas()
+    assert dict(zip(out2["k"], out2["v"])) == got
