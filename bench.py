@@ -251,6 +251,7 @@ def _driver_queries() -> dict[str, float]:
         "events_funnel",
         "simhash_near_dup",
         "orders_validate",
+        "orders_cdc_merge",
         "lineitem_weighted_sample",
         "user_coverage",
         "user_growth",

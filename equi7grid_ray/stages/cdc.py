@@ -26,7 +26,8 @@ OP_DELETE = "delete"
 
 
 def apply_changes(base, changes, *, key_col: str, seq_col: str,
-                  op_col: str = "op", n_partitions: int = 32):
+                  op_col: str = "op", n_partitions: int = 32,
+                  tiebreak_cols: tuple[str, ...] = ()):
     """Merge ``changes`` (columns: key, seq, op, payload...) into
     ``base`` (columns: key, payload...); returns the latest surviving
     row per key with the base's schema.
@@ -35,8 +36,10 @@ def apply_changes(base, changes, *, key_col: str, seq_col: str,
     the highest ``seq`` wins -- base rows carry seq = -1 (change
     sequences must be >= 0); if the winner's op is ``delete`` the key
     disappears.  Equal-seq duplicates within the change stream are
-    resolved by op (delete > upsert) then stably; sequences should be
-    unique per key in well-formed streams.
+    resolved by op (delete > upsert), then by ``tiebreak_cols``
+    descending (pass the numeric payload columns that should decide
+    exact ties; well-formed streams have unique sequences per key and
+    never need this).
     """
     from equi7grid_ray.arrowutil import hash_partition
 
@@ -78,10 +81,11 @@ def apply_changes(base, changes, *, key_col: str, seq_col: str,
         k = g[key_col].to_numpy(np.int64)
         s = g["__seq"].to_numpy(np.int64)
         d = g["__del"].to_numpy(np.int8)
-        # winner per key = max (seq, del) -- delete outranks an
-        # equal-seq upsert; lexsort is ascending so the winner is the
+        # winner per key = max (seq, del, *tiebreaks) -- delete outranks
+        # an equal-seq upsert; lexsort is ascending so the winner is the
         # LAST row of each key group
-        order = np.lexsort((d, s, k))
+        tb = [g[c].to_numpy() for c in reversed(tiebreak_cols)]
+        order = np.lexsort((*tb, d, s, k))
         ks = k[order]
         last = np.ones(len(ks), dtype=bool)
         last[:-1] = ks[1:] != ks[:-1]
