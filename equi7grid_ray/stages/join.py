@@ -79,6 +79,18 @@ def native_join(
     }.get(how)
     if join_type is None:
         raise ValueError("native_join: how must be inner|left|right|full")
+    # Dataset.join schedules num_partitions aggregator ACTORS that must
+    # all be live at once: asking for more than the cluster's CPUs
+    # deadlocks the streaming executor (observed: 64 partitions on an
+    # 8-cpu cluster hangs forever).  Clamp to the cluster size.
+    try:
+        import ray
+
+        if ray.is_initialized():
+            avail = int(ray.cluster_resources().get("CPU", n_partitions))
+            n_partitions = max(1, min(n_partitions, avail))
+    except Exception:
+        pass
     return left.join(
         right,
         join_type=join_type,
