@@ -29,9 +29,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["hll_distinct", "alpha_m", "hll_sql",
-           "cms_heavy_hitters", "cms_sql"]
+__all__ = ["hll_distinct", "hll_distinct_by", "alpha_m", "hll_sql",
+           "hll_by_sql", "cms_heavy_hitters", "cms_sql"]
 
 # golden-ratio multiples, the usual independent-row seeding
 _CMS_SEEDS = tuple((0x9E3779B97F4A7C15 * (i + 1)) % (1 << 64)
@@ -129,6 +130,106 @@ def hll_distinct(ds, *, col: str, p: int = 8, rho_cap: int = 40):
         "rho": pa.array([0], pa.int64()),
     }))
     return single_group(regs.union(sentinel), estimate, ["est", "nonzero"])
+
+
+def hll_distinct_by(ds, *, key_col: str, col: str, p: int = 8,
+                    rho_cap: int = 40):
+    """Per-key approximate COUNT(DISTINCT ``col``): the keyed variant of
+    :func:`hll_distinct` (distinct users per segment, distinct docs per
+    source, ...).
+
+    Scale shape: each batch folds into a dense (batch-keys x m) register
+    matrix (one vectorized maximum.at) and emits only nonzero
+    (key, bucket, rho) partials -- bounded by |keys| * m per batch, not
+    by rows; ONE keyed Max shuffle merges them; a per-key map_groups
+    computes the estimates.  Same dyadic-exact math as hll_distinct, so
+    the SQL mirror (hll_by_sql) is hash-identical in the raw regime."""
+    if not (4 <= p <= 12):
+        raise ValueError("hll_distinct_by: p must be in [4, 12]")
+    m = 1 << p
+    alpha = alpha_m(m)
+
+    from ray.data.aggregate import Max
+
+    from equi7grid_ray.stages.dedup import _mix64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key_col)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        mask = pc.and_(pc.is_valid(kcol), pc.is_valid(batch.column(col)))
+        sub = batch.filter(mask)
+        kd = sub.column(key_col)
+        if isinstance(kd, pa.ChunkedArray):
+            kd = kd.combine_chunks()
+        kd = kd.dictionary_encode()
+        codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = kd.dictionary
+        v = sub.column(col).to_numpy(zero_copy_only=False)
+        h = _mix64(v.astype(np.int64).view(np.uint64))
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = np.left_shift(h, np.uint64(p))
+        rho = np.minimum(
+            np.where(rest > 0, _clz64(rest) + 1, 64 - p + 1), rho_cap
+        ).astype(np.int64)
+        regs = np.zeros((len(uniq), m), np.int64)
+        np.maximum.at(regs, (codes, bucket), rho)
+        ki, bi = np.nonzero(regs)
+        return pa.table({
+            key_col: uniq.take(pa.array(ki)).cast(pa.string()),
+            "bucket": pa.array(bi, pa.int64()),
+            "rho": pa.array(regs[ki, bi], pa.int64()),
+        })
+
+    regs = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([key_col, "bucket"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        reg = g["rho"].to_numpy(dtype=np.int64)
+        nonzero = len(reg)
+        s = float(m - nonzero) + np.sum(np.ldexp(1.0, -reg))
+        est = alpha * float(m * m) / s
+        v_zero = m - nonzero
+        if est <= 2.5 * m and v_zero > 0:
+            est = m * np.log(m / float(v_zero))  # linear counting
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "est": [np.int64(round(est))],
+                             "nonzero": [np.int64(nonzero)]})
+
+    return regs.groupby(key_col).map_groups(estimate, batch_format="pandas")
+
+
+def hll_by_sql(table: str, key: str, col: str, p: int = 8,
+               rho_cap: int = 40) -> str:
+    """DuckDB mirror of hll_distinct_by's RAW regime (see hll_sql)."""
+    from equi7grid_ray.sqlgen import _bit_values, _mix64_ctes
+
+    m = 1 << p
+    alpha = alpha_m(m)
+    two_rest = 1 << (64 - p)
+    return f"""
+WITH src AS (SELECT {key} AS gk, {_u64(col)} AS k FROM {table}
+             WHERE {col} IS NOT NULL AND {key} IS NOT NULL),
+{_mix64_ctes('src', 'k', 'gk')},
+parts AS (SELECT gk, CAST(h // {two_rest} AS BIGINT) AS bucket,
+                 CAST((h % {two_rest})::HUGEINT * {1 << p} AS UBIGINT) AS rest
+          FROM mixed),
+bits(b, pw) AS (VALUES {_bit_values()}),
+rho AS (SELECT gk, bucket,
+               CASE WHEN rest = 0 THEN {64 - p + 1}
+                    ELSE 64 - max(CASE WHEN (rest // pw) % 2 = 1 THEN b END)
+               END AS rho
+        FROM parts, bits GROUP BY gk, bucket, rest),
+regs AS (SELECT gk, bucket, least(max(rho), {rho_cap}) AS rho
+         FROM rho GROUP BY gk, bucket),
+s AS (SELECT gk, CAST({m} - count(*) AS DOUBLE) + sum(pow(2.0, -rho)) AS s,
+             count(*) AS nonzero FROM regs GROUP BY gk)
+SELECT gk AS {key},
+       CAST(round(CAST({alpha!r} AS DOUBLE) * CAST({m * m} AS DOUBLE) / s) AS BIGINT) AS est,
+       CAST(nonzero AS BIGINT) AS nonzero FROM s"""
 
 
 def hll_sql(table: str, col: str, p: int = 8, rho_cap: int = 40) -> str:

@@ -237,3 +237,33 @@ def test_write_zordered_prunes_row_groups(ray_session, tmp_path):
     want = ((x >= bbox[0]) & (x <= bbox[2])
             & (y >= bbox[1]) & (y <= bbox[3])).sum()
     assert m.sum() == want
+
+
+def test_hll_distinct_by(ray_session):
+    """Keyed HLL: per-key estimates within the expected error band and
+    exact agreement with the global sketch on a single-key input."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.sketch import hll_distinct, hll_distinct_by
+
+    rng = np.random.default_rng(9)
+    keys, vals = [], []
+    true = {"a": 5000, "b": 800, "c": 60}
+    for k, n in true.items():
+        ids = rng.choice(n * 10, n, replace=False).astype(np.int64)
+        reps = np.concatenate([ids, rng.choice(ids, 2 * n)])  # duplicates
+        keys.extend([k] * len(reps))
+        vals.extend(reps.tolist())
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.int64())})
+    out = hll_distinct_by(rd.from_arrow(t), key_col="k", col="v",
+                          p=8).to_pandas()
+    got = dict(zip(out["k"], out["est"]))
+    for k, n in true.items():
+        assert abs(got[k] - n) / n < 0.25, (k, got[k], n)
+    # single-key input == the global sketch, register for register
+    sub = t.filter(pa.compute.equal(t.column("k"), "b"))
+    g = hll_distinct(rd.from_arrow(sub), col="v", p=8).to_pandas()
+    assert int(g["est"][0]) == int(got["b"])
