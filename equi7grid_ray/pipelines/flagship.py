@@ -213,11 +213,10 @@ def dedup_images_by_phash(ds, id_col: str = "image_id"):
     the min image_id per phash -- shuffle moves only (phash, id)."""
     from ray.data.aggregate import Min
 
-    return (
-        ds.select_columns([id_col, "phash"])
-        .groupby("phash")
-        .aggregate(Min(id_col, alias_name=id_col))
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    return hash_aggregate(ds.select_columns([id_col, "phash"]),
+                          keys=["phash"], aggs={id_col: (id_col, "min")})
 
 
 def tile_histogram(assignments) -> "pa.Table":

@@ -102,10 +102,11 @@ def build_bloom(ds, on: str, *, fpp: float = 0.001,
         pos = np.unique(probe.positions(v).ravel()).astype(np.int64)
         return pa.table({"pos": pa.array(pos, pa.int64())})
 
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
     pos_tbl = collect_tables(
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("pos")
-        .aggregate(Count(alias_name="c")),
+        hash_aggregate(ds.map_batches(partials, batch_format="pyarrow"),
+                       keys=["pos"], aggs={"c": ("pos", "count")}),
         schema=pa.schema([("pos", pa.int64()), ("c", pa.int64())]),
     )
     pos = pos_tbl.column("pos").to_numpy().view(np.uint64)
@@ -136,12 +137,11 @@ def bloom_semi_join(big, small, *, on: str, fpp: float = 0.001,
         return batch.filter(pa.array(f.contains(keys)))
 
     candidates = big.map_batches(prefilter, batch_format="pyarrow")
-    uniq = (
-        small.select_columns([on])
-        .groupby(on)
-        .aggregate(Count(alias_name="__one"))
-        .select_columns([on])
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    uniq = hash_aggregate(
+        small.select_columns([on]), keys=[on],
+        aggs={"__one": (on, "count")}).select_columns([on])
     return shuffle_hash_join(candidates, uniq, on=on, how="inner",
                              n_partitions=n_partitions)
 
@@ -181,11 +181,10 @@ def bloom_anti_join(big, small, *, on: str, fpp: float = 0.001,
 
     definite = big.map_batches(probe(False), batch_format="pyarrow")
     maybe = big.map_batches(probe(True), batch_format="pyarrow")
-    uniq = (
-        small.select_columns([on])
-        .groupby(on)
-        .aggregate(Count(alias_name="__m"))
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    uniq = hash_aggregate(small.select_columns([on]), keys=[on],
+                          aggs={"__m": (on, "count")})
     joined = shuffle_hash_join(maybe, uniq, on=on,
                                how="left", n_partitions=n_partitions)
     cols = list(big.schema().names)

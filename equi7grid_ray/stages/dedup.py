@@ -150,13 +150,12 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    # aggregate (C-speed), never Python-per-group: min id survives per hash
-    from ray.data.aggregate import Min
+    # hash-partition cogroup aggregate (C-speed, never Python-per-group;
+    # stages/aggregate.py): min id survives per hash
+    from equi7grid_ray.stages.aggregate import hash_aggregate
 
-    return (
-        hashed.groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col))
-    )
+    return hash_aggregate(hashed, keys=["content_hash"],
+                          aggs={id_col: (id_col, "min")})
 
 
 class MinHasher:
@@ -337,17 +336,14 @@ def lsh_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
     cand = parted.groupby("part").map_groups(
         pairs_in_partition, batch_format="pandas"
     )
-    # dedupe across bands/partitions with an aggregate (no per-group
-    # Python).  Coalesce the tiny per-partition outputs first: Ray's
-    # sort-aggregate pays per-block costs that would dwarf the data.
-    from ray.data.aggregate import Count
+    # dedupe across bands/partitions (no per-group Python): the hash-
+    # partition cogroup aggregate replaces Ray's sort-aggregate, whose
+    # per-block operator cost dwarfs the data (stages/aggregate.py)
+    from equi7grid_ray.stages.aggregate import hash_aggregate
 
-    return (
-        cand.repartition(8)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["id_a", "id_b"])
-    )
+    return hash_aggregate(
+        cand, keys=["id_a", "id_b"], aggs={"n_bands": ("id_a", "count")},
+    ).select_columns(["id_a", "id_b"])
 
 
 def simhash64(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
@@ -722,13 +718,17 @@ def chunk_dedup(ds, *, tokens_per_chunk: int = 16, id_col: str = "doc_id",
         return out.astype({id_col: np.int64, "n_chunks": np.int64,
                            "n_kept": np.int64, "kept_len": np.int64})
 
-    from ray.data.aggregate import Sum
+    from equi7grid_ray.stages.aggregate import hash_aggregate
 
     occ = ds.map_batches(explode, batch_format="pyarrow")
     partials = occ.groupby("part").map_groups(resolve, batch_format="pandas")
-    return (
-        partials.groupby(id_col)
-        .aggregate(Sum("n_chunks", alias_name="n_chunks"),
-                   Sum("n_kept", alias_name="n_kept"),
-                   Sum("kept_len", alias_name="kept_len"))
+    # hash_aggregate, not the native Aggregate: the per-doc partial
+    # combine pays ~seconds of AllToAll operator overhead otherwise
+    # (stages/aggregate.py)
+    return hash_aggregate(
+        partials, keys=[id_col],
+        aggs={"n_chunks": ("n_chunks", "sum"),
+              "n_kept": ("n_kept", "sum"),
+              "kept_len": ("kept_len", "sum")},
+        n_partitions=n_partitions,
     )

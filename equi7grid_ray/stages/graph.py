@@ -24,8 +24,9 @@ Scale shape:
   labels + symmetric edges, one vectorized pandas merge per
   *partition*, never per node -- the partition-cogroup pattern from
   stages/join.py / dedup.py) followed by ONE ``groupby(node).min``.
-- Convergence is detected with a cheap ``Sum(lbl)`` aggregate: labels
-  only ever decrease, so an unchanged sum means a fixpoint.
+- Convergence is detected with a cheap label-sum fold (1-row partials
+  merged on the driver): labels only ever decrease, so an unchanged sum
+  means a fixpoint.
 - Each round's label table is ``materialize()``d: it is the iterative
   algorithm's state (size = #pair-nodes), not the corpus -- the same
   justified exception as flagship.py's per-tile partials.
@@ -84,8 +85,6 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
     documents are trivially their own component; join back with
     :func:`canonical_assignments` for the full corpus view).
     """
-    from ray.data.aggregate import Min, Sum
-
     # Symmetric edge table (node, nbr) + per-round label/query rows,
     # tagged into one schema so a single hash shuffle cogroups a node's
     # rows.  kind: 0 = edge (val = neighbour id), 1 = label (val = the
@@ -130,11 +129,15 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
 
     # Seed labels with min(self, direct neighbours) -- on star-contracted
     # edges that is already the block-local component minimum, saving the
-    # first message round outright.
+    # first message round outright.  (hash_aggregate, not the native
+    # Aggregate: its per-block operator overhead dominates every round
+    # at sweep scale -- see stages/aggregate.py.)
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
     labels = (
-        edges.select_columns(["node", "val"])
-        .groupby("node")
-        .aggregate(Min("val", alias_name="nmin"))
+        hash_aggregate(edges.select_columns(["node", "val"]),
+                       keys=["node"], aggs={"nmin": ("val", "min")},
+                       n_partitions=n_partitions)
         .map_batches(
             lambda b: pa.table({
                 "node": b.column("node"),
@@ -197,19 +200,29 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
     global last_rounds
     last_rounds = 0
     prev_sum = None
+    def label_psum(b: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array(
+            [int(b.column("lbl").to_numpy().sum())], pa.int64())})
+
     for _round in range(max_rounds):
         last_rounds = _round + 1
         msgs = (labels.map_batches(tag_labels, batch_format="pyarrow")
                 .union(edges)
                 .groupby("part")
                 .map_groups(propagate, batch_format="pandas"))
-        labels = (
-            msgs.groupby("node")
-            .aggregate(Min("lbl", alias_name="lbl"))
-            .select_columns(["node", "lbl"])
-            .materialize()
-        )
-        cur = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        labels = hash_aggregate(
+            msgs, keys=["node"], aggs={"lbl": ("lbl", "min")},
+            n_partitions=n_partitions,
+        ).materialize()
+        # fixpoint detector: labels only decrease, so an unchanged sum
+        # means convergence; 1-row partials folded on the driver (the
+        # native global Aggregate costs ~1 s of operator overhead/round)
+        cur = 0
+        for t in labels.map_batches(
+                label_psum, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            col = t["s"] if isinstance(t, pa.Table) else t.column("s")
+            cur += int(col.to_numpy(zero_copy_only=False).sum())
         if prev_sum is not None and cur == prev_sum:
             break
         prev_sum = cur
@@ -308,24 +321,25 @@ def triangle_count(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
         return pa.table({"u": pa.array(su[first], pa.int64()),
                          "v": pa.array(sv[first], pa.int64())})
 
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
     edges = (
-        pairs.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="__c"))
+        hash_aggregate(pairs.map_batches(canon, batch_format="pyarrow"),
+                       keys=["u", "v"], aggs={"__c": ("u", "count")})
         .select_columns(["u", "v"])
         .materialize()  # reused by degrees, wedges and closure
     )
 
     deg_tbl = collect_tables(
-        edges.map_batches(
-            lambda b: pa.table({
-                "node": pa.array(np.concatenate([
-                    b.column("u").to_numpy(zero_copy_only=False),
-                    b.column("v").to_numpy(zero_copy_only=False),
-                ]).astype(np.int64), pa.int64())}),
-            batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count(alias_name="deg")),
+        hash_aggregate(
+            edges.map_batches(
+                lambda b: pa.table({
+                    "node": pa.array(np.concatenate([
+                        b.column("u").to_numpy(zero_copy_only=False),
+                        b.column("v").to_numpy(zero_copy_only=False),
+                    ]).astype(np.int64), pa.int64())}),
+                batch_format="pyarrow"),
+            keys=["node"], aggs={"deg": ("node", "count")}),
         schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
     )
     nodes = deg_tbl.column("node").to_numpy().astype(np.int64)

@@ -67,11 +67,11 @@ def pivot_counts(ds, *, index: str, pivot_col: str,
                                   pa.int64())
         return pa.table(out)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(index)
-        .aggregate(*[Sum(c, alias_name=c) for c in n_cols + s_cols])
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    return hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[index], aggs={c: (c, "sum") for c in n_cols + s_cols})
 
 
 def melt(ds, *, id_cols: list[str], value_cols: list[str],
@@ -124,21 +124,22 @@ def rollup_counts(ds, *, keys: list[str], all_label: str = "<all>"):
         counted = sub.group_by(keys).aggregate([([], "count_all")])
         return counted.rename_columns(keys + ["pn"])
 
-    finest = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(Sum("pn", alias_name="pn"))
-        # consumed by every level: without this each coarser level
-        # would re-scan the full input
-        .materialize()
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    finest = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=keys, aggs={"pn": ("pn", "sum")},
+        # consumed by every level: without materialize each coarser
+        # level would re-scan the full input
+    ).materialize()
 
     levels = [finest]
     for lvl in range(len(keys) - 1, -1, -1):
         kept = keys[:lvl]
         if kept:
-            agg = (finest.select_columns(kept + ["pn"])
-                   .groupby(kept).aggregate(Sum("pn", alias_name="pn")))
+            agg = hash_aggregate(finest.select_columns(kept + ["pn"]),
+                                 keys=kept, aggs={"pn": ("pn", "sum")},
+                                 n_partitions=4)
         else:
             from equi7grid_ray.arrowutil import single_group
 

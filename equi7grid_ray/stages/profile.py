@@ -98,21 +98,18 @@ def profile_columns(ds, *, int_cols: list[str], str_cols: list[str]):
                            else np.empty(0, np.int64), pa.int64()),
         })
 
-    stats = (
-        ds.map_batches(stats_partials, batch_format="pyarrow")
-        .groupby("col")
-        .aggregate(Sum("pn", alias_name="n"),
-                   Sum("pnull", alias_name="n_null"),
-                   Min("pmin", alias_name="min_v"),
-                   Max("pmax", alias_name="max_v"))
-    )
-    ndv = (
-        ds.map_batches(distinct_partials, batch_format="pyarrow")
-        .groupby(["col", "vh"])
-        .aggregate(Count(alias_name="__c"))
-        .groupby("col")
-        .aggregate(Count(alias_name="n_distinct"))
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    stats = hash_aggregate(
+        ds.map_batches(stats_partials, batch_format="pyarrow"),
+        keys=["col"],
+        aggs={"n": ("pn", "sum"), "n_null": ("pnull", "sum"),
+              "min_v": ("pmin", "min"), "max_v": ("pmax", "max")})
+    ndv = hash_aggregate(
+        hash_aggregate(
+            ds.map_batches(distinct_partials, batch_format="pyarrow"),
+            keys=["col", "vh"], aggs={"__c": ("vh", "count")}),
+        keys=["col"], aggs={"n_distinct": ("vh", "count")})
     joined = broadcast_join(stats, ndv, on="col", how="left")
 
     def fill(batch: pa.Table) -> pa.Table:

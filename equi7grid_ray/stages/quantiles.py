@@ -65,11 +65,11 @@ def grouped_quantiles(ds, *, col: str, qs: tuple[float, ...],
         g["cnt_"] = g["cnt_"].astype(np.int64)
         return g
 
-    hist = (
-        ds.map_batches(partial_counts, batch_format="pandas")
-        .groupby(keys + [col])
-        .aggregate(Sum("cnt_", alias_name="cnt_"))
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    hist = hash_aggregate(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        keys=keys + [col], aggs={"cnt_": ("cnt_", "sum")})
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(col, kind="stable")

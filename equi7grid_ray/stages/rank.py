@@ -51,9 +51,11 @@ def global_rank(ds, *, value_col: str, id_col: str, n_tiles: int = 0,
         return pa.table({"v": pa.array(vals, pa.int64()),
                          "c": pa.array(cnt, pa.int64())})
 
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
     hist = collect_tables(
-        ds.map_batches(vcounts, batch_format="pyarrow")
-        .groupby("v").aggregate(Sum("c", alias_name="c")),
+        hash_aggregate(ds.map_batches(vcounts, batch_format="pyarrow"),
+                       keys=["v"], aggs={"c": ("c", "sum")}),
         schema=pa.schema([("v", pa.int64()), ("c", pa.int64())]),
     )
     vals = hist.column("v").to_numpy().astype(np.int64)

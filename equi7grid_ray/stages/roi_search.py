@@ -78,11 +78,11 @@ def bbox_tile_counts(ds, tile_size: int = 600_000, suffix: str = "T6"):
         return pa.table({"tile": vc.field("values").cast(pa.string()),
                          "pn": vc.field("counts").cast(pa.int64())})
 
-    return (
-        hits.map_batches(partial, batch_format="pyarrow")
-        .groupby("tile")
-        .aggregate(Sum("pn", alias_name="n"))
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    return hash_aggregate(
+        hits.map_batches(partial, batch_format="pyarrow"),
+        keys=["tile"], aggs={"n": ("pn", "sum")})
 
 
 class BBoxTilesStage:
@@ -198,8 +198,8 @@ def roi_tile_counts(ds, tiling_id: str = "T6", spec: GridSpec | None = None,
         return pa.table({"tile": vc.field("values").cast(pa.string()),
                          "pn": vc.field("counts").cast(pa.int64())})
 
-    return (
-        hits.map_batches(partial, batch_format="pyarrow")
-        .groupby("tile")
-        .aggregate(Sum("pn", alias_name="n"))
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    return hash_aggregate(
+        hits.map_batches(partial, batch_format="pyarrow"),
+        keys=["tile"], aggs={"n": ("pn", "sum")})

@@ -134,8 +134,11 @@ def balanced_sample(ds, key_col: str, id_col: str = "doc_id"):
 
     from equi7grid_ray.arrowutil import collect_tables
 
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
     counts = collect_tables(
-        ds.groupby(key_col).aggregate(Count(alias_name="n")))
+        hash_aggregate(ds.select_columns([key_col]), keys=[key_col],
+                       aggs={"n": (key_col, "count")}))
     if counts.num_rows == 0:
         return ds
     keys = counts.column(key_col).to_pylist()

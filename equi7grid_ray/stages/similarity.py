@@ -294,14 +294,11 @@ def embedding_near_dup_pairs(ds, dim: int, *, threshold: float = 0.4,
     cand = parted.groupby("part").map_groups(
         pairs_in_partition, batch_format="pandas"
     )
-    from ray.data.aggregate import Count
+    from equi7grid_ray.stages.aggregate import hash_aggregate
 
-    return (
-        cand.repartition(4)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["id_a", "id_b"])
-    )
+    return hash_aggregate(
+        cand, keys=["id_a", "id_b"], aggs={"n_bands": ("id_a", "count")},
+    ).select_columns(["id_a", "id_b"])
 
 
 class GridKNNTiles:
@@ -395,9 +392,8 @@ def grouped_centroids(ds, *, n_classes: int, cls_fn=None,
             "pn": pa.array(np.repeat(cnt, dim), pa.int64()),
         })
 
-    return (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(["cls", "dim"])
-        .aggregate(Sum("ps", alias_name="s"),
-                   Sum("pn", alias_name="n"))
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    return hash_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        keys=["cls", "dim"], aggs={"s": ("ps", "sum"), "n": ("pn", "sum")})

@@ -100,11 +100,11 @@ def hll_distinct(ds, *, col: str, p: int = 8, rho_cap: int = 40):
         return pa.table({"bucket": pa.array(nz, pa.int64()),
                          "rho": pa.array(regs[nz], pa.int64())})
 
-    regs = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Max("rho", alias_name="rho"))
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    regs = hash_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        keys=["bucket"], aggs={"rho": ("rho", "max")})
 
     def estimate(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["bucket"] >= 0]  # drop the always-present sentinel row
@@ -181,11 +181,11 @@ def hll_distinct_by(ds, *, key_col: str, col: str, p: int = 8,
             "rho": pa.array(regs[ki, bi], pa.int64()),
         })
 
-    regs = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby([key_col, "bucket"])
-        .aggregate(Max("rho", alias_name="rho"))
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    regs = hash_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        keys=[key_col, "bucket"], aggs={"rho": ("rho", "max")})
 
     def estimate(g: pd.DataFrame) -> pd.DataFrame:
         reg = g["rho"].to_numpy(dtype=np.int64)
@@ -301,10 +301,11 @@ def cms_heavy_hitters(ds, candidates, *, col: str, d: int = 4,
 
     from equi7grid_ray.arrowutil import collect_tables
 
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
     sketch_tbl = collect_tables(
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("slot")
-        .aggregate(Sum("c", alias_name="c")),
+        hash_aggregate(ds.map_batches(partials, batch_format="pyarrow"),
+                       keys=["slot"], aggs={"c": ("c", "sum")}),
         schema=pa.schema([("slot", pa.int64()), ("c", pa.int64())]),
     )
     # fixed-size sketch (d*w slots) -- safe to hold driver-side at any

@@ -217,10 +217,11 @@ def top_terms(ds, *, col: str = "text", k: int = 50):
             "n_": vc.field("counts").cast(pa.int64()),
         })
 
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n_", alias_name="n"))
+        hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                       keys=["token"], aggs={"n": ("n_", "sum")})
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
@@ -249,10 +250,11 @@ def doc_frequencies(ds, *, col: str = "text", max_vocab: int = 4096):
         return pa.table({"token": pa.array(vc.index.to_numpy(dtype=object)),
                          "df_": pa.array(vc.to_numpy(np.int64), pa.int64())})
 
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df_", alias_name="df"))
+        hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                       keys=["token"], aggs={"df": ("df_", "sum")})
         .sort(["df", "token"], descending=[True, False])
         .limit(max_vocab)
     )
@@ -437,12 +439,12 @@ def surprisal_scores(ds, *, col: str = "text", id_col: str = "doc_id",
     # distinct-token aggregate, materialized once (it feeds both the
     # total and the vocabulary cut); the SORT+LIMIT happens distributed
     # so the driver only ever holds max_vocab rows
-    counts_ds = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n_", alias_name="n"))
-        .materialize()
-    )
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    counts_ds = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["token"], aggs={"n": ("n_", "sum")},
+    ).materialize()
     n_total = int(counts_ds.sum("n") or 0)
     vocab = collect_tables(
         counts_ds.sort(["n", "token"], descending=[True, False])

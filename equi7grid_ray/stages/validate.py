@@ -64,10 +64,11 @@ def check_table(ds, *, not_null: list[str] | None = None,
             return pa.table({"check": pa.array(ck, pa.string()),
                              "pn": pa.array(pn, pa.int64())})
 
+        from equi7grid_ray.stages.aggregate import hash_aggregate
+
         t = collect_tables(
-            ds.map_batches(partials, batch_format="pyarrow")
-            .groupby("check")
-            .aggregate(Sum("pn", alias_name="n")),
+            hash_aggregate(ds.map_batches(partials, batch_format="pyarrow"),
+                           keys=["check"], aggs={"n": ("pn", "sum")}),
             schema=pa.schema([("check", pa.string()), ("n", pa.int64())]),
         )
         m = dict(zip(t.column("check").to_pylist(),
@@ -89,11 +90,11 @@ def check_table(ds, *, not_null: list[str] | None = None,
                 col = col.combine_chunks()
             return pa.table({c: col.unique()})
 
-        n_distinct = (
-            sub.map_batches(dedup, batch_format="pyarrow")
-            .groupby(c).aggregate(Count(alias_name="__c"))
-            .count()
-        )
+        from equi7grid_ray.stages.aggregate import hash_aggregate
+
+        n_distinct = hash_aggregate(
+            sub.map_batches(dedup, batch_format="pyarrow"),
+            keys=[c], aggs={"__c": (c, "count")}).count()
         names.append(f"unique:{c}")
         viols.append(int(total - n_distinct))
 
