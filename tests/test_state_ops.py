@@ -1044,3 +1044,34 @@ def test_apply_changes_cdc(ray_session):
         rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)),
         rd.from_arrow(changes), key_col="k", seq_col="seq").to_pandas()
     assert dict(zip(out2["k"], out2["v"])) == got
+
+
+def test_hash_aggregate_matches_native(ray_session):
+    """hash_aggregate == Ray's native groupby().aggregate() for every
+    supported fn, on mixed int/string keys, including single-row groups."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    rng = np.random.default_rng(21)
+    n = 10_000
+    t = pa.table({
+        "ki": pa.array(rng.integers(-50, 50, n), pa.int64()),
+        "ks": pa.array([f"s{v}" for v in rng.integers(0, 7, n)], pa.string()),
+        "v": pa.array(rng.integers(-1000, 1000, n), pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    want = (ds.groupby(["ki", "ks"])
+            .aggregate(Sum("v", alias_name="s"), Min("v", alias_name="lo"),
+                       Max("v", alias_name="hi"), Count(alias_name="c"))
+            .to_pandas().sort_values(["ki", "ks"]).reset_index(drop=True))
+    got = hash_aggregate(
+        ds, keys=["ki", "ks"],
+        aggs={"s": ("v", "sum"), "lo": ("v", "min"),
+              "hi": ("v", "max"), "c": ("v", "count")},
+    ).to_pandas().sort_values(["ki", "ks"]).reset_index(drop=True)
+    assert got[want.columns.tolist()].equals(want)
+
+    with pytest.raises(ValueError):
+        hash_aggregate(ds, keys=["ki"], aggs={"m": ("v", "mean")})
