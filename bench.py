@@ -255,6 +255,8 @@ def _driver_queries() -> dict[str, float]:
         "lineitem_weighted_sample",
         "user_coverage",
         "user_growth",
+        "image_ahash",
+        "image_dedup_canonical",
     ]
     qs = e.queries()
     for name in sel:

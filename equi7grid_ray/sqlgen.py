@@ -376,6 +376,58 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_dist}
 """
 
 
+def image_ahash_sql(n_images: int = 500) -> str:
+    """Mirror of the AHashImages stage: 8x8 point-sampled grid (row
+    r*h//8, col c*w//8), bit k = r*8 + c (MSB-first) set when
+    64*v > sum(grid) -- the integer-exact mean compare, so both sides
+    compute identical bits."""
+    return f"""
+WITH img AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+grid AS (
+  SELECT i, r.r AS r, c.c AS c,
+    ((((r.r * h) // 8) * h + ((c.c * w) // 8) * w + i) % 256) AS v
+  FROM img,
+  LATERAL (SELECT unnest(range(8)) AS r) r,
+  LATERAL (SELECT unnest(range(8)) AS c) c),
+tot AS (SELECT i, sum(v) AS s FROM grid GROUP BY i),
+ah AS (
+  SELECT i, (CASE WHEN u >= {1 << 63}::HUGEINT
+             THEN u - {U64}::HUGEINT ELSE u END)::BIGINT AS ahash
+  FROM (SELECT g.i AS i,
+               sum(CASE WHEN 64 * g.v > t.s THEN 1 ELSE 0 END
+                   * (1::HUGEINT << (63 - (g.r * 8 + g.c)))) AS u
+        FROM grid g JOIN tot t ON t.i = g.i GROUP BY g.i))
+SELECT printf('img%012d', i) AS image_id, ahash FROM ah"""
+
+
+def image_canonical_sql(n_images: int = 500, max_dist: int = 3) -> str:
+    """Mirror of multimodal.image_canonical_ids: connected components
+    (recursive-CTE reachability -- fine at oracle scale) over the
+    brute-force dHash pair graph, LEFT JOINed back onto the full image
+    range so isolated images stay their own canonical."""
+    return f"""
+WITH RECURSIVE {_dhash_ctes(n_images)},
+pairs AS (
+  SELECT a.i AS id_a, b.i AS id_b
+  FROM dh a JOIN dh b ON a.i < b.i
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_dist}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT printf('img%012d', t.i) AS image_id,
+       printf('img%012d', COALESCE(c.component, t.i)) AS canonical
+FROM range({n_images}) t(i) LEFT JOIN comp c ON c.node = t.i"""
+
+
 def frame_sample_sql(n_videos: int = 100, every: int = 5, n_frames: int = 20) -> str:
     """Mirror of stages/multimodal.py FrameSampler group-count: the fake
     demux emits frame indices range(0, n_frames, every) for every video,

@@ -18,8 +18,9 @@ import pyarrow as pa
 
 from equi7grid_ray.codec import decode_image, png_stream_stats
 
-__all__ = ["DecodeImages", "DHashImages", "dhash_near_dup", "AudioFeatures",
-           "PCMAudioFeatures", "FrameSampler", "fake_decode"]
+__all__ = ["DecodeImages", "DHashImages", "AHashImages", "dhash_near_dup",
+           "image_canonical_ids", "AudioFeatures", "PCMAudioFeatures",
+           "FrameSampler", "fake_decode"]
 
 
 def fake_decode(payload: bytes, n: int) -> np.ndarray:
@@ -138,7 +139,10 @@ class DHashImages:
             self._idx_cache[key] = hit
         return hit
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _grids(self, batch: pa.Table) -> np.ndarray:
+        """Point-sample every payload to a (n, GRID_H, GRID_W) uint8
+        luma grid -- the shared downsample step of the perceptual
+        hashes (dHash / aHash / pHash)."""
         from equi7grid_ray.arrowutil import binary_view
 
         data, offs = binary_view(batch.column("bytes"))
@@ -154,7 +158,7 @@ class DHashImages:
                 )
             ri, ci = self._sample_idx(int(ws[j]), int(hs[j]))
             if f == "png":
-                # streaming inflate: only the 8 sampled scanlines leave
+                # streaming inflate: only the sampled scanlines leave
                 # the bounded window (no decoded-frame materialization)
                 st = png_stream_stats(data[offs[j] : offs[j + 1]],
                                       keep_rows=ri)
@@ -173,6 +177,11 @@ class DHashImages:
             if img.ndim == 3:  # RGB payload: integer luma (R+G+B)//3
                 img = (img.sum(axis=2, dtype=np.uint32) // 3).astype(np.uint8)
             grids[j] = img[np.ix_(ri, ci)]
+        return grids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grids = self._grids(batch)
+        n = batch.num_rows
         # one vectorized compare + packbits over the whole batch:
         # bit k = r*8 + c (MSB-first) = grid[r, c+1] > grid[r, c]
         bits = grids[:, :, 1:] > grids[:, :, :-1]  # (n, 8, 8) bool
@@ -182,6 +191,35 @@ class DHashImages:
             {
                 self.id_col: batch.column(self.id_col),
                 "dhash": pa.array(dhash.reshape(-1), pa.int64()),
+            }
+        )
+
+
+class AHashImages(DHashImages):
+    """Average-hash (aHash) actor-pool stage: the simplest perceptual
+    hash -- 8x8 point-sampled luma grid, bit k = r*8 + c (MSB-first) set
+    when the sample exceeds the grid mean.
+
+    The mean compare is done in integers (``64 * v > sum(grid)``), so
+    the hash is exact platform-independent integer math on 64 pixels and
+    fully SQL-mirrorable (sqlgen.image_ahash_sql).  Shares the
+    streaming-inflate grid sampler with dHash; complements it: dHash
+    keys on horizontal gradients, aHash on global brightness layout."""
+
+    GRID_W = 8
+    GRID_H = 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grids = self._grids(batch).astype(np.int64)
+        n = batch.num_rows
+        total = grids.reshape(n, 64).sum(axis=1)  # <= 64*255, int64
+        bits = (64 * grids.reshape(n, 64)) > total[:, None]
+        packed = np.packbits(bits, axis=1)
+        ahash = packed.copy().view(">u8").astype(np.uint64).view(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "ahash": pa.array(ahash.reshape(-1), pa.int64()),
             }
         )
 
@@ -221,6 +259,58 @@ def dhash_near_dup(ds, max_dist: int = 3, id_col: str = "image_id",
                                 max_dist=max_dist,
                                 n_partitions=n_partitions,
                                 max_bucket=max_bucket)
+
+
+def image_canonical_ids(ds, max_dist: int = 3, id_col: str = "image_id",
+                        id_prefix: str = "img", **pair_kwargs):
+    """End-to-end image deduplication: images -> banded-dHash near-dup
+    pairs -> connected components -> one canonical image id per image
+    (itself when it has no near-duplicate).
+
+    The image twin of the text pipeline lsh pairs ->
+    graph.connected_components -> graph.canonical_assignments.  Ids of
+    the form ``{prefix}%012d`` are mapped to their numeric suffix with
+    one vectorized Arrow slice+cast (components propagate int64
+    labels), and the canonical numeric id is re-rendered to the string
+    form on the way out -- the shuffle payload is integers throughout.
+
+    Returns a Dataset ``(image_id: string, canonical: string)`` over
+    the FULL input (isolated images included via the broadcast
+    component map in canonical_assignments)."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.stages.graph import (canonical_assignments,
+                                            connected_components)
+
+    pre = len(id_prefix)
+
+    def to_num(batch: pa.Table, cols: tuple[str, ...]) -> pa.Table:
+        out = {}
+        for c in cols:
+            out[c] = pc.cast(
+                pc.utf8_slice_codeunits(batch.column(c), pre), pa.int64())
+        return pa.table(out)
+
+    pairs = dhash_near_dup(ds, max_dist=max_dist, id_col=id_col,
+                           **pair_kwargs)
+    pairs_num = pairs.map_batches(
+        lambda b: to_num(b, ("id_a", "id_b")), batch_format="pyarrow")
+    comp = connected_components(pairs_num)
+    imgs_num = ds.select_columns([id_col]).map_batches(
+        lambda b: to_num(b, (id_col,)), batch_format="pyarrow")
+    assigned = canonical_assignments(imgs_num, comp, id_col=id_col)
+
+    def render(batch: pa.Table) -> pa.Table:
+        def fmt(col):
+            return pc.binary_join_element_wise(
+                id_prefix,
+                pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0"), "")
+        return pa.table({
+            id_col: fmt(batch.column(id_col)),
+            "canonical": fmt(batch.column("canonical")),
+        })
+
+    return assigned.map_batches(render, batch_format="pyarrow")
 
 
 class AudioFeatures:

@@ -166,3 +166,69 @@ def test_banded_hamming_pairs_int_ids_brute_force(ray_session):
                for a, b in zip(out["id_a"], out["id_b"])}
         assert got == want, cap
     assert any(d for d in want)  # planted pairs actually present
+
+
+def _naive_ahash(tbl: pa.Table, i: int) -> int:
+    b = tbl.column("bytes")[i].as_py()
+    f = tbl.column("fmt")[i].as_py()
+    w = tbl.column("w")[i].as_py()
+    h = tbl.column("h")[i].as_py()
+    img = decode_image(b, f, w, h)
+    ri = np.arange(8) * h // 8
+    ci = np.arange(8) * w // 8
+    g = img[np.ix_(ri, ci)].astype(np.int64)
+    total = int(g.sum())
+    v = 0
+    for k, px in enumerate(g.reshape(-1)):
+        if 64 * int(px) > total:
+            v |= 1 << (63 - k)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def test_ahash_stage_matches_naive_reference():
+    from equi7grid_ray.stages.multimodal import AHashImages
+
+    tbl = make_batch(0, 120)  # covers all 9 (w, h) classes + both fmts
+    out = AHashImages()(tbl)
+    got = out.column("ahash").to_numpy()
+    for i in range(120):
+        assert got[i] == _naive_ahash(tbl, i), i
+
+
+def test_ahash_sql_mirror_bit_exact():
+    import duckdb
+
+    from equi7grid_ray import sqlgen
+    from equi7grid_ray.stages.multimodal import AHashImages
+
+    tbl = make_batch(0, 200)
+    got = AHashImages()(tbl).column("ahash").to_numpy()
+    rows = duckdb.sql(
+        sqlgen.image_ahash_sql(200) + " ORDER BY image_id").fetchall()
+    assert np.array_equal(got, np.array([r[1] for r in rows], np.int64))
+
+
+def test_image_canonical_ids_planted_cluster(ray_session):
+    """Three byte-identical copies + one isolated image: the copies form
+    one component with the minimum id as canonical; the isolated image
+    maps to itself."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.multimodal import image_canonical_ids
+
+    one = make_batch(0, 1)
+
+    def renamed(n: int) -> pa.Table:
+        return one.set_column(
+            0, "image_id", pa.array([f"img{n:012d}"], pa.string()))
+
+    far = make_batch(7, 1)
+    ds = rd.from_arrow(pa.concat_tables([one, renamed(5), renamed(9), far]))
+    got = image_canonical_ids(ds, max_dist=0).to_pandas()
+    m = dict(zip(got.image_id, got.canonical))
+    assert m == {
+        "img000000000000": "img000000000000",
+        "img000000000005": "img000000000000",
+        "img000000000009": "img000000000000",
+        "img000000000007": "img000000000007",
+    }
