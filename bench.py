@@ -256,6 +256,7 @@ def _driver_queries() -> dict[str, float]:
         "user_coverage",
         "user_growth",
         "image_ahash",
+        "image_phash",
         "image_dedup_canonical",
     ]
     qs = e.queries()

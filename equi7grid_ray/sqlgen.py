@@ -404,6 +404,54 @@ ah AS (
 SELECT printf('img%012d', i) AS image_id, ahash FROM ah"""
 
 
+def image_phash_sql(n_images: int = 300) -> str:
+    """Mirror of the PHashImages stage: 16x16 point-sampled grid ->
+    integer 2-D DCT-II with the SAME Q14 basis
+    (stages.multimodal.phash_basis) -> 8x8 low-frequency block minus DC
+    (63 int64 coefficients) -> bit j = coeff_j > quantile_disc(0.5)
+    (the 32nd order statistic, identical to numpy partition[31]).
+    Factored row/column transform keeps the join fanout at
+    256 + 8*16 + 64 rows per image."""
+    from equi7grid_ray.stages.multimodal import phash_basis
+
+    B = phash_basis()
+    basis = ", ".join(
+        f"({u}, {k}, {int(B[u, k])})" for u in range(16) for k in range(16))
+    return f"""
+WITH img AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+basis(u, k, b) AS (VALUES {basis}),
+grid AS (
+  SELECT i, r.r AS r, c.c AS c,
+    ((((r.r * h) // 16) * h + ((c.c * w) // 16) * w + i) % 256) AS v
+  FROM img,
+  LATERAL (SELECT unnest(range(16)) AS r) r,
+  LATERAL (SELECT unnest(range(16)) AS c) c),
+rowt AS (
+  SELECT g.i AS i, bu.u AS u, g.c AS c, sum(g.v * bu.b) AS t
+  FROM grid g JOIN basis bu ON bu.k = g.r
+  WHERE bu.u < 8 GROUP BY g.i, bu.u, g.c),
+coeff AS (
+  SELECT rt.i AS i, rt.u AS u, bv.u AS v, sum(rt.t * bv.b) AS cf
+  FROM rowt rt JOIN basis bv ON bv.k = rt.c
+  WHERE bv.u < 8 GROUP BY rt.i, rt.u, bv.u),
+med AS (
+  SELECT i, quantile_disc(cf, 0.5) AS m FROM coeff
+  WHERE NOT (u = 0 AND v = 0) GROUP BY i),
+ph AS (
+  SELECT i, (CASE WHEN s >= {1 << 63}::HUGEINT
+             THEN s - {U64}::HUGEINT ELSE s END)::BIGINT AS phash_dct
+  FROM (SELECT c.i AS i,
+               sum(CASE WHEN c.cf > med.m THEN 1 ELSE 0 END
+                   * (1::HUGEINT << (63 - (c.u * 8 + c.v - 1)))) AS s
+        FROM coeff c JOIN med ON med.i = c.i
+        WHERE NOT (c.u = 0 AND c.v = 0) GROUP BY c.i))
+SELECT printf('img%012d', i) AS image_id, phash_dct FROM ph"""
+
+
 def image_canonical_sql(n_images: int = 500, max_dist: int = 3) -> str:
     """Mirror of multimodal.image_canonical_ids: connected components
     (recursive-CTE reachability -- fine at oracle scale) over the

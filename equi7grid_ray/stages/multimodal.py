@@ -18,9 +18,10 @@ import pyarrow as pa
 
 from equi7grid_ray.codec import decode_image, png_stream_stats
 
-__all__ = ["DecodeImages", "DHashImages", "AHashImages", "dhash_near_dup",
-           "image_canonical_ids", "AudioFeatures", "PCMAudioFeatures",
-           "FrameSampler", "fake_decode"]
+__all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
+           "phash_basis", "dhash_near_dup", "image_canonical_ids",
+           "AudioFeatures", "PCMAudioFeatures", "FrameSampler",
+           "fake_decode"]
 
 
 def fake_decode(payload: bytes, n: int) -> np.ndarray:
@@ -259,6 +260,52 @@ def dhash_near_dup(ds, max_dist: int = 3, id_col: str = "image_id",
                                 max_dist=max_dist,
                                 n_partitions=n_partitions,
                                 max_bucket=max_bucket)
+
+
+def phash_basis() -> np.ndarray:
+    """Integer DCT-II basis shared by the pHash stage and its SQL
+    mirror: B[u, k] = round(2^14 * cos(pi * (2k+1) * u / 32)), 16x16
+    int64.  Quantizing the cosines makes the 2-D DCT exact integer
+    arithmetic, so the hash is platform-independent and bit-exact
+    against sqlgen.image_phash_sql (max |coeff| <= 256*255*2^28 << 2^63)."""
+    k = np.arange(16)
+    u = np.arange(16)[:, None]
+    return np.round((2 ** 14) * np.cos(np.pi * (2 * k + 1) * u / 32)) \
+        .astype(np.int64)
+
+
+class PHashImages(DHashImages):
+    """Perceptual DCT hash (pHash) actor-pool stage: 16x16 point-sampled
+    luma grid -> integer 2-D DCT-II (shared Q14 basis, exact int64) ->
+    top-left 8x8 low-frequency block minus the DC term (63 coefficients)
+    -> bit j set when coefficient j exceeds the block median (the 32nd
+    order statistic of the 63 -- exact in integers).  Bits are MSB-first
+    (bit j at position 63-j); the bottom bit is always 0.
+
+    Catches scaled/blurred near-duplicates that the gradient-based dHash
+    misses; banded Hamming pairing (stages/hamming.py) applies
+    unchanged because the output is the same 64-bit fingerprint shape."""
+
+    GRID_W = 16
+    GRID_H = 16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self._grids(batch).astype(np.int64)
+        n = batch.num_rows
+        B = phash_basis()
+        coeff = np.einsum("ur,nrc,vc->nuv", B, g, B)  # exact int64
+        vals = coeff[:, :8, :8].reshape(n, 64)[:, 1:]  # drop DC, 63 coeffs
+        med = np.partition(vals, 31, axis=1)[:, 31]
+        bits = np.concatenate(
+            [vals > med[:, None], np.zeros((n, 1), dtype=bool)], axis=1)
+        packed = np.packbits(bits, axis=1)
+        phash = packed.copy().view(">u8").astype(np.uint64).view(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "phash_dct": pa.array(phash.reshape(-1), pa.int64()),
+            }
+        )
 
 
 def image_canonical_ids(ds, max_dist: int = 3, id_col: str = "image_id",

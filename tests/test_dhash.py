@@ -232,3 +232,71 @@ def test_image_canonical_ids_planted_cluster(ray_session):
         "img000000000009": "img000000000000",
         "img000000000007": "img000000000007",
     }
+
+
+def _naive_phash(tbl: pa.Table, i: int) -> int:
+    from equi7grid_ray.stages.multimodal import phash_basis
+
+    b = tbl.column("bytes")[i].as_py()
+    f = tbl.column("fmt")[i].as_py()
+    w = tbl.column("w")[i].as_py()
+    h = tbl.column("h")[i].as_py()
+    img = decode_image(b, f, w, h)
+    ri = np.arange(16) * h // 16
+    ci = np.arange(16) * w // 16
+    g = img[np.ix_(ri, ci)].astype(object)  # Python ints: no overflow
+    B = phash_basis().astype(object)
+    coeff = B @ g @ B.T
+    vals = [int(coeff[u, v]) for u in range(8) for v in range(8)][1:]
+    med = sorted(vals)[31]
+    v = 0
+    for j, c in enumerate(vals):
+        if c > med:
+            v |= 1 << (63 - j)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def test_phash_stage_matches_naive_reference():
+    from equi7grid_ray.stages.multimodal import PHashImages
+
+    tbl = make_batch(0, 60)
+    got = PHashImages()(tbl).column("phash_dct").to_numpy()
+    for i in range(60):
+        assert got[i] == _naive_phash(tbl, i), i
+
+
+def test_phash_sql_mirror_bit_exact():
+    import duckdb
+
+    from equi7grid_ray import sqlgen
+    from equi7grid_ray.stages.multimodal import PHashImages
+
+    tbl = make_batch(0, 150)
+    got = PHashImages()(tbl).column("phash_dct").to_numpy()
+    rows = duckdb.sql(
+        sqlgen.image_phash_sql(150) + " ORDER BY image_id").fetchall()
+    assert np.array_equal(got, np.array([r[1] for r in rows], np.int64))
+
+
+def test_phash_brightness_invariance_and_twin():
+    """pHash drops the DC term, so a constant brightness shift leaves
+    the hash unchanged (the property dHash does NOT have); byte-twins
+    hash identically."""
+    from equi7grid_ray.stages.multimodal import PHashImages
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 200, size=(64, 64)).astype(np.uint8)
+    shifted = (img + 40).astype(np.uint8)  # no wrap: img < 200
+
+    def row(a, iid):
+        return pa.table({
+            "image_id": pa.array([iid]),
+            "bytes": pa.array([a.tobytes()], pa.binary()),
+            "w": pa.array([64], pa.int32()),
+            "h": pa.array([64], pa.int32()),
+            "fmt": pa.array(["raw"]),
+        })
+
+    tbl = pa.concat_tables([row(img, "a"), row(shifted, "b"), row(img, "c")])
+    got = PHashImages()(tbl).column("phash_dct").to_numpy()
+    assert got[0] == got[1] == got[2]
