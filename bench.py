@@ -257,6 +257,7 @@ def _driver_queries() -> dict[str, float]:
         "user_growth",
         "image_ahash",
         "image_phash",
+        "image_stats_pal",
         "image_dedup_canonical",
     ]
     qs = e.queries()

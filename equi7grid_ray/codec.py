@@ -57,10 +57,33 @@ def encode_png_rgb8(img: np.ndarray, level: int = 6) -> bytes:
     return _encode_png(img, 2, level)
 
 
+def encode_png_pal8(indices: np.ndarray, palette: np.ndarray,
+                    level: int = 6) -> bytes:
+    """Encode a (h, w) uint8 index array + (K, 3) uint8 palette as an
+    8-bit paletted (color type 3) PNG: a PLTE chunk followed by
+    filter-0 index scanlines."""
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if indices.ndim != 2:
+        raise ValueError("pal8 PNG needs a (h, w) index array")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
+        raise ValueError("palette must be (K<=256, 3) uint8")
+    if indices.max(initial=0) >= len(palette):
+        raise ValueError("index out of palette range")
+    h, w = indices.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = np.empty((h, w + 1), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = indices
+    idat = zlib.compress(raw.tobytes(), level)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
+            + _chunk(b"IDAT", idat) + _chunk(b"IEND", b""))
+
+
 def decode_png(buf, copy: bool = True) -> np.ndarray:
-    """Decode an 8-bit grayscale (color type 0) or RGB (color type 2)
-    PNG produced by any filter-0/1/2 encoder; returns (h, w) or
-    (h, w, 3).
+    """Decode an 8-bit grayscale (color type 0), RGB (color type 2) or
+    paletted (color type 3, expanded through its PLTE) PNG produced by
+    any filter-0/1/2 encoder; returns (h, w) or (h, w, 3).
 
     Accepts any bytes-like object (bytes, memoryview over an Arrow value
     buffer) without copying the payload.  By default the returned array
@@ -73,6 +96,8 @@ def decode_png(buf, copy: bool = True) -> np.ndarray:
         raise ValueError("not a PNG")
     pos = 8
     w = h = ch = None
+    ctype = 0
+    plte = None
     idat_parts: list = []
     while pos < len(buf):
         (ln,) = struct.unpack_from(">I", buf, pos)
@@ -80,18 +105,41 @@ def decode_png(buf, copy: bool = True) -> np.ndarray:
         payload = buf[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, bit, ctype = struct.unpack_from(">IIBB", payload, 0)
-            if bit != 8 or ctype not in (0, 2):
+            if bit != 8 or ctype not in (0, 2, 3):
                 raise NotImplementedError(
-                    "only 8-bit grayscale/RGB PNG supported")
-            ch = 1 if ctype == 0 else 3
+                    "only 8-bit grayscale/RGB/paletted PNG supported")
+            ch = 3 if ctype == 2 else 1  # paletted scanlines carry indices
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat_parts.append(payload)
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    if ctype == 3 and plte is None:
+        raise ValueError("paletted PNG without a PLTE chunk")
     idat = idat_parts[0] if len(idat_parts) == 1 else b"".join(idat_parts)
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8) \
         .reshape(h, w * ch + 1)
+    if ctype == 3:
+        # palette gather: (h, w) indices -> (h, w, 3) RGB (always a new
+        # array, so `copy` is moot); filters on index rows are the same
+        # byte-domain filters
+        idx = raw[:, 1:]
+        filters = raw[:, 0]
+        if not (filters == 0).all():
+            idx = idx.copy()
+            for r in range(h):
+                f = filters[r]
+                if f == 0:
+                    continue
+                if f == 1:
+                    idx[r] = np.cumsum(idx[r], dtype=np.uint64).astype(np.uint8)
+                elif f == 2:
+                    idx[r] = (idx[r].astype(np.uint16) + idx[r - 1]).astype(np.uint8)
+                else:
+                    raise NotImplementedError(f"PNG filter {f} unsupported")
+        return plte[idx]
     filters = raw[:, 0]
     if (filters == 0).all():
         img = raw[:, 1:].copy() if copy else raw[:, 1:]
@@ -148,6 +196,9 @@ def png_stream_stats(buf, keep_rows=None, chunk: int = 1 << 16):
         tag = bytes(buf[pos + 4 : pos + 8])
         if tag == b"IHDR":
             w, h, bit, ctype = struct.unpack_from(">IIBB", buf, pos + 8)
+            if bit == 8 and ctype == 3:
+                return None  # paletted: stats need the PLTE gather ->
+                # callers fall back to the full decode_png path
             if bit != 8 or ctype not in (0, 2):
                 raise NotImplementedError(
                     "only 8-bit grayscale/RGB PNG supported")

@@ -137,6 +137,58 @@ def make_rgb_batch(start: int, n: int) -> pa.Table:
     )
 
 
+#: deterministic 64-entry palette for the paletted-PNG fixture:
+#: palette[j] = ((7j+13) % 256, (11j+29) % 256, (3j+5) % 256)
+PAL_K = 64
+
+
+def pal_palette() -> np.ndarray:
+    j = np.arange(PAL_K, dtype=np.int64)
+    return np.stack([(7 * j + 13) % 256, (11 * j + 29) % 256,
+                     (3 * j + 5) % 256], axis=1).astype(np.uint8)
+
+
+def make_pal_batch(start: int, n: int) -> pa.Table:
+    """Paletted (color type 3) PNG variant: row i's INDEX at (r, c) is
+    ((r*h + c*w + i) % PAL_K); pixels are the palette entries, so the
+    SQL oracle rederives channel-exact stats through the same 64-entry
+    palette literal.  Same schema as make_batch (fmt stays 'png': the
+    color type lives in the PNG header)."""
+    from equi7grid_ray.codec import encode_png_pal8
+
+    idx = np.arange(start, start + n, dtype=np.int64)
+    w = np.array([_SIZES[i % 3] for i in idx], dtype=np.int32)
+    h = np.array([_SIZES[(i // 3) % 3] for i in idx], dtype=np.int32)
+    lon, lat = centers_for_index(idx)
+    pal = pal_palette()
+    payloads = []
+    for j, i in enumerate(idx):
+        hh, ww = int(h[j]), int(w[j])
+        r = np.arange(hh, dtype=np.int64)[:, None]
+        c = np.arange(ww, dtype=np.int64)[None, :]
+        ind = ((r * hh + c * ww + int(i)) % PAL_K).astype(np.uint8)
+        payloads.append(encode_png_pal8(ind, pal))
+    prefix = np.zeros((n, 64), dtype=np.uint8)
+    for j, p in enumerate(payloads):
+        k = min(64, len(p))
+        prefix[j, :k] = np.frombuffer(p[:k], dtype=np.uint8)
+    captions = [
+        f"synthetic paletted scene {int(i)} at ({lo:.4f},{la:.4f})"
+        for i, lo, la in zip(idx, lon, lat)
+    ]
+    return pa.table(
+        {
+            "image_id": pa.array([f"pal{int(i):012d}" for i in idx], pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "w": pa.array(w, pa.int32()),
+            "h": pa.array(h, pa.int32()),
+            "fmt": pa.array(["png"] * n, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(fnv1a64_prefix(prefix), pa.int64()),
+        }
+    )
+
+
 def _row0_prefix() -> np.ndarray:
     img = ((np.arange(32)[:, None] * 32 + np.arange(32)[None, :] * 32) % 256).astype(np.uint8)
     b = encode_image(img, "raw")[:64]

@@ -293,6 +293,34 @@ FROM px GROUP BY i
 """
 
 
+def image_stats_pal_sql(n_images: int = 300) -> str:
+    """Mirror of sources/images.py make_pal_batch + DecodeImages
+    px_mean: index (r, c) of image i is ((r*h + c*w + i) % PAL_K) and
+    the pixel is the 3-channel palette entry -- the mean runs over the
+    palette-expanded RGB values (integer sum exact in float64)."""
+    from equi7grid_ray.sources.images import PAL_K, pal_palette
+
+    pal = pal_palette().astype(np.int64)
+    rows = ", ".join(f"({j}, {int(s)})" for j, s in enumerate(pal.sum(axis=1)))
+    return f"""
+WITH img AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+pal(j, s3) AS (VALUES {rows}),
+px AS (
+  SELECT img.i AS i, p.s3 AS s3
+  FROM img,
+  LATERAL (SELECT unnest(range(h)) AS r) r,
+  LATERAL (SELECT unnest(range(w)) AS c) c
+  JOIN pal p ON p.j = ((r.r * h + c.c * w + i) % {PAL_K}))
+SELECT printf('pal%012d', i) AS image_id,
+       sum(s3)::DOUBLE / (3 * count(*)) AS px_mean
+FROM px GROUP BY i
+"""
+
+
 def audio_pcm_sql(n_images: int = 500) -> str:
     """Mirror of stages/multimodal.py:PCMAudioFeatures over the
     synthetic payload table: pixel byte p of image i is

@@ -1075,3 +1075,54 @@ def test_hash_aggregate_matches_native(ray_session):
 
     with pytest.raises(ValueError):
         hash_aggregate(ds, keys=["ki"], aggs={"m": ("v", "mean")})
+
+
+def test_png_pal8_roundtrip_and_stages():
+    """Paletted (color type 3) PNG: encode -> decode expands through the
+    PLTE bit-exactly; filtered index scanlines unfilter in the index
+    domain; the decode stage falls back from the streaming path (which
+    returns None for palette PNGs) and still produces exact stats."""
+    import struct
+    import zlib
+
+    from equi7grid_ray.codec import (decode_png, encode_png_pal8,
+                                     png_stream_stats)
+    from equi7grid_ray.sources.images import make_pal_batch, pal_palette
+
+    rng = np.random.default_rng(13)
+    pal = pal_palette()
+    idx = rng.integers(0, len(pal), (21, 17)).astype(np.uint8)
+    buf = encode_png_pal8(idx, pal)
+    assert np.array_equal(decode_png(buf), pal[idx])
+    assert png_stream_stats(buf) is None  # palette -> full-decode path
+
+    # filter-2 (up) index scanlines unfilter in the index domain
+    h, w = 5, 7
+    idx = rng.integers(0, len(pal), (h, w)).astype(np.uint8)
+    raw = np.empty((h, w + 1), dtype=np.uint8)
+    raw[0, 0] = 0
+    raw[0, 1:] = idx[0]
+    for r in range(1, h):
+        raw[r, 0] = 2
+        raw[r, 1:] = ((idx[r].astype(np.int16) - idx[r - 1]) % 256).astype(np.uint8)
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    buf = (sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(buf), pal[idx])
+
+    # DecodeImages over the fixture: exact stats via the fallback path
+    from equi7grid_ray.stages.multimodal import DecodeImages
+
+    tbl = make_pal_batch(0, 12)
+    out = DecodeImages()(tbl)
+    for j in range(12):
+        b = tbl.column("bytes")[j].as_py()
+        img = decode_png(b)
+        assert out.column("px_mean")[j].as_py() == img.mean()
