@@ -258,6 +258,9 @@ def _driver_queries() -> dict[str, float]:
         "image_ahash",
         "image_phash",
         "image_stats_pal",
+        "props_json_extract",
+        "scd2_user_state",
+        "nchars_outliers",
         "image_dedup_canonical",
     ]
     qs = e.queries()

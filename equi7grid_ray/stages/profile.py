@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "zscore_outliers"]
 
 _I64MAX = np.iinfo(np.int64).max
 _I64MIN = np.iinfo(np.int64).min
@@ -128,3 +128,94 @@ def profile_columns(ds, *, int_cols: list[str], str_cols: list[str]):
         return batch
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def zscore_outliers(ds, *, key_col: str, val_col: str, id_col: str,
+                    k: int = 2):
+    """Per-group z-score outlier detection over an INTEGER column,
+    computed exactly: row x of group g is an outlier when
+
+        |x - mean_g| > k * stddev_g        (sample stddev)
+
+    which, cleared of divisions, is (n*x - s)^2 * (n-1) > k^2 * n *
+    (n*ss - s^2) with s = sum, ss = sum of squares -- pure integer
+    arithmetic, so the flag is exact at any scale and hash-oracle-able
+    against a HUGEINT SQL mirror (no float boundary flips).
+
+    Scale shape: pass 1 folds per-batch (key, n, s, ss) partials --
+    O(#keys) rows per task, nothing shuffles; the folded group table is
+    broadcast (ray.put) and pass 2 flags rows vectorized.  The per-key
+    threshold T = min integer with T^2*(n-1) > k^2*n*(n*ss - s^2) is
+    found with arbitrary-precision driver ints (isqrt + local search),
+    so the per-row compare is a single int64 |n*x - s| >= T gather --
+    no 128-bit math in the hot path.
+
+    Returns outlier rows ``(key_col, id_col, val_col)``.
+    """
+    import math
+
+    import pandas as pd
+    import ray
+
+    from equi7grid_ray.arrowutil import collect_tables
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch.column(key_col).to_pandas(),
+            "v": batch.column(val_col).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        df["v2"] = df.v * df.v
+        g = df.groupby("k", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("v2", "sum"))
+        return pa.table({
+            key_col: pa.array(g.k), "n": pa.array(g.n, pa.int64()),
+            "s": pa.array(g.s, pa.int64()), "ss": pa.array(g.ss, pa.int64()),
+        })
+
+    part = collect_tables(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        schema=None)
+    pdf = part.to_pandas().groupby(key_col, as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+
+    keys: list = []
+    ns: list[int] = []
+    ss_: list[int] = []
+    ts: list[int] = []
+    for row in pdf.itertuples(index=False):
+        n, s, ss = int(row.n), int(row.s), int(row.ss)
+        keys.append(getattr(row, key_col))
+        ns.append(n)
+        ss_.append(s)
+        if n <= 1:
+            ts.append(1 << 62)  # no variance defined: nothing flags
+            continue
+        c = k * k * n * (n * ss - s * s)  # exact Python int
+        t = math.isqrt(max(c, 0) // (n - 1))
+        while t * t * (n - 1) <= c:  # minimal T with T^2 (n-1) > C
+            t += 1
+        ts.append(t)
+
+    order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
+    ref = ray.put((np.asarray(keys, dtype=object)[order],
+                   np.asarray(ns, np.int64)[order],
+                   np.asarray(ss_, np.int64)[order],
+                   np.asarray(ts, np.int64)[order]))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        gkeys, gn, gs, gt = ray.get(ref)
+        bk = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+        pos = np.searchsorted(gkeys, bk)
+        x = batch.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        a = np.abs(gn[pos] * x - gs[pos])
+        keep = a >= gt[pos]
+        idx = pa.array(np.nonzero(keep)[0].astype(np.int64))
+        return pa.table({
+            key_col: batch.column(key_col).take(idx),
+            id_col: batch.column(id_col).take(idx),
+            val_col: batch.column(val_col).take(idx),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")

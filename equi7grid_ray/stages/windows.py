@@ -15,7 +15,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize",
-           "cumulative_over", "funnel_stages", "merge_intervals"]
+           "cumulative_over", "funnel_stages", "merge_intervals",
+           "scd2_intervals"]
 
 _US = 1_000_000
 
@@ -291,3 +292,46 @@ def merge_intervals(ds, *, key_col: str, start_col: str, end_col: str,
         .groupby("part")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def scd2_intervals(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                   attr_col: str = "event_type",
+                   tiebreak_col: str = "event_id", n_partitions: int = 64):
+    """Slowly-changing-dimension type 2 build: collapse each key's
+    ordered attribute stream into validity intervals.
+
+    For every key, events are ordered by ``(ts, tiebreak)`` and
+    consecutive runs of an unchanged ``attr_col`` become one row
+    ``(key, version, attr, valid_from, valid_to)`` -- ``valid_from`` is
+    the run's first timestamp, ``valid_to`` the next run's first
+    timestamp (NULL for the current/open run), ``version`` the 1-based
+    run index.  The standard dimension-history builder a warehouse
+    derives from a CDC/event stream.
+
+    Scale shape: rows hash-partition by ``key_col`` (each event moves
+    exactly once, no global sort); each partition runs ONE vectorized
+    sort + shift-compare pass, so Python-call count is O(n_partitions).
+    ``tiebreak_col`` must make the per-key order total, or run
+    boundaries on equal timestamps would be nondeterministic."""
+    from equi7grid_ray.stages.join import _add_part_fn
+
+    parted = ds.map_batches(_add_part_fn(key_col, n_partitions),
+                            batch_format="pyarrow")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tiebreak_col], kind="stable")
+        new_key = g[key_col].ne(g[key_col].shift())
+        change = (new_key | g[attr_col].ne(g[attr_col].shift())).to_numpy()
+        s = g.loc[change, [key_col, ts_col, attr_col]].reset_index(drop=True)
+        same_key_next = s[key_col].eq(s[key_col].shift(-1)).to_numpy()
+        valid_to = s[ts_col].shift(-1)
+        valid_to[~same_key_next] = pd.NaT
+        return pd.DataFrame({
+            key_col: s[key_col],
+            "version": s.groupby(key_col, sort=False).cumcount() + 1,
+            attr_col: s[attr_col],
+            "valid_from": s[ts_col],
+            "valid_to": valid_to,
+        })
+
+    return parted.groupby("__part").map_groups(resolve, batch_format="pandas")

@@ -400,3 +400,71 @@ def test_merge_intervals_matches_naive(ray_session):
     for c in ("n_intervals", "n_islands", "covered"):
         assert (out[c].to_numpy(np.int64)
                 == wdf[c].to_numpy(np.int64)).all(), c
+
+
+def test_scd2_intervals_semantics(ray_session):
+    """Handcrafted stream: runs collapse, versions count runs, valid_to
+    chains to the next run's start (NULL for the open run)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from equi7grid_ray.stages.windows import scd2_intervals
+
+    t = pd.to_datetime(
+        ["2026-01-01 00:00", "2026-01-01 01:00", "2026-01-01 02:00",
+         "2026-01-01 03:00", "2026-01-01 00:30"])
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": t,
+        "event_id": [10, 11, 12, 13, 14],
+        "event_type": ["A", "A", "B", "A", "C"],
+    })
+    out = scd2_intervals(rd.from_pandas(df)).to_pandas() \
+        .sort_values(["user_id", "version"]).reset_index(drop=True)
+    assert out.user_id.tolist() == [1, 1, 1, 2]
+    assert out.version.tolist() == [1, 2, 3, 1]
+    assert out.event_type.tolist() == ["A", "B", "A", "C"]
+    assert out.valid_from.tolist() == [t[0], t[2], t[3], t[4]]
+    assert out.valid_to.tolist()[:2] == [t[2], t[3]]
+    assert pd.isna(out.valid_to[2]) and pd.isna(out.valid_to[3])
+
+
+def test_scd2_equal_ts_tiebreak(ray_session):
+    """Two events at the SAME timestamp order by the tiebreak column,
+    so run boundaries are deterministic."""
+    import pandas as pd
+    import ray.data as rd
+
+    from equi7grid_ray.stages.windows import scd2_intervals
+
+    t0 = pd.Timestamp("2026-02-01 12:00")
+    df = pd.DataFrame({
+        "user_id": [5, 5],
+        "ts": [t0, t0],
+        "event_id": [2, 1],
+        "event_type": ["later", "earlier"],
+    })
+    out = scd2_intervals(rd.from_pandas(df)).to_pandas() \
+        .sort_values("version").reset_index(drop=True)
+    assert out.event_type.tolist() == ["earlier", "later"]
+
+
+def test_zscore_outliers_planted(ray_session):
+    """A planted far value flags; the tight cluster does not; a
+    single-row group never flags (no sample variance)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from equi7grid_ray.stages.profile import zscore_outliers
+
+    vals = [100, 101, 99, 100, 102, 98, 100, 101, 99, 5000]
+    df = pd.DataFrame({
+        "lang": ["en"] * 10 + ["solo"],
+        "doc_id": list(range(11)),
+        "n_chars": vals + [7],
+    })
+    out = zscore_outliers(
+        rd.from_pandas(df), key_col="lang", val_col="n_chars",
+        id_col="doc_id", k=2).to_pandas()
+    assert out.doc_id.tolist() == [9]
+    assert out.lang.tolist() == ["en"]
