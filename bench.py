@@ -261,6 +261,7 @@ def _driver_queries() -> dict[str, float]:
         "props_json_extract",
         "scd2_user_state",
         "nchars_outliers",
+        "jaccard_join_exact",
         "image_dedup_canonical",
     ]
     qs = e.queries()

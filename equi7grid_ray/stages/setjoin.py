@@ -17,10 +17,22 @@ with J >= t`` (symmetrically for B).
 
 Scale shape:
 
+- Tokens are globally ordered RARE-FIRST (ascending document
+  frequency, hash tiebreak) -- the ordering that makes prefix
+  filtering effective: prefixes then hold each document's rarest
+  tokens, so candidate buckets stay near the true duplicate clusters
+  instead of the corpus-wide vocabulary.  (Any fixed total order is
+  CORRECT -- the theorem doesn't care -- but hash order was measured
+  to pass 125 k/125 k pairs as candidates on a shared-vocabulary
+  corpus where df order passes a few hundred.)  The df table is
+  bounded by the n-gram space (<= 2^24 for 3-byte ASCII windows at ANY
+  corpus size) and df-1 tokens are dropped from it, so it broadcasts
+  via ray.put; lookups are one vectorized searchsorted per batch.
 - Prefix emission is one vectorized pass per batch over the existing
   flat (hash, row) n-gram stream -- the shuffle carries only
   ``(token, id)`` rows for PREFIX tokens (a (1-t) fraction of each
-  set), never texts.
+  set), never texts.  Tokens with df = 1 are skipped outright (they
+  can never produce a pair).
 - Candidate generation hash-partitions by token: one pandas self-merge
   per PARTITION handles many token buckets (the lsh_candidate_pairs
   pattern); buckets over ``max_bucket`` are cut (the mega-bucket valve
@@ -57,36 +69,76 @@ def jaccard_similarity_join(ds, *, threshold: float = 0.8, n: int = 8,
     the prefix length and the final compare are integer-exact."""
     import ray.data as rd
 
+    from equi7grid_ray.arrowutil import collect_tables
     from equi7grid_ray.stages.aggregate import hash_aggregate
     from equi7grid_ray.stages.dedup import _ngram_set_per_row
     from equi7grid_ray.stages.join import shuffle_hash_join
+
+    import ray
 
     frac = Fraction(threshold).limit_denominator(1_000)
     tn, td = frac.numerator, frac.denominator
     if not 0 < frac <= 1:
         raise ValueError("threshold must be in (0, 1]")
 
+    # ---- pass A: document frequency per token (rare-first ordering) --
+    # per-batch DISTINCT (token) partials -> keyed sum; the result is
+    # bounded by the n-gram space, and df=1 tokens are dropped (they
+    # can't pair), so the broadcast table tracks the corpus vocabulary,
+    # not the corpus.
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        h, _row, _c = _ngram_set_per_row(batch.column(text_col), n,
+                                         batch.num_rows)
+        u, cnt = np.unique(h, return_counts=True)
+        return pa.table({"__tok": pa.array(u.view(np.int64), pa.int64()),
+                         "df": pa.array(cnt, pa.int64())})
+
+    df_tbl = collect_tables(
+        hash_aggregate(
+            ds.map_batches(tok_partials, batch_format="pyarrow"),
+            keys=["__tok"], aggs={"df": ("df", "sum")}),
+        schema=pa.schema([("__tok", pa.int64()), ("df", pa.int64())]))
+    toks = df_tbl.column("__tok").to_numpy().astype(np.int64)
+    dfs = df_tbl.column("df").to_numpy().astype(np.int64)
+    pairable = dfs >= 2
+    toks, dfs = toks[pairable], dfs[pairable]
+    order = np.argsort(toks, kind="stable")
+    df_ref = ray.put((toks[order], dfs[order]))
+
+    # ---- pass B: prefix emission under the (df, hash) total order ----
     def prefix_tokens(batch: pa.Table) -> pa.Table:
         nrows = batch.num_rows
         h, row, counts = _ngram_set_per_row(batch.column(text_col), n, nrows)
+        empty = pa.table({
+            id_col: batch.column(id_col).slice(0, 0),
+            "__tok": pa.array([], pa.int64()),
+            "__part": pa.array([], pa.int32()),
+        })
         if len(h) == 0:
-            return pa.table({
-                id_col: batch.column(id_col).slice(0, 0),
-                "__tok": pa.array([], pa.int64()),
-                "__part": pa.array([], pa.int32()),
-            })
-        # h is ascending within each row (the global order = hash value)
+            return empty
+        stoks, sdfs = ray.get(df_ref)
+        pos = np.searchsorted(stoks, h.view(np.int64))
+        pos_c = np.minimum(pos, max(len(stoks) - 1, 0))
+        hit = (stoks[pos_c] == h.view(np.int64)) if len(stoks) \
+            else np.zeros(len(h), bool)
+        df_of = np.where(hit, sdfs[pos_c] if len(stoks) else 1, 1)
+        # re-rank each row's set under the global (df, hash) order
+        order = np.lexsort((h, df_of, row))
+        h, row, df_of = h[order], row[order], df_of[order]
         m = counts
         p = m - (tn * m + td - 1) // td + 1  # prefix length, >= 1 for m >= 1
         starts = np.zeros(nrows, np.int64)
         np.cumsum(m[:-1], out=starts[1:])
-        keep = (np.arange(len(h), dtype=np.int64) - starts[row]) < p[row]
+        rank = np.arange(len(h), dtype=np.int64) - starts[row]
+        keep = (rank < p[row]) & (df_of >= 2)
         rk = row[keep]
         tok = h[keep].view(np.int64)
         part = (tok.view(np.uint64) % np.uint64(n_partitions)).astype(np.int32)
         return pa.table({
             id_col: batch.column(id_col).take(pa.array(rk)),
             "__tok": pa.array(tok, pa.int64()),
+            "__pos": pa.array(rank[keep].astype(np.int32), pa.int32()),
+            "__m": pa.array(m[rk].astype(np.int32), pa.int32()),
             "__part": pa.array(part, pa.int32()),
         })
 
@@ -100,6 +152,19 @@ def jaccard_similarity_join(ds, *, threshold: float = 0.8, n: int = 8,
                                  "id_b": pd.Series([], dtype=np.int64)})
         m = g.merge(g, on="__tok", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        ma = m["__m_a"].to_numpy().astype(np.int64)
+        mb = m["__m_b"].to_numpy().astype(np.int64)
+        # length filter (exact): J >= t needs t*max(m) <= min(m)
+        ok = tn * np.maximum(ma, mb) <= td * np.minimum(ma, mb)
+        # positional filter (exact, PPJoin): meeting at 0-based prefix
+        # positions (i, j), the overlap is at most
+        # min(m_a - i, m_b - j); J >= t needs overlap >=
+        # ceil(t/(1+t) * (m_a + m_b))
+        pa_ = m["__pos_a"].to_numpy().astype(np.int64)
+        pb_ = m["__pos_b"].to_numpy().astype(np.int64)
+        alpha = (tn * (ma + mb) + tn + td - 1) // (tn + td)
+        ok &= np.minimum(ma - pa_, mb - pb_) >= alpha
+        m = m[ok]
         out = m[[f"{id_col}_a", f"{id_col}_b"]].drop_duplicates()
         out.columns = ["id_a", "id_b"]
         return out

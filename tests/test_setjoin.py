@@ -1,0 +1,88 @@
+"""Exact set-similarity self-join (prefix-filter AllPairs/PPJoin).
+
+The operator claims recall AND precision 1 versus brute-force distinct
+char-n-gram Jaccard (no LSH approximation), with integer threshold
+compares (no float boundary flips).  Asserted here against an O(n^2)
+numpy reference on the real sf0.001 corpus and on planted boundary
+cases.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from equi7grid_ray.stages.dedup import _ngram_set_per_row
+
+
+def _brute_pairs(col, n: int, thr_num: int, thr_den: int,
+                 ids) -> set[tuple[int, int]]:
+    h, row, counts = _ngram_set_per_row(col, n, len(ids))
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    sets = [set(h[starts[i]:starts[i + 1]].tolist()) for i in range(len(ids))]
+    out = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            ni = len(sets[i] & sets[j])
+            if ni * (thr_den + thr_num) >= thr_num * (counts[i] + counts[j]):
+                a, b = int(ids[i]), int(ids[j])
+                out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_jaccard_join_matches_brute_force_corpus(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.setjoin import jaccard_similarity_join
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_numpy()
+    want = _brute_pairs(tbl.column("text").combine_chunks(), 3, 4, 5, ids)
+    assert want, "corpus must contain >= 0.8 Jaccard pairs"
+
+    got_df = jaccard_similarity_join(
+        rd.from_arrow(tbl), threshold=0.8, n=3).to_pandas()
+    got = set(zip(got_df.id_a, got_df.id_b))
+    assert got == want  # recall AND precision 1
+
+
+def test_jaccard_join_exact_boundary(ray_session):
+    """A pair landing EXACTLY on the threshold must be included (the
+    integer compare is >=, no float rounding)."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.setjoin import jaccard_similarity_join
+
+    # distinct-1-gram sets: 'abcd' = {a,b,c,d}, 'abcde' = {a,b,c,d,e}
+    # J = 4/5 = exactly 0.8
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["abcd", "abcde", "zzzz"]),
+    })
+    got = jaccard_similarity_join(
+        rd.from_arrow(tbl), threshold=0.8, n=1).to_pandas()
+    assert set(zip(got.id_a, got.id_b)) == {(1, 2)}
+
+
+def test_jaccard_join_empty_and_identical(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.setjoin import jaccard_similarity_join
+
+    # identical texts -> J = 1 pair; disjoint third -> no other pair
+    tbl = pa.table({
+        "doc_id": pa.array([10, 20, 30], pa.int64()),
+        "text": pa.array(["the same text here", "the same text here",
+                          "completely different words"]),
+    })
+    got = jaccard_similarity_join(
+        rd.from_arrow(tbl), threshold=0.8, n=3).to_pandas()
+    assert set(zip(got.id_a, got.id_b)) == {(10, 20)}
+
+    none = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aaaa bbbb", "cccc dddd"]),
+    })
+    got2 = jaccard_similarity_join(
+        rd.from_arrow(none), threshold=0.8, n=3).to_pandas()
+    assert len(got2) == 0
