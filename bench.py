@@ -262,6 +262,9 @@ def _driver_queries() -> dict[str, float]:
         "scd2_user_state",
         "nchars_outliers",
         "jaccard_join_exact",
+        "orders_cdc_diff",
+        "gopher_filter",
+        "image_dedup_ensemble",
         "image_dedup_canonical",
     ]
     qs = e.queries()

@@ -480,6 +480,62 @@ ph AS (
 SELECT printf('img%012d', i) AS image_id, phash_dct FROM ph"""
 
 
+def _ahash_ctes(n_images: int) -> str:
+    """CTE chain regenerating AHashImages (8x8 grid, integer mean
+    compare) ending in ``ah(i, ahash)`` -- shared by the aHash mirror
+    and the ensemble-dedup oracle."""
+    return f"""
+aimg AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+agrid AS (
+  SELECT i, r.r AS r, c.c AS c,
+    ((((r.r * h) // 8) * h + ((c.c * w) // 8) * w + i) % 256) AS v
+  FROM aimg,
+  LATERAL (SELECT unnest(range(8)) AS r) r,
+  LATERAL (SELECT unnest(range(8)) AS c) c),
+atot AS (SELECT i, sum(v) AS s FROM agrid GROUP BY i),
+ah AS (
+  SELECT i, (CASE WHEN u >= {1 << 63}::HUGEINT
+             THEN u - {U64}::HUGEINT ELSE u END)::BIGINT AS ahash
+  FROM (SELECT g.i AS i,
+               sum(CASE WHEN 64 * g.v > t.s THEN 1 ELSE 0 END
+                   * (1::HUGEINT << (63 - (g.r * 8 + g.c)))) AS u
+        FROM agrid g JOIN atot t ON t.i = g.i GROUP BY g.i))"""
+
+
+def image_ensemble_canonical_sql(n_images: int = 500,
+                                 max_dist: int = 3) -> str:
+    """Mirror of multimodal.image_ensemble_canonical_ids: connected
+    components over the UNION of the brute-force dHash and aHash pair
+    graphs (multi-signal dedup: either perceptual hash matching merges
+    the images), LEFT JOINed onto the full image range."""
+    return f"""
+WITH RECURSIVE {_dhash_ctes(n_images)},
+{_ahash_ctes(n_images).lstrip()},
+pairs AS (
+  SELECT a.i AS id_a, b.i AS id_b
+  FROM dh a JOIN dh b ON a.i < b.i
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_dist}
+  UNION
+  SELECT a.i AS id_a, b.i AS id_b
+  FROM ah a JOIN ah b ON a.i < b.i
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= {max_dist}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT printf('img%012d', t.i) AS image_id,
+       printf('img%012d', COALESCE(c.component, t.i)) AS canonical
+FROM range({n_images}) t(i) LEFT JOIN comp c ON c.node = t.i"""
+
+
 def image_canonical_sql(n_images: int = 500, max_dist: int = 3) -> str:
     """Mirror of multimodal.image_canonical_ids: connected components
     (recursive-CTE reachability -- fine at oracle scale) over the

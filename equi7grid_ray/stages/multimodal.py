@@ -20,8 +20,8 @@ from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "phash_basis", "dhash_near_dup", "image_canonical_ids",
-           "AudioFeatures", "PCMAudioFeatures", "FrameSampler",
-           "fake_decode"]
+           "image_ensemble_canonical_ids", "AudioFeatures",
+           "PCMAudioFeatures", "FrameSampler", "fake_decode"]
 
 
 def fake_decode(payload: bytes, n: int) -> np.ndarray:
@@ -324,6 +324,45 @@ def image_canonical_ids(ds, max_dist: int = 3, id_col: str = "image_id",
     Returns a Dataset ``(image_id: string, canonical: string)`` over
     the FULL input (isolated images included via the broadcast
     component map in canonical_assignments)."""
+    pairs = dhash_near_dup(ds, max_dist=max_dist, id_col=id_col,
+                           **pair_kwargs)
+    return _canonical_from_pairs(ds, pairs, id_col, id_prefix)
+
+
+def image_ensemble_canonical_ids(ds, max_dist: int = 3,
+                                 id_col: str = "image_id",
+                                 id_prefix: str = "img", **pair_kwargs):
+    """Multi-signal image dedup: components over the UNION of the
+    banded dHash (gradient layout) and aHash (brightness layout) pair
+    graphs -- either perceptual signal matching merges the images, the
+    standard ensemble that closes each single hash's blind spot
+    (aHash: gradient-free flat scenes; dHash: brightness-shifted
+    copies).  Same scale shape as :func:`image_canonical_ids`; the two
+    band shuffles run independently and the union is pair-mass-sized."""
+    pairs_d = dhash_near_dup(ds, max_dist=max_dist, id_col=id_col,
+                             **pair_kwargs)
+    hashed_a = ds.map_batches(AHashImages,
+                              fn_constructor_kwargs={"id_col": id_col},
+                              batch_format="pyarrow", concurrency=(1, 8))
+    from equi7grid_ray.stages.hamming import banded_hamming_pairs
+
+    pairs_a = banded_hamming_pairs(hashed_a, hash_col="ahash",
+                                   id_col=id_col, max_dist=max_dist,
+                                   **{k: v for k, v in pair_kwargs.items()
+                                      if k in ("n_partitions", "max_bucket")})
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    pairs = hash_aggregate(
+        pairs_d.union(pairs_a), keys=["id_a", "id_b"],
+        aggs={"__n": ("id_a", "count")},
+    ).select_columns(["id_a", "id_b"])
+    return _canonical_from_pairs(ds, pairs, id_col, id_prefix)
+
+
+def _canonical_from_pairs(ds, pairs, id_col: str, id_prefix: str):
+    """Shared tail of the image dedup pipelines: numeric-suffix ids ->
+    connected components -> broadcast canonical map over the full
+    corpus -> re-rendered string ids."""
     import pyarrow.compute as pc
 
     from equi7grid_ray.stages.graph import (canonical_assignments,
@@ -338,8 +377,6 @@ def image_canonical_ids(ds, max_dist: int = 3, id_col: str = "image_id",
                 pc.utf8_slice_codeunits(batch.column(c), pre), pa.int64())
         return pa.table(out)
 
-    pairs = dhash_near_dup(ds, max_dist=max_dist, id_col=id_col,
-                           **pair_kwargs)
     pairs_num = pairs.map_batches(
         lambda b: to_num(b, ("id_a", "id_b")), batch_format="pyarrow")
     comp = connected_components(pairs_num)

@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 
 __all__ = ["token_stats", "bpe_token_count", "quality_score",
            "quality_buckets", "LangId", "fingerprint64", "BPE_SPLIT_RE",
-           "STOPWORDS"]
+           "STOPWORDS", "gopher_filter"]
 
 # interior-occurrence stopword probes (space-padded, so only
 # mid-document occurrences count -- identical semantics to the SQL
@@ -491,3 +491,58 @@ def surprisal_scores(ds, *, col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(_Score, batch_format="pyarrow",
                           concurrency=(1, 4), num_cpus=1)
+
+
+def gopher_filter(batch: pa.Table) -> pa.Table:
+    """Gopher-style document quality gate (Rae et al. 2021's rule
+    family, integer-exact): per document, ``keep`` plus the FIRST
+    failing rule's name (''' when it passes).  Rules, all cleared of
+    divisions so the SQL oracle reproduces them bit-exactly:
+
+    1. ``n_words``    -- 50 <= words <= 100000
+    2. ``word_len``   -- mean word length in [3, 10]:
+                         3*words <= nonspace_chars <= 10*words
+    3. ``stopwords``  -- at least 2 stop-list hits
+    4. ``digits``     -- digit fraction < 30%: digits*10 < n_chars*3
+
+    Map-only (no shuffle): the gate every ingestion pipeline runs
+    before the expensive dedup/scoring stages.
+    """
+    text = batch.column("text")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    spaces = pc.subtract(
+        n_chars, pc.cast(
+            pc.utf8_length(pc.replace_substring(text, " ", "")), pa.int64())
+    )
+    n_words = pc.add(spaces, 1)
+    nonspace = pc.subtract(n_chars, spaces)
+    digits = pc.subtract(
+        n_chars,
+        pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(text, r"[0-9]", "")), pa.int64()),
+    )
+    hits = None
+    for sw in STOPWORDS:
+        c = pc.cast(pc.count_substring(text, sw), pa.int64())
+        hits = c if hits is None else pc.add(hits, c)
+
+    w = n_words.to_numpy(zero_copy_only=False)
+    ns = nonspace.to_numpy(zero_copy_only=False)
+    dg = digits.to_numpy(zero_copy_only=False)
+    nc = n_chars.to_numpy(zero_copy_only=False)
+    h = hits.to_numpy(zero_copy_only=False)
+
+    ok1 = (w >= 50) & (w <= 100_000)
+    ok2 = (3 * w <= ns) & (ns <= 10 * w)
+    ok3 = h >= 2
+    ok4 = dg * 10 < nc * 3
+    reason = np.where(~ok1, "n_words",
+                      np.where(~ok2, "word_len",
+                               np.where(~ok3, "stopwords",
+                                        np.where(~ok4, "digits", ""))))
+    keep = ok1 & ok2 & ok3 & ok4
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "keep": pa.array(keep),
+        "reason": pa.array(reason.tolist(), pa.string()),
+    })

@@ -1126,3 +1126,27 @@ def test_png_pal8_roundtrip_and_stages():
         b = tbl.column("bytes")[j].as_py()
         img = decode_png(b)
         assert out.column("px_mean")[j].as_py() == img.mean()
+
+
+def test_table_diff_statuses(ray_session):
+    """Planted reconciliation: a dropped key, an added key, a changed
+    value, an untouched row (dropped from the output)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from equi7grid_ray.stages.cdc import table_diff
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "v": [10, 20, 30, 40],
+        "s": ["a", "b", "c", "d"],
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "k": [2, 3, 4, 5],
+        "v": [20, 31, 40, 50],
+        "s": ["b", "c", "D", "e"],
+    }))
+    out = table_diff(left, right, key_col="k", cols=["v", "s"]).to_pandas()
+    got = dict(zip(out.k, out.status))
+    assert got == {1: "only_left", 3: "changed", 4: "changed",
+                   5: "only_right"}
