@@ -389,8 +389,109 @@ def run_scaling() -> dict:
     return res
 
 
+def run_alu(n_points: int = 96_000_000) -> dict:
+    """ALU-bound ENGINE pipeline (no input bytes, no broadcast-raster
+    gathers): in-task coordinate generation -> Karney-series geodesic
+    length distortion -> 1-row partial fold per task.  The access mix
+    is pure register/L1 arithmetic, the one resource class the box DOES
+    scale 8->32 (ceiling probes: 0.75-0.89) -- so this isolates
+    engine-added serialization from the DRAM ceiling that caps the
+    payload headline."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    blocks = max(NUM_CPUS * 8, 64)
+    per = n_points // blocks
+
+    def work(batch):
+        import numpy as np
+        import pyarrow as _pa
+
+        from equi7grid_ray.aeqd import length_distortion_ellipsoid
+
+        j = int(batch.column("id")[0].as_py())
+        rng = np.random.default_rng(j)
+        lon = rng.uniform(-40.0, 40.0, per)   # EU zone interior
+        lat = rng.uniform(30.0, 70.0, per)
+        # 8k-point chunks keep the ~30 numpy temporaries of the Karney
+        # series chain L2-resident -- full-block numpy would stream
+        # every temporary through DRAM and measure the memory ceiling,
+        # not the arithmetic
+        acc = 0.0
+        chunk = 8192
+        for s0 in range(0, per, chunk):
+            k = length_distortion_ellipsoid(
+                "EU", lon[s0:s0 + chunk], lat[s0:s0 + chunk])
+            acc += float(k.sum())
+        return _pa.table({"s": _pa.array([acc]),
+                          "n": _pa.array([per])})
+
+    # untimed warm-up: spawn the worker pool + import numpy/pyarrow in
+    # every worker, so both parallelism levels measure steady state
+    # (at 32 procs the pool spawn alone is seconds -- a real cluster
+    # has long-lived workers at both sizes)
+    rd.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        work, batch_format="pyarrow").count()
+
+    t0 = time.time()
+    parts = rd.range(blocks, override_num_blocks=blocks).map_batches(
+        work, batch_format="pyarrow")
+    tot = sum(sum(b["n"].to_pylist()) for b in
+              parts.iter_batches(batch_format="pyarrow"))
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"metric": "alu-distortions/sec", "value": round(dt, 3),
+            "unit": "sec", "n_points": tot, "num_cpus": NUM_CPUS,
+            "rows_per_sec": {"alu_rows_per_sec": round(tot / dt)}}
+
+
+def run_scaling_alu() -> dict:
+    """8 vs 32 cpus on the ALU-bound engine pipeline (fresh
+    taskset-confined processes, same protocol as run_scaling)."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        cmd = [sys.executable, "bench.py", "--alu-only"]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    results = {n: run(n) for n in (8, 32)}
+    eff = round((results[8]["value"] / results[32]["value"]) / 4.0, 3)
+    res = {"sec_8": results[8]["value"], "sec_32": results[32]["value"],
+           "scaling_efficiency_8to32": eff,
+           "rows_per_sec": {n: r["rows_per_sec"] for n, r in results.items()}}
+    md = Path("BENCH/BASELINE.md")
+    md.parent.mkdir(exist_ok=True)
+    with md.open("a") as f:
+        f.write(f"\n## ALU-bound engine scaling run "
+                f"{time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                "In-task coordinate generation -> Karney geodesic "
+                "distortion -> 1-row partials (no input bytes, no "
+                "raster gathers): the register/L1 access class the box "
+                "scales.\n\n")
+        f.write("| num_cpus | sec | distortions/s |\n|---|---|---|\n")
+        for n in (8, 32):
+            r = results[n]
+            f.write(f"| {n} | {r['value']} | "
+                    f"{r['rows_per_sec']['alu_rows_per_sec']} |\n")
+        f.write(f"\nScaling efficiency 8 -> 32 cpus: **{eff}**\n")
+    return res
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-alu" in sys.argv:
+        print(json.dumps(run_scaling_alu()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--alu-only" in sys.argv:
+        print(json.dumps(run_alu()))
     else:
         print(json.dumps(run_bench(headline_only="--headline-only" in sys.argv)))

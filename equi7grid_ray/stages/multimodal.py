@@ -19,9 +19,10 @@ import pyarrow as pa
 from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
-           "phash_basis", "dhash_near_dup", "image_canonical_ids",
-           "image_ensemble_canonical_ids", "AudioFeatures",
-           "PCMAudioFeatures", "FrameSampler", "fake_decode"]
+           "PatchStats", "phash_basis", "dhash_near_dup",
+           "image_canonical_ids", "image_ensemble_canonical_ids",
+           "AudioFeatures", "PCMAudioFeatures", "FrameSampler",
+           "fake_decode"]
 
 
 def fake_decode(payload: bytes, n: int) -> np.ndarray:
@@ -260,6 +261,66 @@ def dhash_near_dup(ds, max_dist: int = 3, id_col: str = "image_id",
                                 max_dist=max_dist,
                                 n_partitions=n_partitions,
                                 max_bucket=max_bucket)
+
+
+class PatchStats:
+    """ViT-style patch extraction: every image becomes a grid of
+    ``patch`` x ``patch`` tiles with integer per-patch statistics --
+    the patchify step of a vision-transformer training pipeline,
+    expressed as a flat-map over payload rows (one image row in,
+    (h//P)*(w//P) patch rows out).
+
+    Stats are exact integer sums, so the whole op is SQL-mirrorable
+    over the synthetic pixel formula; trailing rows/cols short of a
+    full patch are truncated (the standard ViT behavior is resize --
+    truncation keeps the arithmetic exact).  Per-image numpy only:
+    decode -> one (h//P, P, w//P, P) reshape -> axis sums."""
+
+    def __init__(self, patch: int = 16, id_col: str = "image_id"):
+        self.patch = patch
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        P = self.patch
+        idx: list[np.ndarray] = []
+        prs: list[np.ndarray] = []
+        pcs: list[np.ndarray] = []
+        sums: list[np.ndarray] = []
+        for j, f in enumerate(fmts):
+            if f not in ("raw", "png"):
+                raise NotImplementedError(
+                    f"image format {f!r}: real codecs unavailable in sandbox"
+                )
+            img = decode_image(data[offs[j] : offs[j + 1]], f,
+                               int(ws[j]), int(hs[j]), copy=False)
+            if img.ndim == 3:  # RGB: integer luma (R+G+B)//3
+                img = (img.sum(axis=2, dtype=np.uint32) // 3).astype(np.uint8)
+            nr, nc = img.shape[0] // P, img.shape[1] // P
+            if nr == 0 or nc == 0:
+                continue
+            s = img[: nr * P, : nc * P].reshape(nr, P, nc, P) \
+                .sum(axis=(1, 3), dtype=np.int64)
+            idx.append(np.full(nr * nc, j, np.int64))
+            g = np.indices((nr, nc))
+            prs.append(g[0].reshape(-1).astype(np.int32))
+            pcs.append(g[1].reshape(-1).astype(np.int32))
+            sums.append(s.reshape(-1))
+        take = pa.array(np.concatenate(idx) if idx else np.empty(0, np.int64))
+        return pa.table({
+            self.id_col: batch.column(self.id_col).take(take),
+            "pr": pa.array(np.concatenate(prs) if prs
+                           else np.empty(0, np.int32), pa.int32()),
+            "pc": pa.array(np.concatenate(pcs) if pcs
+                           else np.empty(0, np.int32), pa.int32()),
+            "px_sum": pa.array(np.concatenate(sums) if sums
+                               else np.empty(0, np.int64), pa.int64()),
+        })
 
 
 def phash_basis() -> np.ndarray:
