@@ -265,6 +265,9 @@ def _driver_queries() -> dict[str, float]:
         "orders_cdc_diff",
         "gopher_filter",
         "image_dedup_ensemble",
+        "image_patches",
+        "embedding_int8",
+        "inverted_index",
         "image_dedup_canonical",
     ]
     qs = e.queries()

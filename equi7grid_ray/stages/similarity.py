@@ -15,7 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["CosineTopK", "topk_cosine", "HyperplaneLSH", "KDTree", "knn_tiles"]
+__all__ = ["CosineTopK", "topk_cosine", "HyperplaneLSH", "KDTree",
+           "knn_tiles", "embedding_int8_quantize"]
 
 
 def _stack_embeddings(batch: pa.Table, col: str) -> np.ndarray:
@@ -397,3 +398,59 @@ def grouped_centroids(ds, *, n_classes: int, cls_fn=None,
     return hash_aggregate(
         ds.map_batches(partials, batch_format="pyarrow"),
         keys=["cls", "dim"], aggs={"s": ("ps", "sum"), "n": ("pn", "sum")})
+
+
+def embedding_int8_quantize(ds, *, col: str = "embedding",
+                            id_col: str = "vec_id"):
+    """Scalar int8 quantization of an embedding column -- the standard
+    4x memory/IO reduction before an ANN index is built at scale.
+
+    Two map passes: (1) per-batch per-dimension min/max partials fold
+    to the global per-dim range (min/max are exact -- no accumulation
+    rounding -- so the broadcast range is bit-identical to the SQL
+    oracle's MIN/MAX); (2) codes = clip(floor((v - min) * 255 /
+    (max - min)), 0, 255), evaluated in float64 with the same
+    expression order on both sides, hence bit-exact (verified vs
+    DuckDB).  Emits (id, code_sum, code_min, code_max) integer
+    summaries per vector; constant dimensions (max == min) map to
+    code 0 by convention on both sides.
+    """
+    import ray
+
+    from equi7grid_ray.arrowutil import collect_tables
+
+    def range_partials(batch: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(batch, col).astype(np.float64)
+        d = emb.shape[1]
+        return pa.table({
+            "d": pa.array(np.arange(d, dtype=np.int64)),
+            "mn": pa.array(emb.min(axis=0)),
+            "mx": pa.array(emb.max(axis=0)),
+        })
+
+    part = collect_tables(
+        ds.map_batches(range_partials, batch_format="pyarrow"),
+        schema=pa.schema([("d", pa.int64()), ("mn", pa.float64()),
+                          ("mx", pa.float64())]))
+    pdf = part.to_pandas().groupby("d").agg(mn=("mn", "min"),
+                                            mx=("mx", "max"))
+    mn = pdf.mn.to_numpy()
+    mx = pdf.mx.to_numpy()
+    ref = ray.put((mn, mx))
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        gmn, gmx = ray.get(ref)
+        emb = _stack_embeddings(batch, col).astype(np.float64)
+        span = gmx - gmn
+        safe = np.where(span == 0.0, 1.0, span)
+        codes = np.clip(np.floor((emb - gmn) * 255.0 / safe), 0, 255) \
+            .astype(np.int64)
+        codes[:, span == 0.0] = 0
+        return pa.table({
+            id_col: batch.column(id_col),
+            "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+            "code_min": pa.array(codes.min(axis=1), pa.int64()),
+            "code_max": pa.array(codes.max(axis=1), pa.int64()),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow")

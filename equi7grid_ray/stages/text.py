@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 
 __all__ = ["token_stats", "bpe_token_count", "quality_score",
            "quality_buckets", "LangId", "fingerprint64", "BPE_SPLIT_RE",
-           "STOPWORDS", "gopher_filter"]
+           "STOPWORDS", "gopher_filter", "inverted_index"]
 
 # interior-occurrence stopword probes (space-padded, so only
 # mid-document occurrences count -- identical semantics to the SQL
@@ -546,3 +546,71 @@ def gopher_filter(batch: pa.Table) -> pa.Table:
         "keep": pa.array(keep),
         "reason": pa.array(reason.tolist(), pa.string()),
     })
+
+
+def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   k_postings: int = 10, n_partitions: int = 32):
+    """Build an inverted index: whitespace token -> document frequency
+    + the first ``k_postings`` doc ids (ascending) as a CSV posting
+    list -- the search-engine / RAG-retrieval index-build step.
+
+    Scale shape: tokens explode with one vectorized split per batch
+    (DISTINCT (token, doc) locally -- a document lives in one row, so
+    local dedupe is global); the shuffle carries (token, id) pairs
+    hash-partitioned by token; each partition runs ONE lexsort, builds
+    run offsets, and emits every token's df + truncated posting list
+    with a single ``pc.binary_join`` (no per-token Python).
+
+    Returns ``(token, df, postings)``.
+    """
+    import pandas as pd
+
+    from equi7grid_ray.stages.dedup import _column_bytes, hash_bytes_offsets
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        ids = batch.column(id_col).take(parents)
+        df = pa.table({"token": flat, id_col: ids}).to_pandas() \
+            .drop_duplicates()
+        arr = pa.array(df.token.to_numpy(), pa.string())
+        flatb, offs = _column_bytes(arr)
+        h = hash_bytes_offsets(flatb, offs).view(np.uint64)
+        df["part"] = (h % np.uint64(n_partitions)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g["token"].to_numpy()
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, toks))
+        st, si = toks[order], ids[order]
+        new_run = np.empty(len(st), dtype=bool)
+        if len(st) == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "postings": pd.Series([], dtype=object)})
+        new_run[0] = True
+        new_run[1:] = st[1:] != st[:-1]
+        starts = np.flatnonzero(new_run)
+        run_of = np.cumsum(new_run) - 1
+        rank = np.arange(len(st)) - starts[run_of]
+        lens = np.diff(np.concatenate([starts, [len(st)]]))
+        keep = rank < k_postings
+        kept_per_run = np.minimum(lens, k_postings)
+        offsets = np.concatenate([[0], np.cumsum(kept_per_run)]) \
+            .astype(np.int32)
+        id_strs = pa.array(si[keep].astype(str), pa.string())
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       id_strs)
+        return pd.DataFrame({
+            "token": pd.Series(st[starts], dtype=object),
+            "df": pd.Series(lens, dtype=np.int64),
+            "postings": pd.Series(pc.binary_join(lst, ",").to_pylist(),
+                                  dtype=object),
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("part").map_groups(resolve, batch_format="pandas"))
