@@ -268,6 +268,7 @@ def _driver_queries() -> dict[str, float]:
         "image_patches",
         "embedding_int8",
         "inverted_index",
+        "image_hist_eq",
         "image_dedup_canonical",
     ]
     qs = e.queries()

@@ -19,7 +19,7 @@ import pyarrow as pa
 from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
-           "PatchStats", "phash_basis", "dhash_near_dup",
+           "PatchStats", "HistEqualize", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
            "AudioFeatures", "PCMAudioFeatures", "FrameSampler",
            "fake_decode"]
@@ -320,6 +320,61 @@ class PatchStats:
                            else np.empty(0, np.int32), pa.int32()),
             "px_sum": pa.array(np.concatenate(sums) if sums
                                else np.empty(0, np.int64), pa.int64()),
+        })
+
+
+class HistEqualize:
+    """Per-image histogram equalization -- the classic contrast
+    normalization, in EXACT integer arithmetic:
+
+        eq(v) = floor((cdf(v) - cdf_min) * 255 / (n_px - cdf_min))
+
+    with cdf the cumulative 256-bin histogram and cdf_min its first
+    non-zero value.  Every step (bincount, cumsum, the remap) is
+    integer, so the per-image checksum of equalized pixels is
+    SQL-mirrorable over the synthetic pixel formula (a window cumsum
+    over the value histogram).  Emits (id, eq_sum, eq_min, eq_max);
+    per-image numpy only -- one bincount + one 256-gather per frame."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        eq_sum = np.empty(n, np.int64)
+        eq_min = np.empty(n, np.int64)
+        eq_max = np.empty(n, np.int64)
+        for j, f in enumerate(fmts):
+            if f not in ("raw", "png"):
+                raise NotImplementedError(
+                    f"image format {f!r}: real codecs unavailable in sandbox"
+                )
+            img = decode_image(data[offs[j] : offs[j + 1]], f,
+                               int(ws[j]), int(hs[j]), copy=False)
+            if img.ndim == 3:  # RGB: integer luma (R+G+B)//3
+                img = (img.sum(axis=2, dtype=np.uint32) // 3).astype(np.uint8)
+            flat = img.reshape(-1)
+            hist = np.bincount(flat, minlength=256).astype(np.int64)
+            cdf = np.cumsum(hist)
+            nz = np.nonzero(hist)[0]
+            cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+            denom = max(int(flat.size) - cdf_min, 1)
+            lut = np.maximum(cdf - cdf_min, 0) * 255 // denom
+            eq = lut[flat]
+            eq_sum[j] = int(eq.sum())
+            eq_min[j] = int(eq.min())
+            eq_max[j] = int(eq.max())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "eq_sum": pa.array(eq_sum, pa.int64()),
+            "eq_min": pa.array(eq_min, pa.int64()),
+            "eq_max": pa.array(eq_max, pa.int64()),
         })
 
 

@@ -1150,3 +1150,29 @@ def test_table_diff_statuses(ray_session):
     got = dict(zip(out.k, out.status))
     assert got == {1: "only_left", 3: "changed", 4: "changed",
                    5: "only_right"}
+
+
+def test_hist_equalize_reference_semantics():
+    """Hand-check against the classic formula on a skewed image, plus
+    the degenerate constant image (all pixels map to 0, denom guard)."""
+    from equi7grid_ray.stages.multimodal import HistEqualize
+
+    img = np.array([[0, 0, 0, 100], [100, 100, 200, 200]], np.uint8)
+    # hist: 0->3, 100->3, 200->2 ; cdf: 3, 6, 8 ; cdf_min=3, n=8
+    # eq(0)=0, eq(100)=(6-3)*255//5=153, eq(200)=(8-3)*255//5=255
+    tbl = pa.table({
+        "image_id": pa.array(["a", "b"]),
+        "bytes": pa.array([img.tobytes(),
+                           np.full((4, 4), 7, np.uint8).tobytes()],
+                          pa.binary()),
+        "w": pa.array([4, 4], pa.int32()),
+        "h": pa.array([2, 4], pa.int32()),
+        "fmt": pa.array(["raw", "raw"]),
+    })
+    out = HistEqualize()(tbl)
+    assert out.column("eq_sum")[0].as_py() == 0 * 3 + 153 * 3 + 255 * 2
+    assert out.column("eq_min")[0].as_py() == 0
+    assert out.column("eq_max")[0].as_py() == 255
+    # constant image: cdf == cdf_min everywhere -> eq = 0 (guarded denom)
+    assert out.column("eq_sum")[1].as_py() == 0
+    assert out.column("eq_max")[1].as_py() == 0
