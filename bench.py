@@ -269,6 +269,7 @@ def _driver_queries() -> dict[str, float]:
         "embedding_int8",
         "inverted_index",
         "image_hist_eq",
+        "nchars_mad_outliers",
         "image_dedup_canonical",
     ]
     qs = e.queries()

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["profile_columns", "zscore_outliers"]
+__all__ = ["profile_columns", "zscore_outliers", "mad_outliers"]
 
 _I64MAX = np.iinfo(np.int64).max
 _I64MIN = np.iinfo(np.int64).min
@@ -211,6 +211,87 @@ def zscore_outliers(ds, *, key_col: str, val_col: str, id_col: str,
             .astype(np.int64)
         a = np.abs(gn[pos] * x - gs[pos])
         keep = a >= gt[pos]
+        idx = pa.array(np.nonzero(keep)[0].astype(np.int64))
+        return pa.table({
+            key_col: batch.column(key_col).take(idx),
+            id_col: batch.column(id_col).take(idx),
+            val_col: batch.column(val_col).take(idx),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def mad_outliers(ds, *, key_col: str, val_col: str, id_col: str,
+                 k: int = 3):
+    """Per-group ROBUST outlier detection over an integer column via
+    the median absolute deviation: row x of group g flags when
+
+        |x - median_g| > k * MAD_g,   MAD = median(|x - median|)
+
+    -- the estimator that, unlike the z-score, is not itself dragged by
+    the outliers it hunts.  Both medians are the (n-1)//2-th order
+    statistic (DuckDB's quantile_disc(0.5) convention), computed
+    EXACTLY from per-group value histograms, so the flag is integer-
+    exact and hash-oracle-able.
+
+    Scale shape: one pass folds per-batch (key, value, count)
+    histogram partials -- bounded by |keys| x |distinct values|, the
+    right shape for bounded-range quality metrics (lengths, counts,
+    scores); both order statistics and the thresholds come off the
+    folded histogram driver-side; a broadcast (key -> med, cut) table
+    drives the vectorized flag pass.  Returns ``(key, id, val)``.
+    """
+    import pandas as pd
+    import ray
+
+    from equi7grid_ray.arrowutil import collect_tables
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch.column(key_col).to_pandas(),
+            "v": batch.column(val_col).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        g = df.groupby(["k", "v"], as_index=False).size()
+        return pa.table({
+            key_col: pa.array(g.k), "v": pa.array(g.v, pa.int64()),
+            "c": pa.array(g["size"], pa.int64()),
+        })
+
+    hist = collect_tables(
+        ds.map_batches(partials, batch_format="pyarrow"), schema=None) \
+        .to_pandas().groupby([key_col, "v"], as_index=False).agg(
+            c=("c", "sum"))
+
+    def _order_stat(vals: np.ndarray, cnts: np.ndarray, idx: int) -> int:
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(cnts[order])
+        pos = np.searchsorted(cum, idx + 1)
+        return int(vals[order][pos])
+
+    keys, meds, cuts = [], [], []
+    for key, g in hist.groupby(key_col, sort=False):
+        vals = g.v.to_numpy()
+        cnts = g.c.to_numpy()
+        n = int(cnts.sum())
+        med = _order_stat(vals, cnts, (n - 1) // 2)
+        mad = _order_stat(np.abs(vals - med), cnts, (n - 1) // 2)
+        keys.append(key)
+        meds.append(med)
+        cuts.append(k * mad)
+
+    order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
+    ref = ray.put((np.asarray(keys, dtype=object)[order],
+                   np.asarray(meds, np.int64)[order],
+                   np.asarray(cuts, np.int64)[order]))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        gkeys, gmed, gcut = ray.get(ref)
+        bk = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+        pos = np.searchsorted(gkeys, bk)
+        x = batch.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = np.abs(x - gmed[pos]) > gcut[pos]
         idx = pa.array(np.nonzero(keep)[0].astype(np.int64))
         return pa.table({
             key_col: batch.column(key_col).take(idx),

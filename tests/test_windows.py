@@ -468,3 +468,24 @@ def test_zscore_outliers_planted(ray_session):
         id_col="doc_id", k=2).to_pandas()
     assert out.doc_id.tolist() == [9]
     assert out.lang.tolist() == ["en"]
+
+
+def test_mad_outliers_planted(ray_session):
+    """Robustness property: the planted far value does NOT inflate the
+    cut (unlike a z-score it can drag); single-value groups never flag."""
+    import pandas as pd
+    import ray.data as rd
+
+    from equi7grid_ray.stages.profile import mad_outliers
+
+    vals = [100, 101, 99, 100, 102, 98, 100, 101, 99, 5000, 120]
+    df = pd.DataFrame({
+        "src": ["a"] * 11 + ["solo"],
+        "doc_id": list(range(12)),
+        "v": vals + [7],
+    })
+    # median=100, MAD=1, cut=3 -> 5000 and 120 flag; 98..102 do not
+    out = mad_outliers(rd.from_pandas(df), key_col="src", val_col="v",
+                       id_col="doc_id", k=3).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [9, 10]
+    assert set(out.src) == {"a"}
