@@ -300,3 +300,49 @@ def test_phash_brightness_invariance_and_twin():
     tbl = pa.concat_tables([row(img, "a"), row(shifted, "b"), row(img, "c")])
     got = PHashImages()(tbl).column("phash_dct").to_numpy()
     assert got[0] == got[1] == got[2]
+
+
+def test_patch_stats_truncates_partial_patches():
+    """A 40x56 image at P=16 yields 2x3 full patches; trailing 8 rows /
+    8 cols are truncated.  Sums checked against a naive reference."""
+    from equi7grid_ray.stages.multimodal import PatchStats
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    tbl = pa.table({
+        "image_id": pa.array(["t"]),
+        "bytes": pa.array([img.tobytes()], pa.binary()),
+        "w": pa.array([56], pa.int32()),
+        "h": pa.array([40], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    out = PatchStats(patch=16)(tbl)
+    assert out.num_rows == 2 * 3
+    got = {(out.column("pr")[i].as_py(), out.column("pc")[i].as_py()):
+           out.column("px_sum")[i].as_py() for i in range(out.num_rows)}
+    for pr in range(2):
+        for pc_ in range(3):
+            want = int(img[pr * 16:(pr + 1) * 16,
+                           pc_ * 16:(pc_ + 1) * 16].astype(np.int64).sum())
+            assert got[(pr, pc_)] == want
+
+
+def test_ensemble_dedup_merges_either_signal(ray_session):
+    """Byte twins pair under BOTH hashes; the ensemble must merge a
+    chain linked through either signal into one component."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.multimodal import image_ensemble_canonical_ids
+
+    one = make_batch(0, 1)
+
+    def renamed(n: int) -> pa.Table:
+        return one.set_column(
+            0, "image_id", pa.array([f"img{n:012d}"], pa.string()))
+
+    far = make_batch(7, 1)
+    ds = rd.from_arrow(pa.concat_tables([one, renamed(3), far]))
+    got = image_ensemble_canonical_ids(ds, max_dist=0).to_pandas()
+    m = dict(zip(got.image_id, got.canonical))
+    assert m["img000000000003"] == "img000000000000"
+    assert m["img000000000007"] == "img000000000007"
