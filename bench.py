@@ -270,6 +270,7 @@ def _driver_queries() -> dict[str, float]:
         "inverted_index",
         "image_hist_eq",
         "nchars_mad_outliers",
+        "cross_decontam_lsh",
         "image_dedup_canonical",
     ]
     qs = e.queries()

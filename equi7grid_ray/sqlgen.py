@@ -250,6 +250,25 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def lsh_cross_pairs_sql(mod: int = 50, num_perm: int = 64, bands: int = 16,
+                        shingle: int = 8, max_bucket: int = 200) -> str:
+    """Mirror of stages/dedup.py lsh_cross_pairs over the deterministic
+    train/eval split (eval = doc_id % mod == 0): the full banded-LSH
+    candidate SQL restricted to cross-side pairs, with the bucket-size
+    valve counting BOTH sides (the union cut the engine applies)."""
+    base = lsh_pairs_sql(num_perm=num_perm, bands=bands, shingle=shingle,
+                         max_bucket=max_bucket)
+    head, _final = base.rsplit("SELECT DISTINCT a.doc_id AS id_a", 1)
+    return f"""{head.rstrip()}
+SELECT DISTINCT
+  CASE WHEN a.doc_id % {mod} <> 0 THEN a.doc_id ELSE b.doc_id END AS train_id,
+  CASE WHEN a.doc_id % {mod} = 0 THEN a.doc_id ELSE b.doc_id END AS eval_id
+FROM ok a JOIN ok b ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+  AND ((a.doc_id % {mod} = 0) <> (b.doc_id % {mod} = 0))
+"""
+
+
 def image_stats_sql(n_images: int = 500) -> str:
     """Mirror of sources/images.py make_batch + DecodeImages px_mean:
     pixel (r, c) of image i is ((r*h + c*w + i) % 256); DuckDB avg over

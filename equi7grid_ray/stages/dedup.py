@@ -23,6 +23,7 @@ __all__ = [
     "simhash64",
     "ngram_jaccard",
     "verified_near_dup_pairs",
+    "lsh_cross_pairs",
 ]
 
 
@@ -732,3 +733,67 @@ def chunk_dedup(ds, *, tokens_per_chunk: int = 16, id_col: str = "doc_id",
               "kept_len": ("kept_len", "sum")},
         n_partitions=n_partitions,
     )
+
+
+def lsh_cross_pairs(left, right, *, num_perm: int = 64, bands: int = 16,
+                    shingle: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text", n_partitions: int = 64,
+                    max_bucket: int = 200):
+    """Cross-corpus LSH near-duplicate JOIN: candidate pairs with one
+    endpoint in ``left`` (train) and one in ``right`` (eval) -- the
+    scale path for decontaminating a training corpus against an
+    evaluation set too large to broadcast (flag_contaminated is the
+    broadcast-small-side variant; this one shuffles both).
+
+    Same banding as :func:`lsh_candidate_pairs`: both sides MinHash
+    with the SAME seeded permutations, band rows union with a side tag,
+    and each hash partition resolves MANY buckets with one vectorized
+    side-0 x side-1 merge.  The bucket-size valve counts BOTH sides
+    (mirroring the SQL oracle's union-sized cut).  Returns distinct
+    ``(train_id, eval_id)``.
+    """
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def mk(side_ds, side: int):
+        mh = side_ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                       shingle=shingle, id_col=id_col,
+                                       text_col=text_col),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+
+        def tag(batch: pa.Table) -> pa.Table:
+            bh = batch.column("band_hash").to_numpy()
+            part = (bh.view(np.uint64) % np.uint64(n_partitions)) \
+                .astype(np.int32)
+            return batch.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side, np.int8))
+            ).append_column("part", pa.array(part, pa.int32()))
+
+        return mh.map_batches(tag, batch_format="pyarrow")
+
+    both = mk(left, 0).union(mk(right, 1))
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"train_id": pd.Series([], dtype=np.int64),
+                              "eval_id": pd.Series([], dtype=np.int64)})
+        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_bucket)]
+        if g.empty:
+            return empty
+        g0 = g[g["__side"] == 0][["band", "band_hash", id_col]]
+        g1 = g[g["__side"] == 1][["band", "band_hash", id_col]]
+        if g0.empty or g1.empty:
+            return empty
+        m = g0.merge(g1, on=["band", "band_hash"], suffixes=("_t", "_e"))
+        out = m[[f"{id_col}_t", f"{id_col}_e"]].drop_duplicates()
+        out.columns = ["train_id", "eval_id"]
+        return out
+
+    cand = both.groupby("part").map_groups(
+        pairs_in_partition, batch_format="pandas")
+    return hash_aggregate(
+        cand, keys=["train_id", "eval_id"], aggs={"__n": ("train_id", "count")},
+    ).select_columns(["train_id", "eval_id"])

@@ -86,3 +86,27 @@ def test_jaccard_join_empty_and_identical(ray_session):
     got2 = jaccard_similarity_join(
         rd.from_arrow(none), threshold=0.8, n=3).to_pandas()
     assert len(got2) == 0
+
+
+def test_lsh_cross_pairs_planted(ray_session):
+    """Planted cross twin pairs; same-side twins must NOT pair."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.dedup import lsh_cross_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight again")
+    other = ("completely different content about database engines and "
+             "distributed shuffles with partitioned hash joins inside")
+
+    def tbl(ids, texts):
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts)})
+
+    train = rd.from_arrow(tbl([1, 2, 3], [base, base, other]))
+    ev = rd.from_arrow(tbl([100, 101], [base, "unrelated short words"]))
+    got = lsh_cross_pairs(train, ev).to_pandas()
+    pairs = set(zip(got.train_id, got.eval_id))
+    assert (1, 100) in pairs and (2, 100) in pairs
+    assert all(e == 100 for _t, e in pairs)  # 101 matches nothing
+    assert (1, 2) not in pairs  # same-side twins are not emitted
