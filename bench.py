@@ -272,6 +272,10 @@ def _driver_queries() -> dict[str, float]:
         "nchars_mad_outliers",
         "cross_decontam_lsh",
         "image_dedup_canonical",
+        "image_pyramid",
+        "image_sobel",
+        "image_otsu",
+        "rgb_band_algebra",
     ]
     qs = e.queries()
     for name in sel:

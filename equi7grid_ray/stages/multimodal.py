@@ -19,7 +19,8 @@ import pyarrow as pa
 from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
-           "PatchStats", "HistEqualize", "phash_basis", "dhash_near_dup",
+           "PatchStats", "HistEqualize", "PyramidStats", "SobelStats",
+           "OtsuThreshold", "BandAlgebra", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
            "AudioFeatures", "PCMAudioFeatures", "FrameSampler",
            "fake_decode"]
@@ -728,4 +729,228 @@ class RawVideoFrames:
                               else np.empty(0, np.int64), pa.int64()),
             "y_max": pa.array(np.concatenate(maxs) if maxs
                               else np.empty(0, np.int64), pa.int64()),
+        })
+
+
+def _decode_luma(data, offs, fmts, ws, hs, j) -> np.ndarray:
+    """Decode payload j to a 2-D uint8 luma frame (integer (R+G+B)//3
+    fold for RGB) -- shared by the whole-frame image ops below."""
+    f = fmts[j]
+    if f not in ("raw", "png"):
+        raise NotImplementedError(
+            f"image format {f!r}: real codecs unavailable in sandbox"
+        )
+    img = decode_image(data[offs[j] : offs[j + 1]], f,
+                       int(ws[j]), int(hs[j]), copy=False)
+    if img.ndim == 3:
+        img = (img.sum(axis=2, dtype=np.uint32) // 3).astype(np.uint8)
+    return img
+
+
+class PyramidStats:
+    """Overview-pyramid build -- the COG/GDAL ``.ovr`` step of a tile
+    archive (the reference's tiled outputs are exactly what overviews
+    get built on, reference warp.py resample_to_equi7_tiles): per image,
+    levels 1..L downsample by 2^l block MEAN in EXACT integer
+    arithmetic (block_sum // (s*s), s = 2^l), emitting the per-level
+    checksum (sum / min / max of level pixels).
+
+    One reshape + one axis-sum per (image, level) -- vectorized numpy,
+    no Python per-pixel work; SQL-mirrorable by grouping the synthetic
+    pixel formula by (r // s, c // s)."""
+
+    def __init__(self, levels: int = 3, id_col: str = "image_id"):
+        self.levels = levels
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        idx: list[int] = []
+        lvl: list[int] = []
+        psum: list[int] = []
+        pmin: list[int] = []
+        pmax: list[int] = []
+        for j in range(batch.num_rows):
+            img = _decode_luma(data, offs, fmts, ws, hs, j)
+            for level in range(1, self.levels + 1):
+                s = 1 << level
+                nr, nc = img.shape[0] // s, img.shape[1] // s
+                if nr == 0 or nc == 0:
+                    continue
+                blk = img[: nr * s, : nc * s].reshape(nr, s, nc, s) \
+                    .sum(axis=(1, 3), dtype=np.int64) // (s * s)
+                idx.append(j)
+                lvl.append(level)
+                psum.append(int(blk.sum()))
+                pmin.append(int(blk.min()))
+                pmax.append(int(blk.max()))
+        take = pa.array(np.asarray(idx, np.int64))
+        return pa.table({
+            self.id_col: batch.column(self.id_col).take(take),
+            "level": pa.array(np.asarray(lvl, np.int32), pa.int32()),
+            "py_sum": pa.array(np.asarray(psum, np.int64), pa.int64()),
+            "py_min": pa.array(np.asarray(pmin, np.int64), pa.int64()),
+            "py_max": pa.array(np.asarray(pmax, np.int64), pa.int64()),
+        })
+
+
+class SobelStats:
+    """Per-image edge energy: 3x3 Sobel gradients over the interior in
+    EXACT integer arithmetic; emits
+
+        grad_sum = sum over interior of |Gx| + |Gy|
+        edge_px  = count of interior pixels with |Gx| + |Gy| >= 256
+
+    (the feature-extraction precursor of blur / quality detection on a
+    crawl's image side).  Whole-frame numpy slice arithmetic -- eight
+    shifted views, no convolution library, no Python per-pixel work;
+    SQL mirror evaluates the synthetic pixel formula at the nine
+    offsets directly."""
+
+    EDGE_T = 256
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        gsum = np.zeros(n, np.int64)
+        epx = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            if v.shape[0] < 3 or v.shape[1] < 3:
+                continue
+            gx = (v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:]) \
+                - (v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2])
+            gy = (v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:]) \
+                - (v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:])
+            e = np.abs(gx) + np.abs(gy)
+            gsum[j] = int(e.sum())
+            epx[j] = int((e >= self.EDGE_T).sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "grad_sum": pa.array(gsum, pa.int64()),
+            "edge_px": pa.array(epx, pa.int64()),
+        })
+
+
+class OtsuThreshold:
+    """Per-image Otsu threshold in EXACT arithmetic: maximize the
+    between-class variance
+
+        (S0(t)*W - S*W0(t))^2 / (W0(t) * (W - W0(t)))
+
+    over t in [0, 255) with 0 < W0(t) < W, where W0/S0 are the
+    cumulative count/value-sum of the 256-bin histogram.  The argmax is
+    resolved by exact cross-multiplied rational comparison (Python
+    bigints -- the squared numerator reaches ~2^72), smallest t wins
+    ties; the SQL mirror does the same comparison in HUGEINT via a
+    NOT-EXISTS anti-join over the 255 candidates.
+
+    Scale shape: the per-pixel work is ONE vectorized bincount per
+    frame; the exact 255-candidate scan is O(256) per image regardless
+    of resolution.  Emits (id, otsu_t, fg_px, fg_sum) with fg = pixels
+    strictly above the threshold."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        ot = np.zeros(n, np.int32)
+        fpx = np.zeros(n, np.int64)
+        fsum = np.zeros(n, np.int64)
+        vals = np.arange(256, dtype=np.int64)
+        for j in range(n):
+            img = _decode_luma(data, offs, fmts, ws, hs, j)
+            hist = np.bincount(img.reshape(-1), minlength=256).astype(np.int64)
+            w0 = np.cumsum(hist)
+            s0 = np.cumsum(hist * vals)
+            W, S = int(w0[-1]), int(s0[-1])
+            best_t, bn, bd = 0, -1, 1
+            for t in range(255):
+                W0 = int(w0[t])
+                if W0 == 0 or W0 == W:
+                    continue
+                num = (int(s0[t]) * W - S * W0) ** 2
+                den = W0 * (W - W0)
+                if num * bd > bn * den:
+                    bn, bd, best_t = num, den, t
+            ot[j] = best_t
+            fg = hist[best_t + 1 :]
+            fpx[j] = int(fg.sum())
+            fsum[j] = int((fg * vals[best_t + 1 :]).sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "otsu_t": pa.array(ot, pa.int32()),
+            "fg_px": pa.array(fpx, pa.int64()),
+            "fg_sum": pa.array(fsum, pa.int64()),
+        })
+
+
+class BandAlgebra:
+    """Raster band math over RGB payloads -- the NDVI-shaped map-only
+    raster-algebra step (reference-domain band arithmetic, kept in
+    EXACT integers): per image
+
+        veg_px  = count(G > R)
+        idx_sum = sum(G - R)
+        ndq_sum = sum(((G - R + 256) * 4096) // (G + R + 1))
+
+    (ndq is the normalized difference quantized to Q12 with a +256
+    offset so the integer floor-division never sees a negative
+    numerator).  Vectorized int64 channel arithmetic per frame;
+    grayscale frames emit zeros (no second band).  SQL-mirrorable over
+    the RGB fixture's band-offset pixel formula."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        veg = np.zeros(n, np.int64)
+        isum = np.zeros(n, np.int64)
+        nsum = np.zeros(n, np.int64)
+        for j, f in enumerate(fmts):
+            if f not in ("raw", "png"):
+                raise NotImplementedError(
+                    f"image format {f!r}: real codecs unavailable in sandbox"
+                )
+            img = decode_image(data[offs[j] : offs[j + 1]], f,
+                               int(ws[j]), int(hs[j]), copy=False)
+            if img.ndim != 3:
+                continue
+            r = img[:, :, 0].astype(np.int64)
+            g = img[:, :, 1].astype(np.int64)
+            veg[j] = int((g > r).sum())
+            isum[j] = int((g - r).sum())
+            nsum[j] = int((((g - r + 256) * 4096) // (g + r + 1)).sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "veg_px": pa.array(veg, pa.int64()),
+            "idx_sum": pa.array(isum, pa.int64()),
+            "ndq_sum": pa.array(nsum, pa.int64()),
         })

@@ -1,0 +1,170 @@
+"""Whole-frame image operators: overview pyramid, Sobel energy, exact
+Otsu threshold, RGB band algebra (stages/multimodal.py).
+
+Brute-force parity against naive per-image numpy (independent of the
+stage's slicing/bincount tricks) plus the degenerate edges the SQL
+oracle fixture cannot reach (constant frames, grayscale input to the
+band op).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from equi7grid_ray.codec import encode_image
+from equi7grid_ray.sources.images import make_batch, make_rgb_batch
+from equi7grid_ray.stages.multimodal import (
+    BandAlgebra,
+    OtsuThreshold,
+    PyramidStats,
+    SobelStats,
+)
+
+
+def _img_of(i: int) -> np.ndarray:
+    sizes = (32, 64, 128)
+    w, h = sizes[i % 3], sizes[(i // 3) % 3]
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return ((r * h + c * w + i) % 256).astype(np.uint8)
+
+
+def test_pyramid_matches_naive():
+    batch = make_batch(0, 24)
+    out = PyramidStats()(batch)
+    got = {(out["image_id"][k].as_py(), out["level"][k].as_py()):
+           (out["py_sum"][k].as_py(), out["py_min"][k].as_py(),
+            out["py_max"][k].as_py())
+           for k in range(out.num_rows)}
+    for i in range(24):
+        img = _img_of(i).astype(np.int64)
+        for level in (1, 2, 3):
+            s = 1 << level
+            nr, nc = img.shape[0] // s, img.shape[1] // s
+            m = img[: nr * s, : nc * s].reshape(nr, s, nc, s) \
+                .sum(axis=(1, 3)) // (s * s)
+            key = (f"img{i:012d}", level)
+            assert got[key] == (int(m.sum()), int(m.min()), int(m.max()))
+
+
+def test_pyramid_skips_vanishing_levels():
+    # a 4x4 frame has no level-3 (8x) overview
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    batch = pa.table({
+        "image_id": pa.array(["tiny"]),
+        "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+        "w": pa.array([4], pa.int32()), "h": pa.array([4], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    out = PyramidStats()(batch)
+    assert out["level"].to_pylist() == [1, 2]
+
+
+def test_sobel_matches_naive_convolution():
+    batch = make_batch(0, 12)
+    out = SobelStats()(batch)
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.int64)
+    ky = kx.T
+    for j in range(12):
+        v = _img_of(j).astype(np.int64)
+        h, w = v.shape
+        gx = np.zeros((h - 2, w - 2), np.int64)
+        gy = np.zeros((h - 2, w - 2), np.int64)
+        for dr in range(3):
+            for dc in range(3):
+                win = v[dr : dr + h - 2, dc : dc + w - 2]
+                gx += kx[dr, dc] * win
+                gy += ky[dr, dc] * win
+        e = np.abs(gx) + np.abs(gy)
+        assert out["grad_sum"][j].as_py() == int(e.sum())
+        assert out["edge_px"][j].as_py() == int((e >= 256).sum())
+
+
+def _otsu_naive(img: np.ndarray) -> int:
+    """Reference Otsu via exact Fractions (independent of the stage's
+    cross-multiplied bigint scan)."""
+    hist = np.bincount(img.reshape(-1), minlength=256).astype(np.int64)
+    W = int(hist.sum())
+    S = int((hist * np.arange(256)).sum())
+    best_t, best = 0, Fraction(-1)
+    w0 = s0 = 0
+    for t in range(255):
+        w0 += int(hist[t])
+        s0 += int(hist[t]) * t
+        if w0 == 0 or w0 == W:
+            continue
+        score = Fraction((s0 * W - S * w0) ** 2, w0 * (W - w0))
+        if score > best:
+            best, best_t = score, t
+    return best_t
+
+
+def test_otsu_matches_fraction_reference():
+    batch = make_batch(0, 12)
+    out = OtsuThreshold()(batch)
+    for j in range(12):
+        img = _img_of(j)
+        t = _otsu_naive(img)
+        assert out["otsu_t"][j].as_py() == t
+        assert out["fg_px"][j].as_py() == int((img > t).sum())
+        assert out["fg_sum"][j].as_py() == int(img[img > t].astype(np.int64).sum())
+
+
+def test_otsu_bimodal_and_constant():
+    # clean bimodal frame: threshold must split the two modes
+    bi = np.full((8, 8), 40, np.uint8)
+    bi[:, 4:] = 200
+    const = np.full((8, 8), 7, np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["bi", "const"]),
+        "bytes": pa.array([encode_image(bi, "raw"),
+                           encode_image(const, "raw")], pa.binary()),
+        "w": pa.array([8, 8], pa.int32()), "h": pa.array([8, 8], pa.int32()),
+        "fmt": pa.array(["raw", "raw"]),
+    })
+    out = OtsuThreshold()(batch)
+    t_bi = out["otsu_t"][0].as_py()
+    assert 40 <= t_bi < 200
+    assert out["fg_px"][0].as_py() == 32
+    # constant frame: no valid split -> t=0, everything above 0 is fg
+    assert out["otsu_t"][1].as_py() == 0
+    assert out["fg_px"][1].as_py() == 64
+    assert out["fg_sum"][1].as_py() == 64 * 7
+
+
+def test_band_algebra_matches_formula():
+    batch = make_rgb_batch(0, 12)
+    out = BandAlgebra()(batch)
+    sizes = (32, 64, 128)
+    for i in range(12):
+        w, h = sizes[i % 3], sizes[(i // 3) % 3]
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        rv = (r * h + c * w + i) % 256
+        gv = (r * h + c * w + i + 85) % 256
+        assert out["veg_px"][i].as_py() == int((gv > rv).sum())
+        assert out["idx_sum"][i].as_py() == int((gv - rv).sum())
+        assert out["ndq_sum"][i].as_py() == int(
+            (((gv - rv + 256) * 4096) // (gv + rv + 1)).sum())
+
+
+def test_band_algebra_grayscale_emits_zeros():
+    out = BandAlgebra()(make_batch(0, 3))
+    assert out["veg_px"].to_pylist() == [0, 0, 0]
+    assert out["idx_sum"].to_pylist() == [0, 0, 0]
+    assert out["ndq_sum"].to_pylist() == [0, 0, 0]
+
+
+def test_sobel_rejects_unknown_format():
+    batch = pa.table({
+        "image_id": pa.array(["x"]),
+        "bytes": pa.array([b"\xff\xd8"], pa.binary()),
+        "w": pa.array([8], pa.int32()), "h": pa.array([8], pa.int32()),
+        "fmt": pa.array(["jpeg"]),
+    })
+    with pytest.raises(NotImplementedError):
+        SobelStats()(batch)
