@@ -1,0 +1,111 @@
+"""Tile mosaic compositing: many overlapping scenes -> one composite
+raster grid per Equi7 tile.
+
+This is the step downstream of the reference's tiled fan-out
+(reference warp.py resample_to_equi7_tiles produces one file per
+(scene, tile); a mosaic folds the per-tile stack into a single
+composite).  The Ray-Data shape:
+
+    images -> TileAssigner (tile per scene center)
+           -> MosaicGrid   (decode + G x G block-mean grid + PER-BATCH
+                            tile partials: the combiner-before-shuffle)
+           -> hash_aggregate(tile, gr, gc)  (max / sum / scene count)
+
+Only G*G*|tiles-per-batch| partial rows ever shuffle -- pixels never
+leave the decode stage, so the exchange volume is independent of image
+resolution.  All arithmetic is exact integers (block mean = block_sum
+// block_px), so the composite is SQL-mirrorable through the synthetic
+pixel formula joined to the pinned image->tile lookup golden
+(tools/gen_oracle_lookups.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from equi7grid_ray.stages.aggregate import hash_aggregate
+from equi7grid_ray.stages.multimodal import _decode_luma
+
+__all__ = ["MosaicGrid", "tile_mosaic"]
+
+
+class MosaicGrid:
+    """Actor-pool stage: per image, a G x G block-MEAN grid in exact
+    integers, folded within the batch into per-(tile, cell) composite
+    partials (v_max / v_sum / n_img).  Emits at most
+    ``G * G * tiles_in_batch`` rows per batch."""
+
+    def __init__(self, grid: int = 8, id_col: str = "image_id"):
+        self.g = grid
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        tiles = batch.column("tile").to_pylist()
+        G = self.g
+        acc: dict[str, list] = {}
+        for j in range(batch.num_rows):
+            sr, sc = int(hs[j]) // G, int(ws[j]) // G
+            if sr == 0 or sc == 0:
+                continue
+            img = _decode_luma(data, offs, fmts, ws, hs, j)
+            m = img[: sr * G, : sc * G].reshape(G, sr, G, sc) \
+                .sum(axis=(1, 3), dtype=np.int64) // (sr * sc)
+            a = acc.get(tiles[j])
+            if a is None:
+                acc[tiles[j]] = [m.copy(), m.astype(np.int64), 1]
+            else:
+                np.maximum(a[0], m, out=a[0])
+                a[1] += m
+                a[2] += 1
+        n_tiles = len(acc)
+        cells = G * G
+        tile_col = []
+        vmax = np.empty(n_tiles * cells, np.int64)
+        vsum = np.empty(n_tiles * cells, np.int64)
+        nimg = np.empty(n_tiles * cells, np.int64)
+        gr, gc = np.divmod(np.tile(np.arange(cells, dtype=np.int32), n_tiles), G)
+        for k, (t, (mx, sm, n)) in enumerate(acc.items()):
+            tile_col.extend([t] * cells)
+            vmax[k * cells : (k + 1) * cells] = mx.reshape(-1)
+            vsum[k * cells : (k + 1) * cells] = sm.reshape(-1)
+            nimg[k * cells : (k + 1) * cells] = n
+        return pa.table({
+            "tile": pa.array(tile_col, pa.string()),
+            "gr": pa.array(gr.astype(np.int32), pa.int32()),
+            "gc": pa.array(gc.astype(np.int32), pa.int32()),
+            "v_max": pa.array(vmax, pa.int64()),
+            "v_sum": pa.array(vsum, pa.int64()),
+            "n_img": pa.array(nimg, pa.int64()),
+        })
+
+
+def tile_mosaic(ds, *, grid: int = 8, n_partitions: int = 32):
+    """images-with-tile Dataset -> per-(tile, cell) composite: the
+    elementwise MAX composite, the SUM (mean numerator), and the scene
+    count.  ``ds`` must carry (tile, bytes, w, h, fmt) -- i.e. the
+    output of pipelines.flagship.tile_assignments with the payload
+    columns passed through."""
+    grids = ds.map_batches(
+        MosaicGrid,
+        fn_constructor_kwargs=dict(grid=grid),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return hash_aggregate(
+        grids,
+        keys=["tile", "gr", "gc"],
+        aggs={
+            "v_max": ("v_max", "max"),
+            "v_sum": ("v_sum", "sum"),
+            "n_img": ("n_img", "sum"),
+        },
+        n_partitions=n_partitions,
+    )

@@ -168,3 +168,32 @@ def test_sobel_rejects_unknown_format():
     })
     with pytest.raises(NotImplementedError):
         SobelStats()(batch)
+
+
+def test_mosaic_grid_partials_match_naive():
+    """MosaicGrid folds a batch into per-(tile, cell) max/sum/count
+    partials; verify against a naive per-image 8x8 block-mean fold."""
+    from equi7grid_ray.stages.mosaic import MosaicGrid
+
+    batch = make_batch(0, 30)
+    tiles = ["T_A" if i % 2 == 0 else "T_B" for i in range(30)]
+    batch = batch.append_column("tile", pa.array(tiles))
+    out = MosaicGrid()(batch)
+    got = {}
+    for k in range(out.num_rows):
+        key = (out["tile"][k].as_py(), out["gr"][k].as_py(),
+               out["gc"][k].as_py())
+        got[key] = (out["v_max"][k].as_py(), out["v_sum"][k].as_py(),
+                    out["n_img"][k].as_py())
+    expect = {}
+    for i in range(30):
+        img = _img_of(i).astype(np.int64)
+        sr, sc = img.shape[0] // 8, img.shape[1] // 8
+        m = img.reshape(8, sr, 8, sc).sum(axis=(1, 3)) // (sr * sc)
+        for gr in range(8):
+            for gc in range(8):
+                key = (tiles[i], gr, gc)
+                mx, sm, n = expect.get(key, (-1, 0, 0))
+                expect[key] = (max(mx, int(m[gr, gc])),
+                               sm + int(m[gr, gc]), n + 1)
+    assert got == expect

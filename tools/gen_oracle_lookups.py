@@ -178,6 +178,29 @@ def filtered_subset(domain_sfs: list[str]) -> pa.Table:
     })
 
 
+def gen_image_tiles(n: int = 2000) -> pa.Table:
+    """image index -> assigned T6 tile for the synthetic image fixture
+    (the centers_for_index sweep), via the engine's own TileAssigner.
+    Pins the geodesic center assignment that the tile_mosaic oracle
+    joins (unassigned centers -- the few that fall between zone
+    polygons -- are absent, matching the engine's drop semantics)."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.tile_assign import TileAssigner
+
+    asn = TileAssigner(emit_cell=False, emit_xy=False)
+    parts = []
+    for st in range(0, n, 500):
+        out = asn(make_batch(st, min(500, n - st)).select(["image_id"]))
+        parts.append(out.select(["image_id", "tile"]))
+    t = pa.concat_tables(parts)
+    i = pc.cast(pc.utf8_slice_codeunits(t.column("image_id"), 3, 32),
+                pa.int64())
+    return pa.table({"i": i,
+                     "tile": pc.cast(t.column("tile"), pa.string())})
+
+
 def main() -> int:
     import ray
 
@@ -205,6 +228,8 @@ def main() -> int:
     from equi7grid_ray.export import tiles_table
 
     pq.write_table(tiles_table("T6"), OUT_DIR / "tiles_t6.parquet",
+                   compression="zstd")
+    pq.write_table(gen_image_tiles(), OUT_DIR / "image_tiles.parquet",
                    compression="zstd")
     for f in sorted(OUT_DIR.glob("*.parquet")):
         print(f, f.stat().st_size // 1024, "KiB",
