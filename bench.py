@@ -277,6 +277,7 @@ def _driver_queries() -> dict[str, float]:
         "image_otsu",
         "rgb_band_algebra",
         "tile_mosaic",
+        "collocations_pmi",
     ]
     qs = e.queries()
     for name in sel:

@@ -14,7 +14,8 @@ import pyarrow.compute as pc
 
 __all__ = ["token_stats", "bpe_token_count", "quality_score",
            "quality_buckets", "LangId", "fingerprint64", "BPE_SPLIT_RE",
-           "STOPWORDS", "gopher_filter", "inverted_index"]
+           "STOPWORDS", "gopher_filter", "inverted_index",
+           "collocations_pmi"]
 
 # interior-occurrence stopword probes (space-padded, so only
 # mid-document occurrences count -- identical semantics to the SQL
@@ -614,3 +615,108 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     return (ds.map_batches(explode, batch_format="pyarrow")
             .groupby("part").map_groups(resolve, batch_format="pandas"))
+
+
+def collocations_pmi(ds, *, col: str = "text", k: int = 50,
+                     min_count: int = 5, scale: int = 1_000_000):
+    """Top-``k`` adjacent-token collocations by integer-quantized PMI
+
+        score = floor( N^2 * c(ab) * scale / (NP * c(a) * c(b)) )
+
+    with N total tokens, NP total adjacent pairs, c(.) corpus counts --
+    the exact-integer image of pmi = log p(ab)/(p(a)p(b)), so ordering
+    and values are platform-independent and SQL-mirrorable (HUGEINT).
+
+    Shape: ONE tokenize pass emitting per-batch DISTINCT (a, b) pair +
+    unigram count partials (unigrams ride along with tok_b = '', which
+    whitespace splitting can never produce) -> hash_aggregate -> the
+    bounded distinct-counts table is materialized ONCE and re-read for
+    totals / unigrams / bigrams -> two partition-cogroup joins attach
+    c(a), c(b) -> tiny sort+limit.  Token occurrences never shuffle;
+    the exact bigint scoring pass runs on the min_count-pruned bigram
+    table only.  Deterministic total order (score desc, tok_a, tok_b)."""
+    import pandas as pd
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch.column(col))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        parent = np.repeat(np.arange(len(lens)), lens)
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tok = flat.filter(pa.array(keep)).to_pandas().to_numpy(dtype=object)
+        par = parent[keep]
+        uni = pd.Series(tok).value_counts()
+        if len(tok) > 1:
+            same = par[:-1] == par[1:]
+            bg = pd.DataFrame({"a": tok[:-1][same], "b": tok[1:][same]}) \
+                .groupby(["a", "b"], sort=False).size()
+        else:
+            bg = pd.Series(dtype=np.int64)
+        tok_a = np.concatenate([uni.index.to_numpy(dtype=object),
+                                bg.index.get_level_values(0).to_numpy(dtype=object)
+                                if len(bg) else np.empty(0, object)])
+        tok_b = np.concatenate([np.full(len(uni), "", dtype=object),
+                                bg.index.get_level_values(1).to_numpy(dtype=object)
+                                if len(bg) else np.empty(0, object)])
+        cnt = np.concatenate([uni.to_numpy(np.int64),
+                              bg.to_numpy(np.int64) if len(bg)
+                              else np.empty(0, np.int64)])
+        return pa.table({"tok_a": pa.array(tok_a, pa.string()),
+                         "tok_b": pa.array(tok_b, pa.string()),
+                         "n_": pa.array(cnt, pa.int64())})
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["tok_a", "tok_b"], aggs={"n": ("n_", "sum")},
+    ).materialize()  # bounded: distinct unigrams + distinct bigrams
+
+    def unis(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("tok_b"), "")
+        f = b.filter(m)
+        return pa.table({"tok": f.column("tok_a"), "c": f.column("n")})
+
+    def bigs(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(pc.not_equal(b.column("tok_b"), ""),
+                                pc.greater_equal(b.column("n"),
+                                                 pa.scalar(min_count))))
+
+    def all_pairs(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column("tok_b"), ""))
+
+    n_tokens = int(counts.map_batches(unis, batch_format="pyarrow").sum("c"))
+    n_pairs = int(counts.map_batches(all_pairs, batch_format="pyarrow")
+                  .sum("n") or 0)
+    uni_a = counts.map_batches(
+        lambda b: unis(b).rename_columns(["tok_a", "c_a"]),
+        batch_format="pyarrow")
+    uni_b = counts.map_batches(
+        lambda b: unis(b).rename_columns(["tok_b", "c_b"]),
+        batch_format="pyarrow")
+    big = counts.map_batches(bigs, batch_format="pyarrow")
+    j = shuffle_hash_join(
+        shuffle_hash_join(big, uni_a, on="tok_a", n_partitions=16),
+        uni_b, on="tok_b", n_partitions=16)
+
+    def score(b: pa.Table) -> pa.Table:
+        n_ab = b.column("n").to_numpy(zero_copy_only=False)
+        ca = b.column("c_a").to_numpy(zero_copy_only=False).astype(object)
+        cb = b.column("c_b").to_numpy(zero_copy_only=False).astype(object)
+        # exact bigints: N^2 * n_ab * scale overflows int64 long before
+        # the counts themselves do
+        num = (n_tokens * n_tokens * scale) * n_ab.astype(object)
+        den = (n_pairs if n_pairs else 1) * ca * cb
+        sc = np.array([int(a // d) for a, d in zip(num, den)], np.int64)
+        return pa.table({"tok_a": b.column("tok_a"),
+                         "tok_b": b.column("tok_b"),
+                         "n_ab": pa.array(n_ab.astype(np.int64), pa.int64()),
+                         "score": pa.array(sc, pa.int64())})
+
+    return (j.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "tok_a", "tok_b"],
+                  descending=[True, False, False])
+            .limit(k))

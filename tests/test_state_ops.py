@@ -1176,3 +1176,40 @@ def test_hist_equalize_reference_semantics():
     # constant image: cdf == cdf_min everywhere -> eq = 0 (guarded denom)
     assert out.column("eq_sum")[1].as_py() == 0
     assert out.column("eq_max")[1].as_py() == 0
+
+
+def test_collocations_pmi_hand_corpus(ray_session):
+    """PMI collocations on a hand-computable corpus: 'new york' occurs
+    as a glued pair, 'the the' is frequent but independent."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.text import collocations_pmi
+
+    docs = pa.table({
+        "text": pa.array(
+            ["new york " * 6 + "the cat",
+             "the dog the cat the dog",
+             "new york is the city of new york"]),
+    })
+    out = collocations_pmi(rd.from_arrow(docs), k=5, min_count=2,
+                           scale=1_000_000).to_pandas()
+    # exact-integer reference
+    toks = []
+    pairs = []
+    for t in docs.column("text").to_pylist():
+        ws = [w for w in t.split() if w]
+        toks.extend(ws)
+        pairs.extend(zip(ws[:-1], ws[1:]))
+    from collections import Counter
+    cu, cb = Counter(toks), Counter(pairs)
+    n, np_ = len(toks), len(pairs)
+    scored = sorted(
+        ((n * n * 1_000_000 * c) // (np_ * cu[a] * cu[b]), a, b, c)
+        for (a, b), c in cb.items() if c >= 2)
+    scored = sorted(scored, key=lambda x: (-x[0], x[1], x[2]))[:5]
+    got = list(zip(out["score"], out["tok_a"], out["tok_b"], out["n_ab"]))
+    assert [(s, a, b, c) for s, a, b, c in scored] == \
+        [(int(s), a, b, int(c)) for s, a, b, c in got]
+    # PMI sanity: every surviving pair is positively associated
+    # (score > scale means p(ab) > p(a)p(b))
+    assert (out["score"] > 1_000_000).all()
