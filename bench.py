@@ -278,6 +278,7 @@ def _driver_queries() -> dict[str, float]:
         "rgb_band_algebra",
         "tile_mosaic",
         "collocations_pmi",
+        "pagerank_q",
     ]
     qs = e.queries()
     for name in sel:

@@ -38,7 +38,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["connected_components", "canonical_assignments"]
+__all__ = ["connected_components", "canonical_assignments",
+           "pagerank_int"]
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -464,3 +465,99 @@ def triangle_count(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
 
     return single_group(parts, total, ["n_triangles"],
                         batch_format="pyarrow")
+
+
+def pagerank_int(edges, *, src: str = "src", dst: str = "dst",
+                 iters: int = 3, scale: int = 10**12,
+                 d_num: int = 85, d_den: int = 100,
+                 n_partitions: int = 32):
+    """PageRank over a directed edge list in EXACT integer arithmetic
+    (SQL-mirrorable, platform-independent): ranks are Q(scale) fixed
+    point,
+
+        r_0(v)     = scale // |V|
+        contrib(u) = r_k(u) // outdeg(u)
+        r_{k+1}(v) = ((d_den - d_num) * r_0) // d_den
+                     + (d_num * sum_in contrib) // d_den
+
+    over the DISTINCT edge set, for a FIXED ``iters`` rounds (the SQL
+    oracle unrolls the same rounds; dangling mass is dropped rather
+    than redistributed -- the standard sparse-push variant, documented
+    so both sides agree).  |V| = nodes appearing in any edge.
+
+    Distributed shape: one partition-cogroup join (ranks onto edges by
+    src) + one hash_aggregate (sum by dst) + one vectorized remap per
+    round; the rank table (O(|V|) rows) is materialized between rounds
+    so a round never re-executes its predecessors.  No driver-side
+    state beyond the |V| scalar."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    e = hash_aggregate(edges, keys=[src, dst],
+                       aggs={"_m": (src, "count")}) \
+        .map_batches(lambda b: b.select([src, dst]), batch_format="pyarrow")
+    deg = hash_aggregate(e, keys=[src], aggs={"deg": (src, "count")})
+    # attach out-degree to edges ONCE; reused every round
+    e_deg = shuffle_hash_join(e, deg, on=src,
+                              n_partitions=n_partitions).materialize()
+
+    def side(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b.column(col)})
+        return f
+
+    nodes = hash_aggregate(
+        e.map_batches(side(src), batch_format="pyarrow")
+         .union(e.map_batches(side(dst), batch_format="pyarrow")),
+        keys=["node"], aggs={"_c": ("node", "count")}) \
+        .map_batches(lambda b: b.select(["node"]), batch_format="pyarrow") \
+        .materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: b.append_column("rank_q", pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    r_init = scale // n_nodes
+    base = ((d_den - d_num) * r_init) // d_den
+
+    rank = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank_q", pa.array(np.full(b.num_rows, r_init, np.int64))),
+        batch_format="pyarrow").materialize()
+
+    def as_src(b: pa.Table) -> pa.Table:
+        return b.rename_columns([src if c == "node" else c
+                                 for c in b.column_names])
+
+    for _ in range(iters):
+        contribs = shuffle_hash_join(
+            e_deg, rank.map_batches(as_src, batch_format="pyarrow"),
+            on=src, n_partitions=n_partitions)
+
+        def to_contrib(b: pa.Table) -> pa.Table:
+            r = b.column("rank_q").to_numpy(zero_copy_only=False)
+            d = b.column("deg").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": b.column(dst),
+                "c_": pa.array(r // d, pa.int64()),
+            })
+
+        sums = hash_aggregate(
+            contribs.map_batches(to_contrib, batch_format="pyarrow"),
+            keys=["node"], aggs={"s": ("c_", "sum")})
+        joined = shuffle_hash_join(nodes, sums, on="node", how="left",
+                                   n_partitions=n_partitions)
+
+        def remap(b: pa.Table) -> pa.Table:
+            s = pc_.fill_null(b.column("s"), 0).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": b.column("node"),
+                "rank_q": pa.array(base + (d_num * s) // d_den, pa.int64()),
+            })
+
+        rank = joined.map_batches(remap, batch_format="pyarrow").materialize()
+    return rank

@@ -160,3 +160,21 @@ def test_triangle_count_huge_node_ids(ray_session):
     }))
     out = triangle_count(ds, n_partitions=4).to_pandas()
     assert out["n_triangles"].tolist() == [1]
+
+
+def test_pagerank_int_hand_graph(ray_session):
+    """2 exact rounds on a 3-node graph, hand-computed in integers:
+    edges 1->2, 1->3, 2->3, 3->1, scale=1000, d=85/100."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.graph import pagerank_int
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1, 1, 2, 3, 1], pa.int64()),   # dup 1->2 edge:
+        "dst": pa.array([2, 3, 3, 1, 2], pa.int64()),   # must dedupe
+    }))
+    out = pagerank_int(edges, iters=2, scale=1000).to_pandas()
+    got = dict(zip(out["node"], out["rank_q"]))
+    # r_init=333, base=49; round1: r=(332,190,473); round2 below
+    assert got == {1: 451, 2: 190, 3: 351}
