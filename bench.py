@@ -279,6 +279,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_mosaic",
         "collocations_pmi",
         "pagerank_q",
+        "tile_focal_mean",
     ]
     qs = e.queries()
     for name in sel:

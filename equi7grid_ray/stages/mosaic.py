@@ -27,7 +27,7 @@ import pyarrow as pa
 from equi7grid_ray.stages.aggregate import hash_aggregate
 from equi7grid_ray.stages.multimodal import _decode_luma
 
-__all__ = ["MosaicGrid", "tile_mosaic"]
+__all__ = ["MosaicGrid", "tile_mosaic", "tile_focal_mean"]
 
 
 class MosaicGrid:
@@ -109,3 +109,105 @@ def tile_mosaic(ds, *, grid: int = 8, n_partitions: int = 32):
         },
         n_partitions=n_partitions,
     )
+
+
+#: fixed continent order for the packed stencil key
+_CONTS = ("AF", "AN", "AS", "EU", "NA", "OC", "SA")
+
+
+def _packed_keys(cont_idx, te, tn, gr, gc, grid=8):
+    """int64 key for a (continent, tile-easting, tile-northing, cell)
+    tuple; eastings/northings offset by +1200 so the +/-6 halo shifts
+    never go negative."""
+    return (((cont_idx.astype(np.int64) * 4000 + te + 1200) * 4000
+             + tn + 1200) * grid * grid + gr * grid + gc)
+
+
+def tile_focal_mean(mosaic, *, value: str = "v_max", grid: int = 8,
+                    n_partitions: int = 32):
+    """3x3 focal (moving-window) mean over the tile-mosaic composite,
+    ACROSS tile boundaries -- the distributed stencil / halo-exchange
+    step of map-algebra toolchains.  Cell (gr, gc) of a tile is
+    georeferenced gr south-positive / gc east-positive, so edge cells
+    read the adjacent cells of the +/-6-easting / +/-6-northing
+    neighbour tiles of the SAME continent (Equi7 zones are disjoint
+    projections; there is no cross-continent adjacency).  Windows keep
+    whatever neighbours exist: focal = sum // count over present cells
+    (exact integers).
+
+    Shape: the bounded composite (|tiles| * grid^2 rows) materializes
+    once; each cell SCATTERS its value to its 9 window centers as a
+    packed int64 key (metadata-only exchange), one hash_aggregate
+    folds (sum, count), and one partition-cogroup join back onto the
+    existing centers drops phantom windows.  No pixel ever moves."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    mosaic = mosaic.materialize()  # bounded: |tiles| * grid^2
+
+    def parse(b: pa.Table):
+        tile = b.column("tile")
+        cont = pc.utf8_slice_codeunits(tile, 0, 2)
+        cidx = np.searchsorted(np.asarray(_CONTS),
+                               cont.to_numpy(zero_copy_only=False))
+        te = pc.cast(pc.utf8_slice_codeunits(tile, 4, 7), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tn = pc.cast(pc.utf8_slice_codeunits(tile, 8, 11), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        gr = b.column("gr").to_numpy(zero_copy_only=False).astype(np.int64)
+        gc = b.column("gc").to_numpy(zero_copy_only=False).astype(np.int64)
+        return cidx, te, tn, gr, gc
+
+    def scatter(b: pa.Table) -> pa.Table:
+        cidx, te, tn, gr, gc = parse(b)
+        v = b.column(value).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, vals = [], []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                tr, tc = gr + dr, gc + dc
+                sn = tn + np.where(tr < 0, 6, 0) - np.where(tr >= grid, 6, 0)
+                se = te + np.where(tc < 0, -6, 0) + np.where(tc >= grid, 6, 0)
+                keys.append(_packed_keys(cidx, se, sn, tr % grid,
+                                         tc % grid, grid))
+                vals.append(v)
+        return pa.table({
+            "fkey": pa.array(np.concatenate(keys), pa.int64()),
+            "v_": pa.array(np.concatenate(vals), pa.int64()),
+        })
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    sums = hash_aggregate(
+        mosaic.map_batches(scatter, batch_format="pyarrow"),
+        keys=["fkey"],
+        aggs={"wsum": ("v_", "sum"), "wn": ("v_", "count")},
+        n_partitions=n_partitions,
+    )
+
+    def centers(b: pa.Table) -> pa.Table:
+        cidx, te, tn, gr, gc = parse(b)
+        return pa.table({
+            "fkey": pa.array(_packed_keys(cidx, te, tn, gr, gc, grid),
+                             pa.int64()),
+            "tile": b.column("tile"),
+            "gr": b.column("gr"),
+            "gc": b.column("gc"),
+        })
+
+    joined = shuffle_hash_join(
+        mosaic.map_batches(centers, batch_format="pyarrow"), sums,
+        on="fkey", n_partitions=n_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        ws = b.column("wsum").to_numpy(zero_copy_only=False)
+        wn = b.column("wn").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tile": b.column("tile"),
+            "gr": b.column("gr"),
+            "gc": b.column("gc"),
+            "focal": pa.array(ws // wn, pa.int64()),
+            "wn": pa.array(wn.astype(np.int64), pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -197,3 +197,52 @@ def test_mosaic_grid_partials_match_naive():
                 expect[key] = (max(mx, int(m[gr, gc])),
                                sm + int(m[gr, gc]), n + 1)
     assert got == expect
+
+
+def test_focal_mean_halo_exchange(ray_session):
+    """3x3 focal mean across a tile boundary: east-edge windows of one
+    tile must read the west-edge cells of the +6-easting neighbour;
+    corner windows of an isolated edge keep only present cells."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import tile_focal_mean
+
+    rows = []
+    for tile, base in (("EU_E036N078T6", 10), ("EU_E042N078T6", 1000)):
+        for gr in range(8):
+            for gc in range(8):
+                rows.append((tile, gr, gc, base + gr * 8 + gc))
+    t = pa.table({
+        "tile": pa.array([r[0] for r in rows]),
+        "gr": pa.array([r[1] for r in rows], pa.int32()),
+        "gc": pa.array([r[2] for r in rows], pa.int32()),
+        "v_max": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = tile_focal_mean(rd.from_arrow(t)).to_pandas()
+    val = {(r[0], r[1], r[2]): r[3] for r in rows}
+
+    def naive(tile, gr, gc):
+        te = int(tile[4:7])
+        acc = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                sr, sc, st = gr + dr, gc + dc, tile
+                if sc < 0:
+                    st, sc = f"EU_E{te-6:03d}N078T6", sc + 8
+                elif sc > 7:
+                    st, sc = f"EU_E{te+6:03d}N078T6", sc - 8
+                if sr < 0 or sr > 7:   # no N/S neighbours in fixture
+                    continue
+                if (st, sr, sc) in val:
+                    acc.append(val[(st, sr, sc)])
+        return sum(acc) // len(acc), len(acc)
+
+    got = {(r.tile, r.gr, r.gc): (r.focal, r.wn)
+           for r in out.itertuples()}
+    assert len(got) == 128
+    for (tile, gr, gc), (focal, wn) in got.items():
+        assert (focal, wn) == naive(tile, gr, gc), (tile, gr, gc)
+    # spot-check shapes: interior 9, boundary-crossing 9, corner 4
+    assert got[("EU_E036N078T6", 3, 3)][1] == 9
+    assert got[("EU_E036N078T6", 3, 7)][1] == 9   # reads the neighbour
+    assert got[("EU_E036N078T6", 0, 0)][1] == 4
