@@ -280,6 +280,8 @@ def _driver_queries() -> dict[str, float]:
         "collocations_pmi",
         "pagerank_q",
         "tile_focal_mean",
+        "image_blobs",
+        "image_rle",
     ]
     qs = e.queries()
     for name in sel:

@@ -20,7 +20,8 @@ from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "PatchStats", "HistEqualize", "PyramidStats", "SobelStats",
-           "OtsuThreshold", "BandAlgebra", "phash_basis", "dhash_near_dup",
+           "OtsuThreshold", "BandAlgebra", "BlobStats", "RleStats",
+           "label_runs", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
            "AudioFeatures", "PCMAudioFeatures", "FrameSampler",
            "fake_decode"]
@@ -953,4 +954,130 @@ class BandAlgebra:
             "veg_px": pa.array(veg, pa.int64()),
             "idx_sum": pa.array(isum, pa.int64()),
             "ndq_sum": pa.array(nsum, pa.int64()),
+        })
+
+
+def label_runs(mask: np.ndarray) -> tuple[int, int, int]:
+    """4-connected components of a boolean mask via run-based
+    union-find: runs are extracted in ONE vectorized diff pass (Python
+    work is O(runs), never O(pixels)), adjacent-row runs merge by a
+    two-pointer interval sweep.  Returns (n_blobs, max_blob_px,
+    fg_px)."""
+    h, w = mask.shape
+    padded = np.zeros((h, w + 1), dtype=bool)
+    padded[:, :w] = mask
+    flat = padded.reshape(-1)
+    d = np.diff(flat.astype(np.int8), prepend=np.int8(0))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    if len(starts) == 0:
+        return 0, 0, 0
+    row = starts // (w + 1)
+    c0 = starts % (w + 1)
+    c1 = c0 + (ends - starts)  # exclusive; runs never span the pad
+    n = len(starts)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # runs are emitted in (row, col) order; sweep row pairs
+    row_of = row.tolist()
+    c0l, c1l = c0.tolist(), c1.tolist()
+    starts_by_row = np.searchsorted(row, np.arange(h + 1))
+    for r in range(1, h):
+        a, a_end = int(starts_by_row[r - 1]), int(starts_by_row[r])
+        b, b_end = int(starts_by_row[r]), int(starts_by_row[r + 1])
+        while a < a_end and b < b_end:
+            if c0l[a] < c1l[b] and c0l[b] < c1l[a]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            if c1l[a] < c1l[b]:
+                a += 1
+            else:
+                b += 1
+    sizes: dict[int, int] = {}
+    for k in range(n):
+        r = find(k)
+        sizes[r] = sizes.get(r, 0) + (c1l[k] - c0l[k])
+    fg = int(c1.sum() - c0.sum())
+    return len(sizes), max(sizes.values()), fg
+
+
+class BlobStats:
+    """Per-image blob labeling: 4-connected components of the
+    ``v >= thresh`` foreground mask (the raster segmentation step --
+    reference-domain raster polygonization's counting core).  Emits
+    (id, n_blobs, max_blob, fg_px); exact, platform-independent, so the
+    SQL mirror is a recursive-CTE reachability closure over the same
+    run adjacency graph."""
+
+    def __init__(self, thresh: int = 128, id_col: str = "image_id"):
+        self.thresh = thresh
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        nb = np.zeros(n, np.int64)
+        mb = np.zeros(n, np.int64)
+        fg = np.zeros(n, np.int64)
+        for j in range(n):
+            img = _decode_luma(data, offs, fmts, ws, hs, j)
+            nb[j], mb[j], fg[j] = label_runs(img >= self.thresh)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_blobs": pa.array(nb, pa.int64()),
+            "max_blob": pa.array(mb, pa.int64()),
+            "fg_px": pa.array(fg, pa.int64()),
+        })
+
+
+class RleStats:
+    """Per-image scanline run-length statistics (the compressibility /
+    synthetic-texture signal): number of equal-value runs across all
+    rows and the longest run.  One vectorized diff pass per frame;
+    SQL mirror is a lag()-based gaps-and-islands over the pixel
+    formula."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        nr = np.empty(n, np.int64)
+        mx = np.empty(n, np.int64)
+        for j in range(n):
+            img = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int16)
+            h, w = img.shape
+            # -1 sentinel column prevents runs spanning rows (pixel
+            # values are 0..255)
+            padded = np.full((h, w + 1), -1, np.int16)
+            padded[:, :w] = img
+            flat = padded.reshape(-1)
+            change = np.flatnonzero(np.diff(flat) != 0)
+            bounds = np.concatenate(([-1], change, [len(flat) - 1]))
+            lens = np.diff(bounds)
+            keep = flat[bounds[1:]] != -1  # drop sentinel runs
+            nr[j] = int(keep.sum())
+            mx[j] = int(lens[keep].max()) if keep.any() else 0
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_runs": pa.array(nr, pa.int64()),
+            "max_run": pa.array(mx, pa.int64()),
         })

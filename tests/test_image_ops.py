@@ -246,3 +246,75 @@ def test_focal_mean_halo_exchange(ray_session):
     assert got[("EU_E036N078T6", 3, 3)][1] == 9
     assert got[("EU_E036N078T6", 3, 7)][1] == 9   # reads the neighbour
     assert got[("EU_E036N078T6", 0, 0)][1] == 4
+
+
+def test_label_runs_shapes():
+    from equi7grid_ray.stages.multimodal import label_runs
+
+    # empty / full
+    assert label_runs(np.zeros((4, 4), bool)) == (0, 0, 0)
+    assert label_runs(np.ones((3, 5), bool)) == (1, 15, 15)
+    # donut: one 8-connected ring is ONE 4-connected component too
+    m = np.ones((5, 5), bool)
+    m[2, 2] = False
+    assert label_runs(m) == (1, 24, 24)
+    # diagonal touch is NOT 4-connected
+    d = np.zeros((2, 2), bool)
+    d[0, 0] = d[1, 1] = True
+    assert label_runs(d) == (2, 1, 2)
+    # two bars joined by a bridge at the right edge
+    b = np.zeros((3, 4), bool)
+    b[0, :] = b[2, :] = True
+    b[1, 3] = True
+    assert label_runs(b) == (1, 9, 9)
+    # U-shape vs separated: remove the bridge
+    b[1, 3] = False
+    assert label_runs(b) == (2, 4, 8)
+
+
+def test_label_runs_matches_bruteforce():
+    """Random masks vs a pixel-level BFS reference."""
+    from collections import deque
+
+    from equi7grid_ray.stages.multimodal import label_runs
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        m = rng.random((12, 17)) < 0.45
+        seen = np.zeros_like(m)
+        sizes = []
+        for r0 in range(m.shape[0]):
+            for c0 in range(m.shape[1]):
+                if m[r0, c0] and not seen[r0, c0]:
+                    q = deque([(r0, c0)])
+                    seen[r0, c0] = True
+                    s = 0
+                    while q:
+                        r, c = q.popleft()
+                        s += 1
+                        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            rr, cc = r + dr, c + dc
+                            if 0 <= rr < m.shape[0] and 0 <= cc < m.shape[1] \
+                                    and m[rr, cc] and not seen[rr, cc]:
+                                seen[rr, cc] = True
+                                q.append((rr, cc))
+                    sizes.append(s)
+        expect = (len(sizes), max(sizes) if sizes else 0, int(m.sum()))
+        assert label_runs(m) == expect
+
+
+def test_rle_stats_crafted():
+    from equi7grid_ray.stages.multimodal import RleStats
+
+    img = np.array([[5, 5, 5, 2], [7, 7, 7, 7]], np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["x"]),
+        "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+        "w": pa.array([4], pa.int32()), "h": pa.array([2], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    out = RleStats()(batch)
+    # rows: (5,5,5)(2) + (7,7,7,7) = 3 runs; longest 4 (no cross-row run
+    # even though row0 ends and row1 starts with different values)
+    assert out["n_runs"][0].as_py() == 3
+    assert out["max_run"][0].as_py() == 4
