@@ -282,6 +282,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_focal_mean",
         "image_blobs",
         "image_rle",
+        "image_hist_match",
     ]
     qs = e.queries()
     for name in sel:

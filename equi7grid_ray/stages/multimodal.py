@@ -1081,3 +1081,85 @@ class RleStats:
             "n_runs": pa.array(nr, pa.int64()),
             "max_run": pa.array(mx, pa.int64()),
         })
+
+
+class MatchHistogram:
+    """Radiometric normalization: remap each scene's values so its
+    histogram matches a REFERENCE histogram (the pre-mosaic step that
+    stops seam lines between scenes).  Exact integer matching rule:
+
+        lut(v) = min u in [0, 255] with
+                 cdf_ref(u) * n_src >= cdf_src(v) * n_ref
+
+    (cross-multiplied, so no division ever happens; ties resolve to the
+    smallest u, mirrored by the SQL min()-filter).  The reference
+    histogram (256 ints) arrives via the constructor -- the broadcast
+    small side.  Per frame: one bincount + one searchsorted; emits
+    (id, mt_sum, mt_min, mt_max) checksums of the remapped frame."""
+
+    def __init__(self, ref_hist, id_col: str = "image_id"):
+        ref = np.asarray(ref_hist, dtype=np.int64)
+        if ref.shape != (256,):
+            raise ValueError("ref_hist must be 256 bins")
+        self.ref_cdf = np.cumsum(ref)
+        self.n_ref = int(self.ref_cdf[-1])
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        msum = np.empty(n, np.int64)
+        mmin = np.empty(n, np.int64)
+        mmax = np.empty(n, np.int64)
+        for j in range(n):
+            img = _decode_luma(data, offs, fmts, ws, hs, j)
+            hist = np.bincount(img.reshape(-1), minlength=256).astype(np.int64)
+            cdf = np.cumsum(hist)
+            n_src = int(cdf[-1])
+            lut = np.searchsorted(self.ref_cdf * n_src, cdf * self.n_ref,
+                                  side="left").astype(np.int64)
+            present = hist > 0
+            msum[j] = int((hist[present] * lut[present]).sum())
+            mmin[j] = int(lut[present].min())
+            mmax[j] = int(lut[present].max())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "mt_sum": pa.array(msum, pa.int64()),
+            "mt_min": pa.array(mmin, pa.int64()),
+            "mt_max": pa.array(mmax, pa.int64()),
+        })
+
+
+def global_histogram(ds) -> np.ndarray:
+    """Corpus-wide 256-bin value histogram over decoded payloads: one
+    vectorized bincount partial per batch (bounded 256 ints), folded by
+    a tiny hash_aggregate.  The result is the broadcast reference for
+    :class:`MatchHistogram`."""
+    from equi7grid_ray.arrowutil import binary_view
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def part(batch: pa.Table) -> pa.Table:
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        acc = np.zeros(256, np.int64)
+        for j in range(batch.num_rows):
+            img = _decode_luma(data, offs, fmts, ws, hs, j)
+            acc += np.bincount(img.reshape(-1), minlength=256)
+        nz = np.flatnonzero(acc)
+        return pa.table({"v": pa.array(nz.astype(np.int64), pa.int64()),
+                         "c_": pa.array(acc[nz], pa.int64())})
+
+    agg = hash_aggregate(ds.map_batches(part, batch_format="pyarrow"),
+                         keys=["v"], aggs={"c": ("c_", "sum")},
+                         n_partitions=4)
+    hist = np.zeros(256, np.int64)
+    for row in agg.take_all():   # bounded: <= 256 rows
+        hist[int(row["v"])] = int(row["c"])
+    return hist

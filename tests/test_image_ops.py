@@ -318,3 +318,38 @@ def test_rle_stats_crafted():
     # even though row0 ends and row1 starts with different values)
     assert out["n_runs"][0].as_py() == 3
     assert out["max_run"][0].as_py() == 4
+
+
+def test_match_histogram_identity_and_shift():
+    """Matching a frame to its own histogram is the identity LUT;
+    matching a dark frame to a bright reference brightens it."""
+    from equi7grid_ray.stages.multimodal import MatchHistogram
+
+    img = _img_of(5)
+    hist = np.bincount(img.reshape(-1), minlength=256).astype(np.int64)
+    batch = pa.table({
+        "image_id": pa.array(["a"]),
+        "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+        "w": pa.array([img.shape[1]], pa.int32()),
+        "h": pa.array([img.shape[0]], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    out = MatchHistogram(ref_hist=hist)(batch)
+    assert out["mt_sum"][0].as_py() == int(img.astype(np.int64).sum())
+    assert out["mt_min"][0].as_py() == int(img.min())
+    assert out["mt_max"][0].as_py() == int(img.max())
+
+    dark = np.full((8, 8), 10, np.uint8)
+    bright_ref = np.zeros(256, np.int64)
+    bright_ref[200] = 64
+    b2 = pa.table({
+        "image_id": pa.array(["d"]),
+        "bytes": pa.array([encode_image(dark, "raw")], pa.binary()),
+        "w": pa.array([8], pa.int32()), "h": pa.array([8], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    out2 = MatchHistogram(ref_hist=bright_ref)(b2)
+    # every pixel maps to the single reference value
+    assert out2["mt_min"][0].as_py() == 200
+    assert out2["mt_max"][0].as_py() == 200
+    assert out2["mt_sum"][0].as_py() == 64 * 200
