@@ -283,6 +283,9 @@ def _driver_queries() -> dict[str, float]:
         "image_blobs",
         "image_rle",
         "image_hist_match",
+        "image_morph",
+        "tile_temporal_median",
+        "tile_change_detect",
     ]
     qs = e.queries()
     for name in sel:

@@ -20,6 +20,7 @@ from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "PatchStats", "HistEqualize", "PyramidStats", "SobelStats",
+           "MorphStats",
            "OtsuThreshold", "BandAlgebra", "BlobStats", "RleStats",
            "label_runs", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
@@ -843,6 +844,59 @@ class SobelStats:
             self.id_col: batch.column(self.id_col),
             "grad_sum": pa.array(gsum, pa.int64()),
             "edge_px": pa.array(epx, pa.int64()),
+        })
+
+
+class MorphStats:
+    """Per-image 3x3 binary morphology (erosion / dilation) over the
+    ``v >= 128`` foreground mask -- the mask clean-up step that runs
+    between thresholding (OtsuThreshold) and blob labeling (BlobStats)
+    in a segmentation pipeline (reference-side analogue: the nodata
+    mask dilation inside the accurate-boundary path, reference
+    warp.py:79-156, which scipy-dilates a downsampled validity mask).
+
+    Emits, counted over the interior (r in [1, h-2], c in [1, w-2]):
+
+        fg_in      -- foreground pixels
+        eroded_px  -- pixels whose full 3x3 neighbourhood is foreground
+        dilated_px -- pixels with ANY foreground in the 3x3 window
+
+    (dilated_px - eroded_px is the morphological-gradient band.)  One
+    9-view shifted sum per frame, no Python per-pixel work; SQL mirror
+    sums the nine mask indicators of the synthetic pixel formula."""
+
+    THRESH = 128
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        fg = np.zeros(n, np.int64)
+        ero = np.zeros(n, np.int64)
+        dil = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j)
+            if v.shape[0] < 3 or v.shape[1] < 3:
+                continue
+            m = (v >= self.THRESH).astype(np.int8)
+            s = (m[:-2, :-2] + m[:-2, 1:-1] + m[:-2, 2:]
+                 + m[1:-1, :-2] + m[1:-1, 1:-1] + m[1:-1, 2:]
+                 + m[2:, :-2] + m[2:, 1:-1] + m[2:, 2:])
+            fg[j] = int(m[1:-1, 1:-1].sum(dtype=np.int64))
+            ero[j] = int((s == 9).sum())
+            dil[j] = int((s >= 1).sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "fg_in": pa.array(fg, pa.int64()),
+            "eroded_px": pa.array(ero, pa.int64()),
+            "dilated_px": pa.array(dil, pa.int64()),
         })
 
 

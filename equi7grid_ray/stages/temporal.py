@@ -1,0 +1,180 @@
+"""Temporal compositing over the per-tile scene stack.
+
+The reference's tiled fan-out (reference warp.py resample_to_equi7_tiles)
+produces one raster per (scene, tile); a time-series archive holds a
+STACK of scenes per tile, and the classic EO products over that stack
+are the temporal-median composite (the robust cloud/outlier-free
+mosaic) and two-epoch change detection.  Ray-Data shape:
+
+    images -> TileAssigner -> SceneCellMeans   (decode + G x G exact
+                                                block means; pixels
+                                                never leave this stage)
+           -> [median]  hash-partition by tile -> ONE lexsort pass per
+                        partition (exact lower-median, min, max)
+           -> [change]  conditional per-epoch max -> hash_aggregate
+                        (tile, cell) -> per-tile delta rollup
+
+Exchange volume is G*G rows per (scene, tile) -- independent of image
+resolution.  All arithmetic is exact integers (block mean = sum //
+npx; lower-median = sorted[(n-1)//2], DuckDB's quantile_disc(0.5)
+rule), so both products are SQL-mirrorable through the synthetic pixel
+formula joined to the pinned image->tile lookup golden.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from equi7grid_ray.stages.aggregate import hash_aggregate
+from equi7grid_ray.stages.multimodal import _decode_luma
+
+__all__ = ["SceneCellMeans", "tile_temporal_median", "tile_change_detect"]
+
+
+class SceneCellMeans:
+    """Per (scene, tile): the G x G exact block-mean grid as rows
+    ``(tile, gr, gc, epoch, m)``.  ``epoch`` = scene index parity
+    (stand-in for an acquisition-time bucket), derived from the
+    ``image_id`` index."""
+
+    def __init__(self, grid: int = 8):
+        self.g = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        tiles = batch.column("tile").to_pylist()
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("image_id"), 3, 32),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        G = self.g
+        cells = G * G
+        n = batch.num_rows
+        tile_col: list[str] = []
+        epoch = np.empty(n * cells, np.int64)
+        means = np.empty(n * cells, np.int64)
+        k = 0
+        for j in range(n):
+            sr, sc = int(hs[j]) // G, int(ws[j]) // G
+            if sr == 0 or sc == 0:
+                continue
+            img = _decode_luma(data, offs, fmts, ws, hs, j)
+            m = img[: sr * G, : sc * G].reshape(G, sr, G, sc) \
+                .sum(axis=(1, 3), dtype=np.int64) // (sr * sc)
+            tile_col.extend([tiles[j]] * cells)
+            epoch[k : k + cells] = int(idx[j]) % 2
+            means[k : k + cells] = m.reshape(-1)
+            k += cells
+        gr, gc = np.divmod(
+            np.tile(np.arange(cells, dtype=np.int32), k // cells), G)
+        return pa.table({
+            "tile": pa.array(tile_col, pa.string()),
+            "gr": pa.array(gr, pa.int32()),
+            "gc": pa.array(gc, pa.int32()),
+            "epoch": pa.array(epoch[:k], pa.int64()),
+            "m": pa.array(means[:k], pa.int64()),
+        })
+
+
+def tile_temporal_median(cells, *, n_partitions: int = 32):
+    """Per (tile, gr, gc): exact lower-median / min / max / count of
+    the per-scene block means.  One hash partition on ``tile`` (all
+    cells of one tile colocate), then ONE np.lexsort + group-boundary
+    pass per partition -- no per-group Python."""
+    from equi7grid_ray.stages.aggregate import _key_parts
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", pa.array(_key_parts(batch, ["tile"], n_partitions)))
+
+    def medians(g: pd.DataFrame) -> pd.DataFrame:
+        tcode, tuniq = pd.factorize(g["tile"], sort=False)
+        gr = g["gr"].to_numpy()
+        gc = g["gc"].to_numpy()
+        m = g["m"].to_numpy()
+        order = np.lexsort((m, gc, gr, tcode))
+        tc, gr, gc, m = tcode[order], gr[order], gc[order], m[order]
+        new = np.empty(len(m), bool)
+        new[0] = True
+        new[1:] = (tc[1:] != tc[:-1]) | (gr[1:] != gr[:-1]) \
+            | (gc[1:] != gc[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(m)))
+        med = m[starts + (counts - 1) // 2]
+        return pd.DataFrame({
+            "tile": tuniq.take(tc[starts]),
+            "gr": gr[starts],
+            "gc": gc[starts],
+            "n_sc": counts.astype(np.int64),
+            "v_med": med.astype(np.int64),
+            "v_min": m[starts].astype(np.int64),
+            "v_max": m[starts + counts - 1].astype(np.int64),
+        })
+
+    return (
+        cells.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(medians, batch_format="pandas")
+    )
+
+
+def tile_change_detect(cells, *, thresh: int = 8, n_partitions: int = 32):
+    """Two-epoch change detection per tile: epoch-0 vs epoch-1 MAX
+    composites compared cell-by-cell; a cell "changed" when
+    ``|v1 - v0| >= thresh``.  Cells observed in only one epoch are
+    dropped (no basis for a delta).  Emits per tile: ``n_cells``,
+    ``n_changed``, ``sum_absd``.
+
+    Shape: the conditional per-epoch maxes ride ONE keyed aggregate
+    (block means are >= 0, so -1 is a safe absent sentinel); the
+    per-tile rollup aggregates the already-tiny cell table."""
+
+    def split_epochs(batch: pa.Table) -> pa.Table:
+        m = batch.column("m").to_numpy()
+        ep = batch.column("epoch").to_numpy()
+        return pa.table({
+            "tile": batch.column("tile"),
+            "gr": batch.column("gr"),
+            "gc": batch.column("gc"),
+            "m0": pa.array(np.where(ep == 0, m, -1), pa.int64()),
+            "m1": pa.array(np.where(ep == 1, m, -1), pa.int64()),
+        })
+
+    per_cell = hash_aggregate(
+        cells.map_batches(split_epochs, batch_format="pyarrow"),
+        keys=["tile", "gr", "gc"],
+        aggs={"v0": ("m0", "max"), "v1": ("m1", "max")},
+        n_partitions=n_partitions,
+    )
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        v0 = batch.column("v0").to_numpy()
+        v1 = batch.column("v1").to_numpy()
+        keep = (v0 >= 0) & (v1 >= 0)
+        absd = np.abs(v1 - v0)
+        return pa.table({
+            "tile": batch.column("tile").filter(pa.array(keep)),
+            "one": pa.array(np.ones(int(keep.sum()), np.int64)),
+            "changed": pa.array(
+                (absd[keep] >= thresh).astype(np.int64), pa.int64()),
+            "absd": pa.array(absd[keep], pa.int64()),
+        })
+
+    return hash_aggregate(
+        per_cell.map_batches(deltas, batch_format="pyarrow"),
+        keys=["tile"],
+        aggs={
+            "n_cells": ("one", "sum"),
+            "n_changed": ("changed", "sum"),
+            "sum_absd": ("absd", "sum"),
+        },
+        n_partitions=n_partitions,
+    )

@@ -353,3 +353,46 @@ def test_match_histogram_identity_and_shift():
     assert out2["mt_min"][0].as_py() == 200
     assert out2["mt_max"][0].as_py() == 200
     assert out2["mt_sum"][0].as_py() == 64 * 200
+
+
+def test_morph_matches_bruteforce():
+    from equi7grid_ray.stages.multimodal import MorphStats
+
+    batch = make_batch(0, 18)
+    out = MorphStats()(batch)
+    got = {out["image_id"][k].as_py():
+           (out["fg_in"][k].as_py(), out["eroded_px"][k].as_py(),
+            out["dilated_px"][k].as_py())
+           for k in range(out.num_rows)}
+    for i in range(18):
+        m = (_img_of(i) >= 128)
+        h, w = m.shape
+        fg = ero = dil = 0
+        for r in range(1, h - 1):
+            for c in range(1, w - 1):
+                win = m[r - 1 : r + 2, c - 1 : c + 2]
+                fg += int(m[r, c])
+                ero += int(win.all())
+                dil += int(win.any())
+        assert got[f"img{i:012d}"] == (fg, ero, dil)
+
+
+def test_morph_constant_frames():
+    from equi7grid_ray.stages.multimodal import MorphStats
+
+    full = np.full((8, 8), 200, np.uint8)
+    empty = np.zeros((8, 8), np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["full", "empty"]),
+        "bytes": pa.array([encode_image(full, "raw"),
+                           encode_image(empty, "raw")], pa.binary()),
+        "w": pa.array([8, 8], pa.int32()),
+        "h": pa.array([8, 8], pa.int32()),
+        "fmt": pa.array(["raw", "raw"]),
+    })
+    out = MorphStats()(batch)
+    rows = {out["image_id"][k].as_py():
+            (out["fg_in"][k].as_py(), out["eroded_px"][k].as_py(),
+             out["dilated_px"][k].as_py()) for k in range(2)}
+    assert rows["full"] == (36, 36, 36)
+    assert rows["empty"] == (0, 0, 0)

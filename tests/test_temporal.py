@@ -1,0 +1,132 @@
+"""Temporal compositing (stages/temporal.py): scene cell means,
+per-(tile, cell) exact temporal median, two-epoch change detection.
+
+Parity against naive pandas references (independent of the stage's
+lexsort / sentinel tricks), plus the lower-median tie rule and the
+single-epoch-drop edge the SQL oracle relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from equi7grid_ray.sources.images import make_batch
+from equi7grid_ray.stages.temporal import (
+    SceneCellMeans,
+    tile_change_detect,
+    tile_temporal_median,
+)
+
+
+def _cells_table():
+    rng = np.random.default_rng(7)
+    n = 4000
+    tiles = np.array(["EU_E048N012T6", "EU_E054N012T6", "AS_E066N030T6"])
+    return pa.table({
+        "tile": pa.array(tiles[rng.integers(0, 3, n)].tolist(), pa.string()),
+        "gr": pa.array(rng.integers(0, 4, n).astype(np.int32), pa.int32()),
+        "gc": pa.array(rng.integers(0, 4, n).astype(np.int32), pa.int32()),
+        "epoch": pa.array(rng.integers(0, 2, n), pa.int64()),
+        "m": pa.array(rng.integers(0, 256, n), pa.int64()),
+    })
+
+
+def test_scene_cell_means_match_naive():
+    batch = make_batch(0, 12)
+    batch = batch.append_column(
+        "tile", pa.array([f"T{j % 2}" for j in range(12)], pa.string()))
+    out = SceneCellMeans(grid=8)(batch).to_pandas()
+    sizes = (32, 64, 128)
+    for i in (0, 5, 11):
+        w, h = sizes[i % 3], sizes[(i // 3) % 3]
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        img = (r * h + c * w + i) % 256
+        sr, sc = h // 8, w // 8
+        m = img.reshape(8, sr, 8, sc).sum(axis=(1, 3)) // (sr * sc)
+        # row block i covers cells of scene i in emit order
+        blk = out.iloc[i * 64 : (i + 1) * 64]
+        assert (blk.tile == f"T{i % 2}").all()
+        assert (blk.epoch == i % 2).all()
+        got = blk.pivot(index="gr", columns="gc", values="m").to_numpy()
+        assert (got == m).all()
+
+
+def test_temporal_median_matches_pandas(ray_session):
+    import ray.data as rd
+
+    t = _cells_table()
+    got = tile_temporal_median(rd.from_arrow(t), n_partitions=8) \
+        .to_pandas().sort_values(["tile", "gr", "gc"]).reset_index(drop=True)
+    df = t.to_pandas()
+
+    def lower_median(s: pd.Series) -> int:
+        v = np.sort(s.to_numpy())
+        return int(v[(len(v) - 1) // 2])
+
+    ref = df.groupby(["tile", "gr", "gc"], as_index=False).agg(
+        n_sc=("m", "size"), v_med=("m", lower_median),
+        v_min=("m", "min"), v_max=("m", "max"))
+    ref = ref.sort_values(["tile", "gr", "gc"]).reset_index(drop=True)
+    for col in ("n_sc", "v_med", "v_min", "v_max"):
+        assert (got[col].to_numpy() == ref[col].to_numpy()).all(), col
+    assert (got["tile"] == ref["tile"]).all()
+
+
+def test_lower_median_tie_rule(ray_session):
+    # even count: lower middle (DuckDB quantile_disc(0.5)), not the mean
+    import ray.data as rd
+
+    t = pa.table({
+        "tile": pa.array(["T"] * 4, pa.string()),
+        "gr": pa.array([0] * 4, pa.int32()),
+        "gc": pa.array([0] * 4, pa.int32()),
+        "epoch": pa.array([0, 1, 0, 1], pa.int64()),
+        "m": pa.array([10, 40, 20, 30], pa.int64()),
+    })
+    out = tile_temporal_median(rd.from_arrow(t), n_partitions=2).to_pandas()
+    assert len(out) == 1
+    assert out["v_med"].iloc[0] == 20  # sorted [10,20,30,40] -> idx (4-1)//2
+    assert out["n_sc"].iloc[0] == 4
+
+
+def test_change_detect_matches_pandas(ray_session):
+    import ray.data as rd
+
+    t = _cells_table()
+    got = tile_change_detect(rd.from_arrow(t), thresh=8, n_partitions=8) \
+        .to_pandas().sort_values("tile").reset_index(drop=True)
+    df = t.to_pandas()
+    cell = df.groupby(["tile", "gr", "gc"]).apply(
+        lambda g: pd.Series({
+            "v0": g.loc[g.epoch == 0, "m"].max(),
+            "v1": g.loc[g.epoch == 1, "m"].max(),
+        }), include_groups=False).reset_index()
+    cell = cell.dropna()
+    cell["absd"] = (cell.v1 - cell.v0).abs().astype(np.int64)
+    ref = cell.groupby("tile", as_index=False).agg(
+        n_cells=("absd", "size"),
+        n_changed=("absd", lambda s: int((s >= 8).sum())),
+        sum_absd=("absd", "sum"))
+    ref = ref.sort_values("tile").reset_index(drop=True)
+    for col in ("n_cells", "n_changed", "sum_absd"):
+        assert (got[col].to_numpy() == ref[col].to_numpy()).all(), col
+
+
+def test_change_detect_drops_single_epoch_cells(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "tile": pa.array(["T", "T", "T"], pa.string()),
+        "gr": pa.array([0, 0, 1], pa.int32()),
+        "gc": pa.array([0, 0, 0], pa.int32()),
+        "epoch": pa.array([0, 1, 0], pa.int64()),  # cell (1,0): epoch 0 only
+        "m": pa.array([100, 120, 50], pa.int64()),
+    })
+    out = tile_change_detect(rd.from_arrow(t), thresh=8).to_pandas()
+    assert len(out) == 1
+    assert out["n_cells"].iloc[0] == 1
+    assert out["n_changed"].iloc[0] == 1
+    assert out["sum_absd"].iloc[0] == 20
