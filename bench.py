@@ -286,6 +286,9 @@ def _driver_queries() -> dict[str, float]:
         "image_morph",
         "tile_temporal_median",
         "tile_change_detect",
+        "tile_moran",
+        "tile_revisit",
+        "pii_scrub",
     ]
     qs = e.queries()
     for name in sel:

@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 __all__ = ["token_stats", "bpe_token_count", "quality_score",
            "quality_buckets", "LangId", "fingerprint64", "BPE_SPLIT_RE",
            "STOPWORDS", "gopher_filter", "inverted_index",
-           "collocations_pmi"]
+           "collocations_pmi", "pii_scrub", "EMAIL_RE", "PHONE_RE"]
 
 # interior-occurrence stopword probes (space-padded, so only
 # mid-document occurrences count -- identical semantics to the SQL
@@ -720,3 +720,29 @@ def collocations_pmi(ds, *, col: str = "text", k: int = 50,
             .sort(["score", "tok_a", "tok_b"],
                   descending=[True, False, False])
             .limit(k))
+
+
+#: RE2 patterns shared verbatim with the DuckDB oracle (both engines
+#: are RE2, so semantics match byte-for-byte)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2} [0-9]{3} [0-9]{3} [0-9]{4}"
+
+
+def pii_scrub(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """PII scrubbing: count + redact email addresses and international
+    phone numbers (the compliance pass every crawl corpus runs before
+    training).  Vectorized RE2 kernels only -- one count and one
+    replace per pattern per batch, emails redacted before phones (the
+    order is part of the contract).  Emits the full redacted text so
+    the oracle pins the replacement byte-for-byte, not just counts."""
+    t = batch.column(text_col)
+    n_email = pc.count_substring_regex(t, EMAIL_RE)
+    red = pc.replace_substring_regex(t, EMAIL_RE, "<EMAIL>")
+    n_phone = pc.count_substring_regex(red, PHONE_RE)
+    red = pc.replace_substring_regex(red, PHONE_RE, "<PHONE>")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_email": pc.cast(n_email, pa.int64()),
+        "n_phone": pc.cast(n_phone, pa.int64()),
+        "red_text": red,
+    })

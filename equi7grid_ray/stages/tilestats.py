@@ -1,0 +1,153 @@
+"""Grid-level statistics over the per-tile scene stack: spatial
+autocorrelation (Moran's I with rook adjacency on the T6 lattice) and
+revisit cadence (acquisition-gap stats per tile).
+
+Both ride the tile-assignment output (reference-side analogue: the
+per-tile file inventory a resample_to_equi7_tiles archive produces,
+reference warp.py:424-578).  Scale shape: the per-tile COUNT aggregate
+is the only thing that ever shuffles; the Moran fold then runs over
+the bounded tile table (<= ~27k T6 tiles globally -- the same bounded
+materialization as the flagship tile histogram), with all arithmetic
+in exact Python bigints so the SQL mirror is bit-identical (division
+truncates toward zero, DuckDB's ``//`` rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from equi7grid_ray.stages.aggregate import hash_aggregate
+
+__all__ = ["tile_moran", "tile_revisit"]
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (DuckDB ``//``)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def _parse_names(tiles: pd.Series) -> pd.DataFrame:
+    """Vectorized tile-name parse: continent, easting (100 km units),
+    SIGNED northing (S tiles negative, the v1.1 codec rule,
+    reference core.py:109-132)."""
+    cont = tiles.str[:2]
+    te = tiles.str[4:7].astype(np.int64)
+    tn = tiles.str[8:11].astype(np.int64)
+    sign = np.where(tiles.str[7] == "S", -1, 1)
+    return pd.DataFrame({"tile": tiles, "cont": cont, "te": te,
+                         "tn": tn * sign})
+
+
+def tile_moran(assigned, *, step: int = 6, q: int = 10**9,
+               n_partitions: int = 32):
+    """Moran's I of the per-tile scene count over rook-adjacent tiles
+    (same continent, +/-``step`` in easting XOR northing; binary
+    weights; universe = observed tiles).
+
+        d_i = N*x_i - S   (N-scaled deviation, exact)
+        I   = (N * sum_adj d_i d_j) / (W * sum d_i^2)
+
+    reported as ``i_q9`` = trunc(1e9 * I).  Emits one row with the
+    exact intermediates (n_tiles, w_pairs, num, den) so the oracle
+    pins the whole computation, not just the quotient."""
+    import pyarrow.compute as pc
+
+    def ones(batch: pa.Table) -> pa.Table:
+        # the assigner emits tile dictionary-encoded; decode for the
+        # string-hash partition path
+        return pa.table({
+            "tile": pc.cast(batch.column("tile"), pa.string()),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    counts = hash_aggregate(
+        assigned.map_batches(ones, batch_format="pyarrow"),
+        keys=["tile"], aggs={"x": ("one", "sum")},
+        n_partitions=n_partitions,
+    )
+    # bounded fold: <= |observed tiles| rows ever reach the driver
+    df = counts.to_pandas()
+    par = _parse_names(df["tile"].astype(str))
+    par["x"] = df["x"].to_numpy()
+    n = len(par)
+    s = int(par["x"].sum())
+    d = (n * par["x"].to_numpy(dtype=object) - s)
+    par["d"] = d
+    den = int(sum(int(v) * int(v) for v in d))
+    # rook neighbours via two self-merges (E/W handled by +step only,
+    # counted twice by symmetry -> double; same for N/S)
+    east = par.copy()
+    east["te"] = east["te"] + step
+    me = par.merge(east, on=["cont", "te", "tn"], suffixes=("", "_b"))
+    north = par.copy()
+    north["tn"] = north["tn"] + step
+    mn = par.merge(north, on=["cont", "te", "tn"], suffixes=("", "_b"))
+    w = 2 * (len(me) + len(mn))
+    num = 2 * (
+        sum(int(a) * int(b) for a, b in zip(me["d"], me["d_b"]))
+        + sum(int(a) * int(b) for a, b in zip(mn["d"], mn["d_b"]))
+    )
+    i_q9 = _tdiv(q * n * num, w * den) if w and den else 0
+    out = pa.table({
+        "n_tiles": pa.array([n], pa.int64()),
+        "w_pairs": pa.array([w], pa.int64()),
+        "num": pa.array([num], pa.int64()),
+        "den": pa.array([den], pa.int64()),
+        "i_q9": pa.array([i_q9], pa.int64()),
+    })
+    import ray.data as rd
+
+    return rd.from_arrow(out)
+
+
+def tile_revisit(assigned, *, n_partitions: int = 32):
+    """Per-tile revisit cadence over the scene index (the acquisition
+    -time stand-in): scene count, first/last index, and the largest
+    gap between consecutive acquisitions (0 for single-scene tiles).
+
+    One hash partition on tile, then ONE lexsort + reduceat pass per
+    partition -- no per-group Python."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.stages.aggregate import _key_parts
+
+    def prep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("image_id"), 3, 32),
+            pa.int64(),
+        )
+        t = pa.table({"tile": pc.cast(batch.column("tile"), pa.string()),
+                      "i": idx})
+        return t.append_column(
+            "__part", pa.array(_key_parts(t, ["tile"], n_partitions)))
+
+    def cadence(g: pd.DataFrame) -> pd.DataFrame:
+        tcode, tuniq = pd.factorize(g["tile"], sort=False)
+        i = g["i"].to_numpy()
+        order = np.lexsort((i, tcode))
+        tc, i = tcode[order], i[order]
+        new = np.empty(len(i), bool)
+        new[0] = True
+        new[1:] = tc[1:] != tc[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(i)))
+        gaps = np.empty(len(i), np.int64)
+        gaps[0] = 0
+        gaps[1:] = i[1:] - i[:-1]
+        gaps[new] = 0  # boundary slots carry no gap
+        return pd.DataFrame({
+            "tile": tuniq.take(tc[starts]),
+            "n_sc": counts.astype(np.int64),
+            "i_min": i[starts],
+            "i_max": i[starts + counts - 1],
+            "max_gap": np.maximum.reduceat(gaps, starts),
+        })
+
+    return (
+        assigned.map_batches(prep, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(cadence, batch_format="pandas")
+    )

@@ -1,0 +1,135 @@
+"""Grid-level tile statistics (stages/tilestats.py) + PII scrub
+(stages/text.py): hand-computed Moran's I on crafted lattices, revisit
+cadence vs a pandas reference, RE2 scrub semantics."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from equi7grid_ray.stages.text import pii_scrub
+from equi7grid_ray.stages.tilestats import tile_moran, tile_revisit
+
+
+def _assigned(tiles: list[str], per_tile: list[int]):
+    """Fake assignment Dataset: per_tile[k] rows for tiles[k], with
+    sequential scene ids."""
+    import ray.data as rd
+
+    rows_t, rows_i = [], []
+    i = 0
+    for t, n in zip(tiles, per_tile):
+        for _ in range(n):
+            rows_t.append(t)
+            rows_i.append(i)
+            i += 1
+    return rd.from_arrow(pa.table({
+        "image_id": pa.array([f"img{v:012d}" for v in rows_i], pa.string()),
+        "tile": pa.array(rows_t, pa.string()),
+    }))
+
+
+def _moran_ref(cells: dict[tuple[int, int], int]) -> Fraction:
+    """Textbook Moran's I with rook weights over a dict
+    {(te, tn): count} (all same continent)."""
+    xs = list(cells.values())
+    n = len(xs)
+    mean = Fraction(sum(xs), n)
+    den = sum((Fraction(x) - mean) ** 2 for x in xs)
+    num = Fraction(0)
+    w = 0
+    for (te, tn), x in cells.items():
+        for dte, dtn in ((6, 0), (-6, 0), (0, 6), (0, -6)):
+            nb = cells.get((te + dte, tn + dtn))
+            if nb is not None:
+                w += 1
+                num += (Fraction(x) - mean) * (Fraction(nb) - mean)
+    return Fraction(n, w) * num / den
+
+
+def test_moran_matches_fraction_reference(ray_session):
+    # 3x2 lattice, clustered counts (left high, right low) -> I > 0
+    cells = {(0, 0): 9, (0, 6): 8, (6, 0): 7, (6, 6): 9,
+             (12, 0): 1, (12, 6): 2}
+    tiles = [f"EU_E{te:03d}N{tn:03d}T6" for (te, tn) in cells]
+    ds = _assigned(tiles, list(cells.values()))
+    out = tile_moran(ds).to_pandas().iloc[0]
+    ref = _moran_ref(cells)
+    assert out.n_tiles == 6
+    assert out.w_pairs == 14
+    # engine i_q9 = trunc(1e9 * I)
+    expect = int(Fraction(10**9) * ref)  # int() truncates toward zero
+    assert out.i_q9 == expect
+    assert out.i_q9 > 0
+
+
+def test_moran_checkerboard_negative(ray_session):
+    cells = {(te, tn): (9 if (te // 6 + tn // 6) % 2 == 0 else 1)
+             for te in (0, 6, 12) for tn in (0, 6, 12)}
+    tiles = [f"AF_E{te:03d}N{tn:03d}T6" for (te, tn) in cells]
+    out = tile_moran(_assigned(tiles, list(cells.values()))) \
+        .to_pandas().iloc[0]
+    ref = _moran_ref(cells)
+    assert out.i_q9 < 0
+    assert out.i_q9 == int(Fraction(10**9) * ref)
+
+
+def test_moran_south_tiles_and_continents(ray_session):
+    # S northing parses signed; different continents never adjacent
+    tiles = ["EU_E000N000T6", "EU_E000S006T6",
+             "AS_E000N006T6"]  # AS tile is NOT a neighbour of EU N000
+    out = tile_moran(_assigned(tiles, [5, 1, 3])).to_pandas().iloc[0]
+    assert out.w_pairs == 2  # only the EU pair, counted both ways
+
+
+def test_revisit_matches_pandas(ray_session):
+    rng = np.random.default_rng(3)
+    tiles = [f"EU_E{6 * int(k):03d}N000T6" for k in rng.integers(0, 5, 200)]
+    ds = _assigned_scatter(tiles)
+    got = tile_revisit(ds, n_partitions=4).to_pandas() \
+        .sort_values("tile").reset_index(drop=True)
+    df = pd.DataFrame({"tile": tiles, "i": np.arange(len(tiles))})
+    ref = df.groupby("tile", as_index=False).agg(
+        n_sc=("i", "size"), i_min=("i", "min"), i_max=("i", "max"),
+        max_gap=("i", lambda s: int(np.diff(np.sort(s)).max())
+                 if len(s) > 1 else 0))
+    ref = ref.sort_values("tile").reset_index(drop=True)
+    for col in ("n_sc", "i_min", "i_max", "max_gap"):
+        assert (got[col].to_numpy() == ref[col].to_numpy()).all(), col
+
+
+def _assigned_scatter(tiles: list[str]):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "image_id": pa.array([f"img{v:012d}" for v in range(len(tiles))],
+                             pa.string()),
+        "tile": pa.array(tiles, pa.string()),
+    }))
+
+
+def test_revisit_singleton_gap_zero(ray_session):
+    got = tile_revisit(_assigned_scatter(["EU_E000N000T6"])).to_pandas()
+    assert got.iloc[0].n_sc == 1 and got.iloc[0].max_gap == 0
+
+
+def test_pii_scrub_crafted():
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "write a@b.co and c.d+x@sub.example.org today",
+            "call +1 555 000 1234 or +49 123 456 7890 now",
+            "clean text no pii",
+        ]),
+    })
+    out = pii_scrub(batch)
+    assert out.column("n_email").to_pylist() == [2, 0, 0]
+    assert out.column("n_phone").to_pylist() == [0, 2, 0]
+    assert out.column("red_text").to_pylist() == [
+        "write <EMAIL> and <EMAIL> today",
+        "call <PHONE> or <PHONE> now",
+        "clean text no pii",
+    ]
