@@ -289,6 +289,9 @@ def _driver_queries() -> dict[str, float]:
         "tile_moran",
         "tile_revisit",
         "pii_scrub",
+        "hilbert_hist",
+        "image_glcm",
+        "tile_coverage",
     ]
     qs = e.queries()
     for name in sel:

@@ -946,3 +946,38 @@ SELECT mixed.doc_id, mixed.{key_col}
 FROM mixed JOIN thr USING ({key_col})
 WHERE h % {1 << 32} < t
 """
+
+
+def hilbert_hist_sql(bits: int = 13, xmod: int = 8_640_000,
+                     ymod: int = 6_000_000, xmul: int = 97_003,
+                     ymul: int = 53_003) -> str:
+    """Mirror of q_hilbert_hist: the iterative Hilbert xy->d walk
+    (stages/zorder.py:hilbert_key) unrolled as one chained CTE per
+    level -- each level computes rx/ry from the CURRENT (x, y), adds
+    s*s*((3*rx) XOR ry) and applies the rotate/reflect, exactly the
+    numpy pass."""
+    n = 1 << bits
+    ctes = [
+        f"h0 AS (SELECT (((l_orderkey * {xmul}) % {xmod}) * {n}) // {xmod} AS x, "
+        f"(((l_suppkey * {ymul}) % {ymod}) * {n}) // {ymod} AS y, "
+        f"0::BIGINT AS d FROM lineitem)"
+    ]
+    for k, lev in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << lev
+        rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+        nx = (f"CASE WHEN (y & {s}) = 0 THEN "
+              f"(CASE WHEN (x & {s}) > 0 THEN {n - 1} - y ELSE y END) "
+              f"ELSE x END")
+        ny = (f"CASE WHEN (y & {s}) = 0 THEN "
+              f"(CASE WHEN (x & {s}) > 0 THEN {n - 1} - x ELSE x END) "
+              f"ELSE y END")
+        ctes.append(
+            f"h{k} AS (SELECT {nx} AS x, {ny} AS y, "
+            f"d + {s * s} * xor(3 * ({rx}), {ry}) AS d FROM h{k - 1})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT d >> 16 AS bucket, count(*) AS n, "
+        f"MIN(d) AS min_d, MAX(d) AS max_d FROM h{bits} GROUP BY bucket"
+    )

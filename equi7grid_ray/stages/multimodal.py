@@ -20,7 +20,7 @@ from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "PatchStats", "HistEqualize", "PyramidStats", "SobelStats",
-           "MorphStats",
+           "MorphStats", "GLCMStats",
            "OtsuThreshold", "BandAlgebra", "BlobStats", "RleStats",
            "label_runs", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
@@ -897,6 +897,57 @@ class MorphStats:
             "fg_in": pa.array(fg, pa.int64()),
             "eroded_px": pa.array(ero, pa.int64()),
             "dilated_px": pa.array(dil, pa.int64()),
+        })
+
+
+class GLCMStats:
+    """Per-image gray-level co-occurrence texture features (Haralick
+    1973) over horizontal neighbour pairs at 8 quantized levels
+    (``v // 32``), in EXACT integers:
+
+        contrast = sum_ab n(a,b) * (a - b)^2   (local variation)
+        energy   = sum_ab n(a,b)^2             (textural uniformity)
+        n_pairs  = h * (w - 1)
+
+    Per frame: one shifted-view pair encode + one 64-bin bincount --
+    no per-pixel Python; the SQL mirror groups the synthetic pixel
+    formula's (qa, qb) pairs."""
+
+    LEVELS = 8
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+        L = self.LEVELS
+        a, b = np.divmod(np.arange(L * L, dtype=np.int64), L)
+        self._sqdiff = (a - b) ** 2
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        L = self.LEVELS
+        contrast = np.zeros(n, np.int64)
+        energy = np.zeros(n, np.int64)
+        npairs = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j)
+            if v.shape[1] < 2:
+                continue
+            q = (v >> 5).astype(np.int64)  # 256 / LEVELS = 32
+            code = q[:, :-1] * L + q[:, 1:]
+            bc = np.bincount(code.ravel(), minlength=L * L)
+            contrast[j] = int((bc * self._sqdiff).sum())
+            energy[j] = int((bc.astype(np.int64) ** 2).sum())
+            npairs[j] = v.shape[0] * (v.shape[1] - 1)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "contrast": pa.array(contrast, pa.int64()),
+            "energy": pa.array(energy, pa.int64()),
+            "n_pairs": pa.array(npairs, pa.int64()),
         })
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "spread_bits16",
     "morton_key",
     "morton_decode",
+    "hilbert_key",
     "add_zorder_column",
     "zorder_ranges",
     "filter_bbox_via_zorder",
@@ -195,3 +196,31 @@ def write_zordered(ds, path: str, *, x_col: str = "x", y_col: str = "y",
                               x_range=x_range, y_range=y_range, bits=bits)
     keyed.sort("zkey").write_parquet(path, row_group_size=row_group_rows)
     return path
+
+
+def hilbert_key(cx: np.ndarray, cy: np.ndarray, bits: int = 13) -> np.ndarray:
+    """Hilbert-curve distance of 2-D cell coordinates (the
+    locality-tighter alternative to :func:`morton_key`: every curve
+    step is grid-adjacent, so range scans touch contiguous cells --
+    the layout S2/Uber-H3-flavored archives prefer for range-heavy
+    reads).  The standard iterative xy->d walk (one rotate/reflect per
+    level, MSB first), fully vectorized: ``bits`` numpy passes over the
+    whole array, no per-row Python.  SQL mirror unrolls the same loop
+    as chained CTEs (sqlgen.hilbert_hist_sql)."""
+    x = np.asarray(cx).astype(np.int64).copy()
+    y = np.asarray(cy).astype(np.int64).copy()
+    n = np.int64(1 << bits)
+    d = np.zeros_like(x)
+    s = np.int64(1) << np.int64(bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate/reflect the quadrant (classic rot(): only when ry == 0)
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, n - 1 - x, x)
+        y2 = np.where(flip, n - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        s >>= np.int64(1)
+    return d

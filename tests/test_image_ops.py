@@ -396,3 +396,24 @@ def test_morph_constant_frames():
              out["dilated_px"][k].as_py()) for k in range(2)}
     assert rows["full"] == (36, 36, 36)
     assert rows["empty"] == (0, 0, 0)
+
+
+def test_glcm_matches_bruteforce():
+    from equi7grid_ray.stages.multimodal import GLCMStats
+
+    batch = make_batch(0, 12)
+    out = GLCMStats()(batch)
+    got = {out["image_id"][k].as_py():
+           (out["contrast"][k].as_py(), out["energy"][k].as_py(),
+            out["n_pairs"][k].as_py()) for k in range(out.num_rows)}
+    for i in range(12):
+        q = (_img_of(i) // 32).astype(int)
+        from collections import Counter
+        cnt = Counter()
+        h, w = q.shape
+        for r in range(h):
+            for c in range(w - 1):
+                cnt[(q[r, c], q[r, c + 1])] += 1
+        contrast = sum(n * (a - b) ** 2 for (a, b), n in cnt.items())
+        energy = sum(n * n for n in cnt.values())
+        assert got[f"img{i:012d}"] == (contrast, energy, h * (w - 1))

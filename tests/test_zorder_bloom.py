@@ -267,3 +267,47 @@ def test_hll_distinct_by(ray_session):
     sub = t.filter(pa.compute.equal(t.column("k"), "b"))
     g = hll_distinct(rd.from_arrow(sub), col="v", p=8).to_pandas()
     assert int(g["est"][0]) == int(got["b"])
+
+
+def test_hilbert_key_matches_scalar_reference():
+    from equi7grid_ray.stages.zorder import hilbert_key
+
+    def xy2d(order, x, y):
+        n = 1 << order
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = np.random.default_rng(5)
+    for bits in (4, 8, 13):
+        n = 1 << bits
+        xs = rng.integers(0, n, 200)
+        ys = rng.integers(0, n, 200)
+        got = hilbert_key(xs, ys, bits)
+        ref = [xy2d(bits, int(a), int(b)) for a, b in zip(xs, ys)]
+        assert got.tolist() == ref
+
+
+def test_hilbert_bijection_and_adjacency():
+    # the defining property: consecutive curve positions are
+    # grid-adjacent (Manhattan step 1), and the map is a bijection
+    from equi7grid_ray.stages.zorder import hilbert_key
+
+    bits = 4
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = hilbert_key(xs.ravel(), ys.ravel(), bits)
+    assert len(set(d.tolist())) == n * n
+    order = np.argsort(d)
+    xo, yo = xs.ravel()[order], ys.ravel()[order]
+    steps = np.abs(np.diff(xo)) + np.abs(np.diff(yo))
+    assert (steps == 1).all()
