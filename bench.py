@@ -292,6 +292,9 @@ def _driver_queries() -> dict[str, float]:
         "hilbert_hist",
         "image_glcm",
         "tile_coverage",
+        "tile_clusters",
+        "best_scene_topk",
+        "source_checksums",
     ]
     qs = e.queries()
     for name in sel:

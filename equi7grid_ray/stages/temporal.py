@@ -59,6 +59,7 @@ class SceneCellMeans:
         cells = G * G
         n = batch.num_rows
         tile_col: list[str] = []
+        scene = np.empty(n * cells, np.int64)
         epoch = np.empty(n * cells, np.int64)
         means = np.empty(n * cells, np.int64)
         k = 0
@@ -70,6 +71,7 @@ class SceneCellMeans:
             m = img[: sr * G, : sc * G].reshape(G, sr, G, sc) \
                 .sum(axis=(1, 3), dtype=np.int64) // (sr * sc)
             tile_col.extend([tiles[j]] * cells)
+            scene[k : k + cells] = int(idx[j])
             epoch[k : k + cells] = int(idx[j]) % 2
             means[k : k + cells] = m.reshape(-1)
             k += cells
@@ -79,6 +81,7 @@ class SceneCellMeans:
             "tile": pa.array(tile_col, pa.string()),
             "gr": pa.array(gr, pa.int32()),
             "gc": pa.array(gc, pa.int32()),
+            "i": pa.array(scene[:k], pa.int64()),
             "epoch": pa.array(epoch[:k], pa.int64()),
             "m": pa.array(means[:k], pa.int64()),
         })

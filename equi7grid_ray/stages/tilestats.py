@@ -20,7 +20,7 @@ import pyarrow as pa
 
 from equi7grid_ray.stages.aggregate import hash_aggregate
 
-__all__ = ["tile_moran", "tile_revisit"]
+__all__ = ["tile_moran", "tile_revisit", "tile_clusters"]
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -151,3 +151,94 @@ def tile_revisit(assigned, *, n_partitions: int = 32):
         .groupby("__part")
         .map_groups(cadence, batch_format="pandas")
     )
+
+
+#: alphabetical continent order -- matches tile-name lexicographic order
+_CONTS = ("AF", "AN", "AS", "EU", "NA", "OC", "SA")
+_CONT_IDX = {c: k for k, c in enumerate(_CONTS)}
+
+
+def _tile_node_ids(par: pd.DataFrame) -> np.ndarray:
+    """Order-isomorphic int64 encoding of tile names (cont alphabetical,
+    easting, hemisphere N<S, |northing| digits) -- the min node id of a
+    component decodes back to the lexicographically-min tile name."""
+    cont = par["cont"].map(_CONT_IDX).to_numpy(np.int64)
+    te = par["te"].to_numpy(np.int64)
+    tn = par["tn"].to_numpy(np.int64)
+    hemi = (tn < 0).astype(np.int64)
+    return ((cont * 1000 + te) * 2 + hemi) * 1000 + np.abs(tn)
+
+
+def _node_to_tile(node: np.ndarray) -> list[str]:
+    digits = node % 1000
+    node = node // 1000
+    hemi = node % 2
+    node = node // 2
+    te = node % 1000
+    cont = node // 1000
+    return [
+        f"{_CONTS[int(c)]}_E{int(e):03d}{'S' if hm else 'N'}{int(dg):03d}T6"
+        for c, e, hm, dg in zip(cont, te, hemi, digits)
+    ]
+
+
+def tile_clusters(assigned, *, step: int = 6, n_partitions: int = 32):
+    """Connected clusters of observed tiles (rook adjacency on the T6
+    lattice): the contiguous-coverage regions of an archive sweep.
+    Emits per cluster: the lexicographically-min member tile as the
+    cluster id, member-tile count, and total scene count.
+
+    Shape: per-tile COUNT is the only row shuffle; adjacency edges are
+    built over the bounded tile table (same bounded fold as tile_moran)
+    and resolved by stages.graph.connected_components (numpy min-label
+    fixpoint on this edge scale)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from equi7grid_ray.stages.graph import connected_components
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile": pc.cast(batch.column("tile"), pa.string()),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    counts = hash_aggregate(
+        assigned.map_batches(ones, batch_format="pyarrow"),
+        keys=["tile"], aggs={"x": ("one", "sum")},
+        n_partitions=n_partitions,
+    )
+    df = counts.to_pandas()  # bounded: observed tiles
+    par = _parse_names(df["tile"].astype(str))
+    par["node"] = _tile_node_ids(par)
+    par["x"] = df["x"].to_numpy()
+    # rook edges via two shifted self-merges + self-loops (self-loops
+    # keep isolated tiles as singleton components)
+    east = par[["cont", "te", "tn", "node"]].copy()
+    east["te"] = east["te"] + step
+    me = par.merge(east, on=["cont", "te", "tn"], suffixes=("", "_b"))
+    north = par[["cont", "te", "tn", "node"]].copy()
+    north["tn"] = north["tn"] + step
+    mn = par.merge(north, on=["cont", "te", "tn"], suffixes=("", "_b"))
+    id_a = np.concatenate([par["node"].to_numpy(np.int64),
+                           me["node"].to_numpy(np.int64),
+                           mn["node"].to_numpy(np.int64)])
+    id_b = np.concatenate([par["node"].to_numpy(np.int64),
+                           me["node_b"].to_numpy(np.int64),
+                           mn["node_b"].to_numpy(np.int64)])
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(id_a, pa.int64()),
+        "id_b": pa.array(id_b, pa.int64()),
+    }))
+    comp = connected_components(pairs).to_pandas()
+    lab = dict(zip(comp["node"], comp["component"]))
+    par["comp"] = par["node"].map(lab)
+    agg = par.groupby("comp", as_index=False).agg(
+        n_tiles=("node", "size"), n_scenes=("x", "sum"))
+    return rd.from_arrow(pa.table({
+        "comp_tile": pa.array(
+            _node_to_tile(agg["comp"].to_numpy(np.int64)), pa.string()),
+        "n_tiles": pa.array(agg["n_tiles"].to_numpy(np.int64), pa.int64()),
+        "n_scenes": pa.array(agg["n_scenes"].to_numpy(np.int64), pa.int64()),
+    }))

@@ -133,3 +133,35 @@ def test_pii_scrub_crafted():
         "call <PHONE> or <PHONE> now",
         "clean text no pii",
     ]
+
+
+def test_tile_clusters_crafted(ray_session):
+    from equi7grid_ray.stages.tilestats import tile_clusters
+
+    # cluster A: L-shaped 3 tiles; cluster B: single far tile;
+    # cluster C: 2 tiles in another continent at same coordinates
+    tiles = ["EU_E006N000T6", "EU_E000N000T6", "EU_E000N006T6",
+             "EU_E060N060T6",
+             "AF_E000N000T6", "AF_E006N000T6"]
+    per = [2, 1, 1, 5, 1, 1]
+    got = tile_clusters(_assigned(tiles, per)).to_pandas() \
+        .sort_values("comp_tile").reset_index(drop=True)
+    assert got["comp_tile"].tolist() == [
+        "AF_E000N000T6", "EU_E000N000T6", "EU_E060N060T6"]
+    assert got["n_tiles"].tolist() == [2, 3, 1]
+    assert got["n_scenes"].tolist() == [2, 4, 5]
+
+
+def test_tile_node_codec_roundtrip():
+    from equi7grid_ray.stages.tilestats import (_node_to_tile,
+                                                _parse_names,
+                                                _tile_node_ids)
+
+    names = ["EU_E048N012T6", "AS_E066S018T6", "AF_E000N000T6",
+             "SA_E090N090T6", "OC_E132S006T6"]
+    par = _parse_names(pd.Series(names))
+    nodes = _tile_node_ids(par)
+    assert _node_to_tile(nodes) == names
+    # order-isomorphism: int order == name lexicographic order
+    by_node = [n for _, n in sorted(zip(nodes, names))]
+    assert by_node == sorted(names)
