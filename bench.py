@@ -295,6 +295,10 @@ def _driver_queries() -> dict[str, float]:
         "tile_clusters",
         "best_scene_topk",
         "source_checksums",
+        "tile_gaps",
+        "cell_pyramid",
+        "late_events",
+        "embedding_pq",
     ]
     qs = e.queries()
     for name in sel:

@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["CosineTopK", "topk_cosine", "HyperplaneLSH", "KDTree",
-           "knn_tiles", "embedding_int8_quantize"]
+           "knn_tiles", "embedding_int8_quantize", "embedding_pq_codes"]
 
 
 def _stack_embeddings(batch: pa.Table, col: str) -> np.ndarray:
@@ -454,3 +454,73 @@ def embedding_int8_quantize(ds, *, col: str = "embedding",
         })
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def embedding_pq_codes(ds, *, col: str = "embedding",
+                       id_col: str = "vec_id", m: int = 8, ksub: int = 16):
+    """Product quantization (Jegou et al. 2011): the 8-byte-per-vector
+    compression a 100-TB vector archive stores instead of raw floats.
+    Pipeline: exact per-dim min/max fold -> broadcast range -> [0,255]
+    scalar codes (identical rule to embedding_int8_quantize, bit-exact
+    vs SQL) -> per-subspace nearest centroid over a DETERMINISTIC
+    integer codebook
+
+        cent[s, c, d] = (((s*ksub + c)*dsub + d) * 2654435761)
+                        % 2^32 % 256     (Knuth multiplicative hash)
+
+    (data-independent, mirrored literally in SQL; a trained codebook
+    would drop reconstruction error but break exact oracling, the same
+    trade ann_ivf.random_centroids makes).  Emits per vector the packed
+    code (4 bits per subspace) and the exact integer reconstruction
+    error.  All-integer distance work: one (batch, m, ksub, dsub)
+    broadcasted square-diff per batch; argmin ties -> smallest c."""
+    import ray
+
+    from equi7grid_ray.arrowutil import collect_tables
+
+    def range_partials(batch: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(batch, col)
+        d = emb.shape[1]
+        return pa.table({
+            "d": pa.array(np.arange(d, dtype=np.int64)),
+            "mn": pa.array(emb.min(axis=0)),
+            "mx": pa.array(emb.max(axis=0)),
+        })
+
+    part = collect_tables(
+        ds.map_batches(range_partials, batch_format="pyarrow"),
+        schema=pa.schema([("d", pa.int64()), ("mn", pa.float64()),
+                          ("mx", pa.float64())]))
+    pdf = part.to_pandas().groupby("d").agg(mn=("mn", "min"),
+                                            mx=("mx", "max"))
+    mn = pdf.mn.to_numpy()
+    mx = pdf.mx.to_numpy()
+    dim = len(mn)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    idx = np.arange(m * ksub * dsub, dtype=np.int64)
+    cent = ((idx * 2654435761) % (1 << 32) % 256).reshape(m, ksub, dsub)
+    ref = ray.put((mn, mx, cent))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        gmn, gmx, cc = ray.get(ref)
+        emb = _stack_embeddings(batch, col)
+        span = gmx - gmn
+        safe = np.where(span == 0.0, 1.0, span)
+        codes = np.clip(np.floor((emb - gmn) * 255.0 / safe), 0, 255) \
+            .astype(np.int64)
+        codes[:, span == 0.0] = 0
+        q = codes.reshape(len(emb), m, 1, dsub)
+        diff = q - cc[None, :, :, :]
+        dist = (diff * diff).sum(axis=3)          # (n, m, ksub)
+        best = dist.argmin(axis=2)                # first min = smallest c
+        recon = np.take_along_axis(dist, best[:, :, None], 2)[:, :, 0]
+        packed = (best << (4 * np.arange(m, dtype=np.int64))).sum(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "pq_code": pa.array(packed, pa.int64()),
+            "recon_err": pa.array(recon.sum(axis=1), pa.int64()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -1,0 +1,90 @@
+"""Batch-5 operators: cell pyramid roll-up invariant, late-event
+watermark semantics, PQ code correctness on crafted vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_cell_pyramid_rollup_invariant(ray_session):
+    import __ray_entry__ as e
+
+    out = e.q_cell_pyramid("/root/testdata/sf0.001").to_pandas()
+    lvl = (out["cell"].to_numpy() >> 58).astype(int)
+    body = out["cell"].to_numpy() & ((1 << 58) - 1)
+    counts = {}
+    for L in (8, 9):
+        sel = lvl == L
+        iy = body[sel] >> 29
+        ix = body[sel] & ((1 << 29) - 1)
+        counts[L] = dict(zip(zip(iy, ix), out["n"].to_numpy()[sel]))
+    # every level-8 cell's count equals the sum of its <=4 children
+    child_sum: dict = {}
+    for (iy, ix), n in counts[9].items():
+        key = (iy // 2, ix // 2)
+        child_sum[key] = child_sum.get(key, 0) + n
+    assert child_sum == counts[8]
+    # totals identical at every level
+    for L in (5, 6, 7, 8, 9):
+        assert out["n"].to_numpy()[lvl == L].sum() == len(
+            pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                            columns=["l_orderkey"]))
+
+
+def test_late_events_crafted(ray_session):
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    # user 1: event 3 arrives 2 h behind the watermark (late);
+    # event 2 arrives 30 min behind (within delay, not late)
+    h = 3_600_000_000
+    t0 = 1_600_000_000_000_000
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array([t0 + 10 * h, t0 + 9 * h + h // 2, t0 + 8 * h,
+                        t0 + 11 * h], pa.timestamp("us")),
+    })
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, f"{d}/events.parquet")
+        got = e.q_late_events(d).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.n_events == 4
+    assert r.n_late == 1          # only event 3 (2 h > 1 h delay)
+    assert r.max_late_us == 2 * h
+
+
+def test_embedding_pq_crafted(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.similarity import embedding_pq_codes
+
+    idx = np.arange(8 * 16 * 8, dtype=np.int64)
+    cent = ((idx * 2654435761) % (1 << 32) % 256).reshape(8, 16, 8)
+    # vector 0: subspace s matches centroid c = s exactly -> recon 0,
+    # code packs c_s = s.  Rows 1/2 pin the per-dim range to [0, 255].
+    v0 = np.concatenate([cent[s, s] for s in range(8)]).astype(np.float64)
+    rows = [v0, np.zeros(64), np.full(64, 255.0)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows],
+                              pa.list_(pa.float32())),
+    }))
+    got = embedding_pq_codes(ds).to_pandas().set_index("vec_id")
+    expect_code = sum(s << (4 * s) for s in range(8))
+    assert got.loc[0, "recon_err"] == 0
+    assert got.loc[0, "pq_code"] == expect_code
+    # brute-force check for the all-zeros vector
+    d1 = ((cent - 0) ** 2).sum(axis=2)  # (8, 16)
+    best = d1.argmin(axis=1)
+    assert got.loc[1, "pq_code"] == int(
+        (best << (4 * np.arange(8))).sum())
+    assert got.loc[1, "recon_err"] == int(d1.min(axis=1).sum())
