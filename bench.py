@@ -299,6 +299,8 @@ def _driver_queries() -> dict[str, float]:
         "cell_pyramid",
         "late_events",
         "embedding_pq",
+        "tile_trend",
+        "cell_quadkey",
     ]
     qs = e.queries()
     for name in sel:

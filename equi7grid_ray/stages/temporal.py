@@ -31,7 +31,8 @@ import pyarrow.compute as pc
 from equi7grid_ray.stages.aggregate import hash_aggregate
 from equi7grid_ray.stages.multimodal import _decode_luma
 
-__all__ = ["SceneCellMeans", "tile_temporal_median", "tile_change_detect"]
+__all__ = ["SceneCellMeans", "tile_temporal_median", "tile_change_detect",
+           "tile_trend"]
 
 
 class SceneCellMeans:
@@ -127,6 +128,67 @@ def tile_temporal_median(cells, *, n_partitions: int = 32):
         .groupby("__part")
         .map_groups(medians, batch_format="pandas")
     )
+
+
+def tile_trend(cells, *, q: int = 10**6, n_partitions: int = 32):
+    """Per-(tile, cell) temporal TREND of the block means over scene
+    index (the exact-integer least-squares slope -- the land-change /
+    vegetation-trend primitive):
+
+        num = n * sum(t*v) - sum(t) * sum(v)
+        den = n * sum(t^2) - sum(t)^2        (>= 0; 0 when n == 1)
+        trend_q6 = trunc(1e6 * num / den)    (DuckDB // rule)
+
+    Five integer sums ride ONE keyed aggregate (per-batch combiner via
+    hash_aggregate); the slope math is a closed-form map over the cell
+    table.  Bounds: t < 2^11, v < 2^8, n <= scenes -> 1e6 * num stays
+    well inside int64."""
+    def sums(batch: pa.Table) -> pa.Table:
+        t = batch.column("i").to_numpy()
+        v = batch.column("m").to_numpy()
+        return pa.table({
+            "tile": batch.column("tile"),
+            "gr": batch.column("gr"),
+            "gc": batch.column("gc"),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "t": pa.array(t, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "tv": pa.array(t * v, pa.int64()),
+            "tt": pa.array(t * t, pa.int64()),
+        })
+
+    agg = hash_aggregate(
+        cells.map_batches(sums, batch_format="pyarrow"),
+        keys=["tile", "gr", "gc"],
+        aggs={"n_sc": ("one", "sum"), "st": ("t", "sum"),
+              "sv": ("v", "sum"), "stv": ("tv", "sum"),
+              "stt": ("tt", "sum")},
+        n_partitions=n_partitions,
+    )
+
+    def slope(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_sc").to_numpy()
+        st = batch.column("st").to_numpy()
+        sv = batch.column("sv").to_numpy()
+        stv = batch.column("stv").to_numpy()
+        stt = batch.column("stt").to_numpy()
+        num = n * stv - st * sv
+        den = n * stt - st * st
+        safe = np.where(den == 0, 1, den)
+        tq = np.abs(num) * q // safe  # den >= 0: sign comes from num
+        tq = np.where(num < 0, -tq, tq)
+        tq = np.where(den == 0, 0, tq)
+        return pa.table({
+            "tile": batch.column("tile"),
+            "gr": batch.column("gr"),
+            "gc": batch.column("gc"),
+            "n_sc": batch.column("n_sc"),
+            "slope_num": pa.array(num, pa.int64()),
+            "slope_den": pa.array(den, pa.int64()),
+            "trend_q6": pa.array(tq, pa.int64()),
+        })
+
+    return agg.map_batches(slope, batch_format="pyarrow")
 
 
 def tile_change_detect(cells, *, thresh: int = 8, n_partitions: int = 32):

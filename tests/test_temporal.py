@@ -130,3 +130,49 @@ def test_change_detect_drops_single_epoch_cells(ray_session):
     assert out["n_cells"].iloc[0] == 1
     assert out["n_changed"].iloc[0] == 1
     assert out["sum_absd"].iloc[0] == 20
+
+
+def test_tile_trend_crafted(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.temporal import tile_trend
+
+    # cell (0,0): perfect slope +3/step over t = 0,2,4; cell (1,1):
+    # constant (slope 0); cell (2,2): single scene (den 0 -> 0)
+    t = pa.table({
+        "tile": pa.array(["T"] * 7, pa.string()),
+        "gr": pa.array([0, 0, 0, 1, 1, 1, 2], pa.int32()),
+        "gc": pa.array([0, 0, 0, 1, 1, 1, 2], pa.int32()),
+        "i": pa.array([0, 2, 4, 1, 3, 5, 9], pa.int64()),
+        "epoch": pa.array([0, 0, 0, 1, 1, 1, 1], pa.int64()),
+        "m": pa.array([10, 16, 22, 7, 7, 7, 99], pa.int64()),
+    })
+    out = tile_trend(rd.from_arrow(t), n_partitions=2).to_pandas() \
+        .set_index(["gr", "gc"])
+    r = out.loc[(0, 0)]
+    # slope = 3 per unit t: num/den = 3 -> trend_q6 = 3e6
+    assert r.slope_num / r.slope_den == 3.0
+    assert r.trend_q6 == 3_000_000
+    assert out.loc[(1, 1)].slope_num == 0
+    assert out.loc[(1, 1)].trend_q6 == 0
+    assert out.loc[(2, 2)].slope_den == 0
+    assert out.loc[(2, 2)].trend_q6 == 0
+
+
+def test_tile_trend_negative_truncation(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.temporal import tile_trend
+
+    # slope = -1/3: trunc(1e6 * -1/3) = -333333 (toward zero, the
+    # DuckDB // rule), NOT floor (-333334)
+    t = pa.table({
+        "tile": pa.array(["T"] * 3, pa.string()),
+        "gr": pa.array([0] * 3, pa.int32()),
+        "gc": pa.array([0] * 3, pa.int32()),
+        "i": pa.array([0, 3, 6], pa.int64()),
+        "epoch": pa.array([0, 0, 0], pa.int64()),
+        "m": pa.array([2, 1, 0], pa.int64()),
+    })
+    out = tile_trend(rd.from_arrow(t), n_partitions=1).to_pandas()
+    assert out["trend_q6"].iloc[0] == -333_333
