@@ -301,6 +301,10 @@ def _driver_queries() -> dict[str, float]:
         "embedding_pq",
         "tile_trend",
         "cell_quadkey",
+        "csv_orders_rollup",
+        "jsonl_events_rollup",
+        "image_quality_gate",
+        "ann_pq_topk",
     ]
     qs = e.queries()
     for name in sel:

@@ -20,7 +20,7 @@ from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "PatchStats", "HistEqualize", "PyramidStats", "SobelStats",
-           "MorphStats", "GLCMStats",
+           "MorphStats", "GLCMStats", "QualityGate",
            "OtsuThreshold", "BandAlgebra", "BlobStats", "RleStats",
            "label_runs", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
@@ -897,6 +897,59 @@ class MorphStats:
             "fg_in": pa.array(fg, pa.int64()),
             "eroded_px": pa.array(ero, pa.int64()),
             "dilated_px": pa.array(dil, pa.int64()),
+        })
+
+
+class QualityGate:
+    """Image-side ingestion gate (the visual analogue of the Gopher
+    text gate, stages/text.py:gopher_filter): first-failing reason per
+    frame, all rules exact integer comparisons:
+
+        low_range -- px_max - px_min < 192        (washed-out / blank)
+        smooth    -- edge_px * 20 < n_interior    (edge fraction < 5%)
+        busy      -- edge_px * 5 > 3 * n_interior (edge fraction > 60%)
+        ok        -- otherwise
+
+    edge_px = interior pixels with Sobel |Gx|+|Gy| >= 256 (identical to
+    SobelStats).  Emits (image_id, reason, edge_px, px_range)."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        reasons: list[str] = []
+        epx = np.zeros(n, np.int64)
+        rng = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            rng[j] = int(v.max() - v.min()) if v.size else 0
+            ni = max((v.shape[0] - 2) * (v.shape[1] - 2), 0)
+            if ni:
+                gx = (v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:]) \
+                    - (v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2])
+                gy = (v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:]) \
+                    - (v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:])
+                epx[j] = int(((np.abs(gx) + np.abs(gy)) >= 256).sum())
+            if rng[j] < 192:
+                reasons.append("low_range")
+            elif epx[j] * 20 < ni:
+                reasons.append("smooth")
+            elif epx[j] * 5 > 3 * ni:
+                reasons.append("busy")
+            else:
+                reasons.append("ok")
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "reason": pa.array(reasons, pa.string()),
+            "edge_px": pa.array(epx, pa.int64()),
+            "px_range": pa.array(rng, pa.int64()),
         })
 
 

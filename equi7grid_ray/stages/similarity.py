@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["CosineTopK", "topk_cosine", "HyperplaneLSH", "KDTree",
-           "knn_tiles", "embedding_int8_quantize", "embedding_pq_codes"]
+           "knn_tiles", "embedding_int8_quantize", "embedding_pq_codes", "pq_sdc_topk"]
 
 
 def _stack_embeddings(batch: pa.Table, col: str) -> np.ndarray:
@@ -524,3 +524,42 @@ def embedding_pq_codes(ds, *, col: str = "embedding",
         })
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_sdc_topk(codes, query_code: int, *, k: int = 10, m: int = 8,
+                ksub: int = 16, dsub: int = 8):
+    """Top-k by symmetric PQ distance (SDC, Jegou et al. 2011): with
+    both sides quantized, dist(q, x) = sum_s LUT[s, code_q_s, code_x_s]
+    where the LUT holds exact integer centroid-to-centroid squared
+    distances -- the scan a PQ-compressed 100-TB index serves from
+    codes alone (16 B/vector), never touching raw floats.
+
+    ``codes``: Dataset with (vec_id, pq_code) -- the embedding_pq_codes
+    output (the materialized PQ index).  Broadcast state is the m x
+    ksub LUT row of the query's codes; per batch: vectorized unpack +
+    m gathers + one partial top-k prune, then a tiny global sort."""
+    idx = np.arange(m * ksub * dsub, dtype=np.int64)
+    cent = ((idx * 2654435761) % (1 << 32) % 256).reshape(m, ksub, dsub)
+    qc = (int(query_code) >> (4 * np.arange(m, dtype=np.int64))) & 15
+    # lut[s, c] = || cent[s, qc_s] - cent[s, c] ||^2  (exact integers)
+    diff = cent[np.arange(m), qc][:, None, :] - cent
+    lut = (diff * diff).sum(axis=2)  # (m, ksub)
+
+    def score(batch: pa.Table) -> pa.Table:
+        code = batch.column("pq_code").to_numpy()
+        dist = np.zeros(len(code), np.int64)
+        for s in range(m):
+            dist += lut[s][(code >> (4 * s)) & 15]
+        t = pa.table({
+            "vec_id": batch.column("vec_id"),
+            "pq_dist": pa.array(dist, pa.int64()),
+        })
+        # local prune: only k candidates per batch reach the global sort
+        order = np.lexsort((batch.column("vec_id").to_numpy(), dist))[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    return (
+        codes.map_batches(score, batch_format="pyarrow")
+        .sort(["pq_dist", "vec_id"])
+        .limit(k)
+    )

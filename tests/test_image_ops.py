@@ -417,3 +417,34 @@ def test_glcm_matches_bruteforce():
         contrast = sum(n * (a - b) ** 2 for (a, b), n in cnt.items())
         energy = sum(n * n for n in cnt.values())
         assert got[f"img{i:012d}"] == (contrast, energy, h * (w - 1))
+
+
+def test_quality_gate_crafted():
+    from equi7grid_ray.stages.multimodal import QualityGate
+
+    flat = np.full((16, 16), 100, np.uint8)          # range 0 -> low_range
+    grad = np.add.outer(np.arange(16) * 16, np.zeros(16, np.int64)) \
+        .astype(np.uint8)                             # smooth vertical ramp
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, (16, 16)).astype(np.uint8)  # busy
+    batch = pa.table({
+        "image_id": pa.array(["flat", "grad", "noise"]),
+        "bytes": pa.array([encode_image(x, "raw")
+                           for x in (flat, grad, noise)], pa.binary()),
+        "w": pa.array([16] * 3, pa.int32()),
+        "h": pa.array([16] * 3, pa.int32()),
+        "fmt": pa.array(["raw"] * 3),
+    })
+    out = QualityGate()(batch)
+    rows = dict(zip(out["image_id"].to_pylist(),
+                    out["reason"].to_pylist()))
+    assert rows["flat"] == "low_range"
+    # vertical ramp: |Gy| = 8*16 = 128 < 256 everywhere -> zero edges,
+    # range 240 >= 192 -> smooth
+    assert rows["grad"] == "smooth"
+    assert rows["noise"] == "busy"
+    # rule agreement with SobelStats on the same payloads
+    from equi7grid_ray.stages.multimodal import SobelStats
+
+    sob = SobelStats()(batch)
+    assert sob["edge_px"].to_pylist() == out["edge_px"].to_pylist()

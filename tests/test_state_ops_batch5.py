@@ -88,3 +88,77 @@ def test_embedding_pq_crafted(ray_session):
     assert got.loc[1, "pq_code"] == int(
         (best << (4 * np.arange(8))).sum())
     assert got.loc[1, "recon_err"] == int(d1.min(axis=1).sum())
+
+
+def test_csv_jsonl_roundtrip_exact(ray_session):
+    """The exported CSV/JSONL drops read back row-identical to the
+    parquet source (integer/string columns only by contract)."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.sources.text_formats import (export_csv,
+                                                    export_jsonl,
+                                                    read_csv_table,
+                                                    read_jsonl_table)
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    path = export_csv(sf, "orders", cols)
+    schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_orderpriority", pa.string()),
+    ])
+    got = read_csv_table(path, schema).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    ref = pq.read_table(f"{sf}/orders.parquet", columns=cols).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[cols], ref)
+
+    jcols = ["event_id", "user_id", "event_type"]
+    jpath = export_jsonl(sf, "events", jcols)
+    gj = read_jsonl_table(jpath).to_pandas()
+    gj = gj[jcols].astype({"event_id": np.int64, "user_id": np.int64}) \
+        .sort_values(jcols).reset_index(drop=True)
+    rj = pq.read_table(f"{sf}/events.parquet", columns=jcols).to_pandas() \
+        .sort_values(jcols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gj, rj)
+
+
+def test_text_formats_reject_inexact_columns():
+    import pytest
+
+    from equi7grid_ray.sources.text_formats import export_csv
+
+    with pytest.raises(ValueError):
+        export_csv("/root/testdata/sf0.001", "orders",
+                   ["o_orderkey", "o_totalprice"])
+
+
+def test_pq_sdc_topk_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.similarity import pq_sdc_topk
+
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 1 << 32, 200).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(200), pa.int64()),
+        "pq_code": pa.array(codes, pa.int64()),
+    }))
+    qcode = int(codes[0])
+    got = pq_sdc_topk(ds, qcode, k=10).to_pandas()
+
+    idx = np.arange(8 * 16 * 8, dtype=np.int64)
+    cent = ((idx * 2654435761) % (1 << 32) % 256).reshape(8, 16, 8)
+
+    def dist(a: int, b: int) -> int:
+        d = 0
+        for s in range(8):
+            ca = cent[s, (a >> (4 * s)) & 15]
+            cb = cent[s, (b >> (4 * s)) & 15]
+            d += int(((ca - cb) ** 2).sum())
+        return d
+
+    ref = sorted((dist(qcode, int(c)), v)
+                 for v, c in enumerate(codes))[:10]
+    assert list(zip(got["pq_dist"], got["vec_id"])) == ref
+    assert got["pq_dist"].iloc[0] == 0  # query vs itself
