@@ -305,6 +305,9 @@ def _driver_queries() -> dict[str, float]:
         "jsonl_events_rollup",
         "image_quality_gate",
         "ann_pq_topk",
+        "image_hog",
+        "video_cuts",
+        "audio_autocorr",
     ]
     qs = e.queries()
     for name in sel:

@@ -20,7 +20,8 @@ from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "PatchStats", "HistEqualize", "PyramidStats", "SobelStats",
-           "MorphStats", "GLCMStats", "QualityGate",
+           "MorphStats", "GLCMStats", "QualityGate", "HOGStats",
+           "VideoCuts", "AutocorrAudio",
            "OtsuThreshold", "BandAlgebra", "BlobStats", "RleStats",
            "label_runs", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
@@ -951,6 +952,148 @@ class QualityGate:
             "edge_px": pa.array(epx, pa.int64()),
             "px_range": pa.array(rng, pa.int64()),
         })
+
+
+class HOGStats:
+    """Per-image gradient-orientation histogram (the HOG descriptor's
+    binning stage, Dalal-Triggs 2005, whole-frame variant): Sobel
+    gradients over the interior (identical formula to SobelStats),
+    every pixel with a nonzero gradient classified into one of 8
+    half-open 45-degree octants by EXACT integer comparisons -- no
+    atan2, no floats, so the SQL mirror is a CASE chain:
+
+        quadrant q = 2*(gy < 0) + ((gx < 0) XOR (gy < 0))  (CCW 0..3)
+        bin = 2*q + ((|gx| <= |gy|) XOR (q odd))
+
+    which lands (gx>0, gy=0) in bin 0, ties |gx| = |gy| on the CCW-later
+    bin of the quadrant.  Emits wide per-image counts (o0..o7, n_grad)
+    -- the texture/orientation feature a crawl-side image-quality model
+    consumes."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        hist = np.zeros((n, 8), np.int64)
+        ngrad = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            if v.shape[0] < 3 or v.shape[1] < 3:
+                continue
+            gx = (v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:]) \
+                - (v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2])
+            gy = (v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:]) \
+                - (v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:])
+            ax, ay = np.abs(gx), np.abs(gy)
+            mask = (ax | ay) != 0
+            q = 2 * (gy < 0) + ((gx < 0) ^ (gy < 0))
+            b = 2 * q + ((ax <= ay) ^ (q & 1))
+            hist[j] = np.bincount(b[mask].ravel(), minlength=8)
+            ngrad[j] = int(mask.sum())
+        cols = {self.id_col: batch.column(self.id_col)}
+        for k in range(8):
+            cols[f"o{k}"] = pa.array(hist[:, k], pa.int64())
+        cols["n_grad"] = pa.array(ngrad, pa.int64())
+        return pa.table(cols)
+
+
+class VideoCuts:
+    """Shot-boundary (scene-cut) detection over raw planar video
+    payloads (h frames of w luma bytes, the RawVideoFrames layout):
+    per consecutive frame pair, SAD = sum |v[f+1] - v[f]|; a cut fires
+    iff 4 * SAD >= 255 * w (mean abs diff >= 63.75, integer-exact).
+    Emits per video (n_frames, n_cuts, max_sad, sad_sum) -- the
+    dedup/segmentation precursor for video training data.  One
+    vectorized diff pass per payload; no per-pixel Python."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        ncuts = np.zeros(n, np.int64)
+        maxsad = np.zeros(n, np.int64)
+        sadsum = np.zeros(n, np.int64)
+        for j in range(n):
+            arr = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            if arr.shape[0] < 2:
+                continue
+            d = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+            ncuts[j] = int((4 * d >= 255 * int(ws[j])).sum())
+            maxsad[j] = int(d.max())
+            sadsum[j] = int(d.sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_frames": pa.array(hs.astype(np.int64), pa.int64()),
+            "n_cuts": pa.array(ncuts, pa.int64()),
+            "max_sad": pa.array(maxsad, pa.int64()),
+            "sad_sum": pa.array(sadsum, pa.int64()),
+        })
+
+
+class AutocorrAudio:
+    """Exact integer autocorrelation of the s16le PCM payload at fixed
+    lags (1, 2, 4, 8): ac_L = sum_k v[k] * v[k+L] -- the pitch /
+    periodicity feature (autocorrelation method, Rabiner 1977) the
+    audio side of a crawl pipeline scores clips with.  best_lag =
+    argmax over the four lags, smallest lag on ties.  Payload decode
+    matches PCMAudioFeatures (raw/png pixel bytes as the WAV body);
+    per-row numpy dot products, no per-sample Python."""
+
+    LAGS = (1, 2, 4, 8)
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        nsamp = np.zeros(n, np.int64)
+        acs = np.zeros((n, len(self.LAGS)), np.int64)
+        for j, f in enumerate(fmts):
+            raw = np.frombuffer(data, np.uint8,
+                                count=int(offs[j + 1] - offs[j]),
+                                offset=int(offs[j]))
+            if f in ("raw", "png"):
+                raw = decode_image(raw, f, int(ws[j]), int(hs[j]),
+                                   copy=False).reshape(-1)
+            else:
+                raise NotImplementedError(
+                    f"audio format {f!r}: codecs unavailable in sandbox")
+            v = raw[: len(raw) // 2 * 2].view(np.uint8).astype(np.int64)
+            v = v[0::2] + 256 * v[1::2]
+            v = np.where(v >= 32768, v - 65536, v)
+            nsamp[j] = len(v)
+            for li, lag in enumerate(self.LAGS):
+                if len(v) > lag:
+                    acs[j, li] = int(np.dot(v[:-lag], v[lag:]))
+        best = np.array(self.LAGS, np.int64)[np.argmax(acs, axis=1)]
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "n_samples": pa.array(nsamp, pa.int64()),
+        }
+        for li, lag in enumerate(self.LAGS):
+            cols[f"ac{lag}"] = pa.array(acs[:, li], pa.int64())
+        cols["best_lag"] = pa.array(best, pa.int64())
+        return pa.table(cols)
 
 
 class GLCMStats:

@@ -448,3 +448,97 @@ def test_quality_gate_crafted():
 
     sob = SobelStats()(batch)
     assert sob["edge_px"].to_pylist() == out["edge_px"].to_pylist()
+
+
+def test_hog_matches_bruteforce():
+    """HOGStats octant counts vs a per-pixel Python reference applying
+    the documented classification rule literally."""
+    from equi7grid_ray.stages.multimodal import HOGStats
+
+    batch = make_batch(0, 6)
+    out = HOGStats()(batch)
+    got = {r["image_id"]: r for r in out.to_pylist()}
+    for i in range(6):
+        v = _img_of(i).astype(int)
+        h, w = v.shape
+        hist = [0] * 8
+        ngrad = 0
+        for r in range(1, h - 1):
+            for c in range(1, w - 1):
+                gx = (v[r - 1, c + 1] + 2 * v[r, c + 1] + v[r + 1, c + 1]
+                      - v[r - 1, c - 1] - 2 * v[r, c - 1] - v[r + 1, c - 1])
+                gy = (v[r + 1, c - 1] + 2 * v[r + 1, c] + v[r + 1, c + 1]
+                      - v[r - 1, c - 1] - 2 * v[r - 1, c] - v[r - 1, c + 1])
+                if gx == 0 and gy == 0:
+                    continue
+                ngrad += 1
+                q = 2 * (gy < 0) + ((gx < 0) != (gy < 0))
+                b = 2 * q + ((abs(gx) <= abs(gy)) != (q % 2 == 1))
+                hist[b] += 1
+        row = got[f"img{i:012d}"]
+        assert [row[f"o{k}"] for k in range(8)] == hist
+        assert row["n_grad"] == ngrad == sum(hist)
+
+
+def test_video_cuts_planted():
+    """A payload with one hard cut (black half -> white half) yields
+    exactly one cut; a constant payload yields zero."""
+    from equi7grid_ray.stages.multimodal import VideoCuts
+
+    w, h = 16, 8
+    cut = np.vstack([np.zeros((4, w), np.uint8),
+                     np.full((4, w), 255, np.uint8)])
+    flat = np.full((h, w), 7, np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["cut", "flat"]),
+        "bytes": pa.array([encode_image(x, "raw") for x in (cut, flat)],
+                          pa.binary()),
+        "w": pa.array([w] * 2, pa.int32()),
+        "h": pa.array([h] * 2, pa.int32()),
+        "fmt": pa.array(["raw"] * 2),
+    })
+    out = VideoCuts()(batch)
+    rows = {r["image_id"]: r for r in out.to_pylist()}
+    assert rows["cut"]["n_cuts"] == 1
+    assert rows["cut"]["max_sad"] == 255 * w
+    assert rows["flat"]["n_cuts"] == 0
+    assert rows["flat"]["sad_sum"] == 0
+    # brute parity on a synthetic frame stack
+    v = _img_of(4).astype(int)
+    d = [int(np.abs(v[f + 1] - v[f]).sum()) for f in range(v.shape[0] - 1)]
+    b4 = make_batch(4, 1)
+    o4 = VideoCuts()(b4).to_pylist()[0]
+    assert o4["sad_sum"] == sum(d)
+    assert o4["max_sad"] == max(d)
+    assert o4["n_cuts"] == sum(4 * x >= 255 * v.shape[1] for x in d)
+
+
+def test_audio_autocorr_periodic():
+    """A planted period-4 square wave maximizes autocorrelation at
+    lag 4; brute-force dot-product parity on synthetic payloads."""
+    from equi7grid_ray.stages.multimodal import AutocorrAudio
+
+    # s16le square wave period 4: +1000, +1000, -1000, -1000 ...
+    n = 256
+    samples = np.where((np.arange(n) // 2) % 2 == 0, 1000, -1000) \
+        .astype("<i2")
+    raw = samples.tobytes()
+    batch = pa.table({
+        "image_id": pa.array(["sq", "syn"]),
+        "bytes": pa.array([raw, bytes(encode_image(_img_of(2), "raw"))],
+                          pa.binary()),
+        "w": pa.array([16, 128], pa.int32()),
+        "h": pa.array([n * 2 // 16, 32], pa.int32()),
+        "fmt": pa.array(["raw"] * 2),
+    })
+    out = AutocorrAudio()(batch)
+    rows = {r["image_id"]: r for r in out.to_pylist()}
+    assert rows["sq"]["best_lag"] == 4
+    assert rows["sq"]["ac4"] == 1000 * 1000 * (n - 4)
+    # brute parity for the synthetic image payload
+    v = _img_of(2).reshape(-1).astype(np.int64)
+    v = v[0::2] + 256 * v[1::2]
+    v = np.where(v >= 32768, v - 65536, v)
+    for lag in (1, 2, 4, 8):
+        assert rows["syn"][f"ac{lag}"] == int(np.dot(v[:-lag], v[lag:]))
+    assert rows["syn"]["n_samples"] == len(v)
