@@ -298,6 +298,8 @@ def _driver_queries() -> dict[str, float]:
         "tile_gaps",
         "cell_pyramid",
         "late_events",
+        "stay_segments",
+        "od_matrix",
         "embedding_pq",
         "tile_trend",
         "cell_quadkey",

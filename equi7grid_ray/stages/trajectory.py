@@ -1,0 +1,143 @@
+"""Trajectory analytics over a keyed, timestamped point stream.
+
+The reference grid exists to index exactly this kind of data — GPS /
+acquisition tracks projected into Equi7 planes (reference
+geometry.py's lonlat→xy is the per-point step; these operators are
+the per-track step that follows it at archive scale).  Two classic
+movement-data products, both exact-integer so they stay
+hash-oracle-able:
+
+* **stay segments** (Li et al., "Mining user similarity based on
+  location history", GIS 2008 — simplified to the lag-expressible
+  gaps-and-islands form): maximal runs of consecutive per-key points
+  whose squared step distance stays ≤ r², kept when the run's dwell
+  time reaches ``min_dur_us``.  The squared-distance threshold avoids
+  any sqrt — the predicate is integer-exact.
+* **origin–destination matrix**: per (key, day) first/last point →
+  coarse cell, flows counted by (o_cell, d_cell).
+
+Ray-Data shape for both: rows hash-partition ONCE by key (each point
+moves exactly once; no global sort), then one vectorized
+sort+diff/groupby pass per partition inside ``map_groups``.  The OD
+flow count is a second metadata-only ``hash_aggregate`` over
+O(distinct cell pairs) rows.  At 100 TB the exchange is bounded by the
+point count (16 B/row of key+coords), and per-partition state is one
+partition's rows — the streaming executor spills blocks, never the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from equi7grid_ray.stages.aggregate import hash_aggregate
+from equi7grid_ray.stages.join import _add_part_fn
+
+__all__ = ["stay_segments", "od_matrix"]
+
+
+def stay_segments(ds, *, key_col: str = "user_id", ts_col: str = "ts_us",
+                  order_col: str = "event_id", x_col: str = "x",
+                  y_col: str = "y", r2: int = 2500,
+                  min_dur_us: int = 0, n_partitions: int = 64):
+    """Per-key stay-segment detection (gaps-and-islands over the
+    squared step distance).
+
+    A new segment starts at the first point of each key and wherever
+    ``(x-lag(x))² + (y-lag(y))² > r2``.  Emits one row per segment
+    with ``dur_us = last_ts - first_ts >= min_dur_us``:
+
+        key, seg_start (ts), seg_end (ts), n_pts, sum_x, sum_y, dur_us
+
+    ``sum_x/sum_y`` are the exact integer centroid numerators (the
+    caller divides; keeping the rational exact keeps the oracle
+    exact).  ``(ts_col, order_col)`` must totally order each key's
+    points."""
+
+    parted = ds.map_batches(_add_part_fn(key_col, n_partitions),
+                            batch_format="pyarrow")
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        x = g[x_col].to_numpy().astype(np.int64)
+        y = g[y_col].to_numpy().astype(np.int64)
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        dx = np.diff(x, prepend=x[:1])
+        dy = np.diff(y, prepend=y[:1])
+        brk = new_key | (dx * dx + dy * dy > r2)
+        seg = np.cumsum(brk) - 1
+        n_seg = seg[-1] + 1
+        first = np.flatnonzero(brk)
+        last = np.empty(n_seg, np.int64)
+        last[:-1] = first[1:] - 1
+        last[-1] = len(g) - 1
+        n_pts = last - first + 1
+        sum_x = np.add.reduceat(x, first)
+        sum_y = np.add.reduceat(y, first)
+        dur = ts[last] - ts[first]
+        out = pd.DataFrame({
+            key_col: k[first],
+            "seg_start": ts[first],
+            "seg_end": ts[last],
+            "n_pts": n_pts,
+            "sum_x": sum_x,
+            "sum_y": sum_y,
+            "dur_us": dur,
+        })
+        return out[out["dur_us"] >= min_dur_us].reset_index(drop=True)
+
+    return parted.groupby("__part").map_groups(run, batch_format="pandas")
+
+
+def od_matrix(ds, *, key_col: str = "user_id", ts_col: str = "ts_us",
+              order_col: str = "event_id", x_col: str = "x",
+              y_col: str = "y", cell_shift: int = 5,
+              day_us: int = 86_400_000_000, n_partitions: int = 64):
+    """Origin–destination flow matrix: per (key, day) trip from the
+    day's first point's cell to its last point's cell, flows counted
+    per (o_cell_x, o_cell_y, d_cell_x, d_cell_y).
+
+    Cells are ``coord >> cell_shift`` (arithmetic shift — Python's
+    floor semantics, mirrored in SQL as floor division so negative
+    coordinates agree).  Days are ``ts_us // day_us`` (epoch days for
+    non-negative timestamps).  Same-cell round trips are kept (they
+    ARE the diagonal of the matrix).  Output:
+
+        o_cx, o_cy, d_cx, d_cy, n_trips
+    """
+
+    parted = ds.map_batches(_add_part_fn(key_col, n_partitions),
+                            batch_format="pyarrow")
+
+    def trips(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        day = ts // day_us
+        x = g[x_col].to_numpy().astype(np.int64) >> cell_shift
+        y = g[y_col].to_numpy().astype(np.int64) >> cell_shift
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (k[1:] != k[:-1]) | (day[1:] != day[:-1])
+        first = np.flatnonzero(new)
+        last = np.empty(len(first), np.int64)
+        last[:-1] = first[1:] - 1
+        last[-1] = len(g) - 1
+        return pd.DataFrame({
+            "o_cx": x[first], "o_cy": y[first],
+            "d_cx": x[last], "d_cy": y[last],
+        })
+
+    per_day = parted.groupby("__part").map_groups(trips,
+                                                  batch_format="pandas")
+    return hash_aggregate(
+        per_day, keys=["o_cx", "o_cy", "d_cx", "d_cy"],
+        aggs={"n_trips": ("o_cx", "count")},
+        n_partitions=max(8, n_partitions // 4),
+    )

@@ -1,0 +1,115 @@
+"""Trajectory stages (stay segments, OD matrix) vs a scalar oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from equi7grid_ray.stages.trajectory import od_matrix, stay_segments
+
+
+@pytest.fixture()
+def track():
+    """Mixed stays and jumps: 3 users, deterministic integer walk."""
+    rng = np.random.default_rng(42)
+    n = 3000
+    user = rng.integers(0, 3, n).astype(np.int64)
+    ts = np.sort(rng.integers(0, 10**12, n)).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    # small jitter around a per-user base, occasional big jump
+    jump = np.where(rng.random(n) < 0.15, 1000, 0)
+    x = user * 50_000 + rng.integers(0, 80, n) + jump
+    y = user * 90_000 + rng.integers(0, 80, n) + jump
+    return pa.table({
+        "user_id": pa.array(user), "event_id": pa.array(eid),
+        "ts_us": pa.array(ts), "x": pa.array(x.astype(np.int64)),
+        "y": pa.array(y.astype(np.int64)),
+    })
+
+
+def _scalar_stays(df: pd.DataFrame, r2: int, min_dur: int) -> pd.DataFrame:
+    out_rows = []
+    for uid, g in df.sort_values(["user_id", "ts_us", "event_id"]).groupby(
+            "user_id"):
+        g = g.reset_index(drop=True)
+        start = 0
+        for i in range(1, len(g) + 1):
+            brk = i == len(g)
+            if not brk:
+                dx = int(g.x[i]) - int(g.x[i - 1])
+                dy = int(g.y[i]) - int(g.y[i - 1])
+                brk = dx * dx + dy * dy > r2
+            if brk:
+                seg = g.iloc[start:i]
+                dur = int(seg.ts_us.iloc[-1] - seg.ts_us.iloc[0])
+                if dur >= min_dur:
+                    out_rows.append({
+                        "user_id": uid,
+                        "seg_start": int(seg.ts_us.iloc[0]),
+                        "seg_end": int(seg.ts_us.iloc[-1]),
+                        "n_pts": len(seg),
+                        "sum_x": int(seg.x.sum()),
+                        "sum_y": int(seg.y.sum()),
+                        "dur_us": dur,
+                    })
+                start = i
+    return pd.DataFrame(out_rows)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_stay_segments_matches_scalar(ray_session, track):
+    r2, dur = 30_000, 5 * 10**9
+    got = stay_segments(rd.from_arrow(track), r2=r2, min_dur_us=dur,
+                        n_partitions=7).to_pandas()
+    exp = _scalar_stays(track.to_pandas(), r2, dur)
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+def test_stay_segments_single_point_zero_dur(ray_session):
+    """A lone point is a zero-duration segment: kept only at min_dur 0."""
+    t = pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "event_id": pa.array([0], pa.int64()),
+        "ts_us": pa.array([100], pa.int64()),
+        "x": pa.array([5], pa.int64()), "y": pa.array([5], pa.int64()),
+    })
+    kept = stay_segments(rd.from_arrow(t), r2=1, min_dur_us=0).to_pandas()
+    assert len(kept) == 1 and kept.n_pts[0] == 1 and kept.dur_us[0] == 0
+    dropped = stay_segments(rd.from_arrow(t), r2=1, min_dur_us=1).to_pandas()
+    assert len(dropped) == 0
+
+
+def test_od_matrix_matches_scalar(ray_session, track):
+    got = od_matrix(rd.from_arrow(track), cell_shift=6,
+                    day_us=10**11, n_partitions=5).to_pandas()
+    df = track.to_pandas().sort_values(["user_id", "ts_us", "event_id"])
+    df["day"] = df.ts_us // 10**11
+    rows = []
+    for (_u, _d), g in df.groupby(["user_id", "day"]):
+        rows.append({
+            "o_cx": int(g.x.iloc[0]) >> 6, "o_cy": int(g.y.iloc[0]) >> 6,
+            "d_cx": int(g.x.iloc[-1]) >> 6, "d_cy": int(g.y.iloc[-1]) >> 6,
+        })
+    exp = (pd.DataFrame(rows)
+           .groupby(["o_cx", "o_cy", "d_cx", "d_cy"], as_index=False)
+           .size().rename(columns={"size": "n_trips"}))
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+def test_od_matrix_negative_coords_floor(ray_session):
+    """>> must behave as floor division for negative coordinates."""
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts_us": pa.array([0, 10], pa.int64()),
+        "x": pa.array([-1, -33], pa.int64()),
+        "y": pa.array([-32, 31], pa.int64()),
+    })
+    got = od_matrix(rd.from_arrow(t), cell_shift=5).to_pandas()
+    assert got.iloc[0].to_dict() == {
+        "o_cx": -1, "o_cy": -1, "d_cx": -2, "d_cy": 0, "n_trips": 1}
