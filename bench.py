@@ -274,6 +274,8 @@ def _driver_queries() -> dict[str, float]:
         "image_dedup_canonical",
         "image_pyramid",
         "image_sobel",
+        "image_moments",
+        "image_harris",
         "image_otsu",
         "rgb_band_algebra",
         "tile_mosaic",

@@ -20,6 +20,7 @@ from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "PatchStats", "HistEqualize", "PyramidStats", "SobelStats",
+           "MomentStats", "HarrisStats",
            "MorphStats", "GLCMStats", "QualityGate", "HOGStats",
            "VideoCuts", "AutocorrAudio",
            "OtsuThreshold", "BandAlgebra", "BlobStats", "RleStats",
@@ -845,6 +846,113 @@ class SobelStats:
             self.id_col: batch.column(self.id_col),
             "grad_sum": pa.array(gsum, pa.int64()),
             "edge_px": pa.array(epx, pa.int64()),
+        })
+
+
+class MomentStats:
+    """Per-image raw + central image moments in EXACT integer
+    arithmetic (the shape-descriptor front half of Hu invariants;
+    geometric moments are the registration/centroid primitive the
+    reference's raster extent math feeds into):
+
+        m00  = sum v              m10 = sum r*v      m01 = sum c*v
+        mu20s = m00*m20 - m10*m10   (= m00 * central mu20, exact)
+        mu02s = m00*m02 - m01*m01
+        mu11s = m00*m11 - m10*m01
+
+    Clearing the 1/m00 denominators keeps every output an int64
+    (|mu20s| <= 255^2 * npx^2 * (h-1)^2 < 2^62 at 128x128), so the SQL
+    mirror is plain BIGINT sums over the synthetic pixel formula.
+    Whole-frame numpy dot products; no Python per-pixel work."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        out = np.zeros((n, 6), np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            h, w = v.shape
+            r = np.arange(h, dtype=np.int64)
+            c = np.arange(w, dtype=np.int64)
+            row_s = v.sum(axis=1)          # per-row pixel sums
+            col_s = v.sum(axis=0)
+            m00 = int(row_s.sum())
+            m10 = int(r @ row_s)
+            m01 = int(c @ col_s)
+            m20 = int((r * r) @ row_s)
+            m02 = int((c * c) @ col_s)
+            m11 = int(r @ v @ c)
+            out[j] = (m00, m10, m01,
+                      m00 * m20 - m10 * m10,
+                      m00 * m02 - m01 * m01,
+                      m00 * m11 - m10 * m01)
+        cols = ["m00", "m10", "m01", "mu20s", "mu02s", "mu11s"]
+        return pa.table(
+            {self.id_col: batch.column(self.id_col),
+             **{k: pa.array(out[:, i], pa.int64())
+                for i, k in enumerate(cols)}})
+
+
+class HarrisStats:
+    """Per-image Harris corner response in EXACT integer arithmetic
+    (Harris & Stephens 1988, k = 1/16, everything cross-multiplied so
+    no floats appear):
+
+        ix = v[r,c+1] - v[r,c-1],  iy = v[r+1,c] - v[r-1,c]
+        (Sxx,Syy,Sxy) = 3x3 box sums of (ix*ix, iy*iy, ix*iy)
+        R16 = 16*(Sxx*Syy - Sxy*Sxy) - (Sxx+Syy)^2
+
+    evaluated where the full window exists (r,c in [2, dim-3]).  Emits
+    n_corners (R16 > thresh), r16_max, and pos_sum (sum of positive
+    responses).  Shifted-view numpy throughout; the SQL mirror runs
+    the gradient formula through two chained 1-D window sums
+    (separable box filter)."""
+
+    def __init__(self, thresh: int = 0, id_col: str = "image_id"):
+        self.thresh = thresh
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        nc = np.zeros(n, np.int64)
+        rmax = np.zeros(n, np.int64)
+        psum = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            if v.shape[0] < 5 or v.shape[1] < 5:
+                continue
+            ix = (v[:, 2:] - v[:, :-2])[1:-1, :]   # gradient grid:
+            iy = (v[2:, :] - v[:-2, :])[:, 1:-1]   # r,c in [1, dim-2]
+            def box(a: np.ndarray) -> np.ndarray:
+                return (a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:]
+                        + a[1:-1, :-2] + a[1:-1, 1:-1] + a[1:-1, 2:]
+                        + a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:])
+            sxx = box(ix * ix)
+            syy = box(iy * iy)
+            sxy = box(ix * iy)
+            r16 = 16 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+            nc[j] = int((r16 > self.thresh).sum())
+            rmax[j] = int(r16.max())
+            psum[j] = int(r16[r16 > 0].sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_corners": pa.array(nc, pa.int64()),
+            "r16_max": pa.array(rmax, pa.int64()),
+            "pos_sum": pa.array(psum, pa.int64()),
         })
 
 

@@ -542,3 +542,101 @@ def test_audio_autocorr_periodic():
     for lag in (1, 2, 4, 8):
         assert rows["syn"][f"ac{lag}"] == int(np.dot(v[:-lag], v[lag:]))
     assert rows["syn"]["n_samples"] == len(v)
+
+
+def test_moments_match_scalar_double_loop():
+    from equi7grid_ray.stages.multimodal import MomentStats
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (17, 23)).astype(np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["m0"]),
+        "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+        "w": pa.array([23], pa.int32()), "h": pa.array([17], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    out = MomentStats()(batch)
+    m00 = m10 = m01 = m20 = m02 = m11 = 0
+    for r in range(17):
+        for c in range(23):
+            v = int(img[r, c])
+            m00 += v; m10 += r * v; m01 += c * v
+            m20 += r * r * v; m02 += c * c * v; m11 += r * c * v
+    assert out["m00"][0].as_py() == m00
+    assert out["m10"][0].as_py() == m10
+    assert out["m01"][0].as_py() == m01
+    assert out["mu20s"][0].as_py() == m00 * m20 - m10 * m10
+    assert out["mu02s"][0].as_py() == m00 * m02 - m01 * m01
+    assert out["mu11s"][0].as_py() == m00 * m11 - m10 * m01
+
+
+def test_moments_translation_invariance_of_central():
+    """Central moments (denominator-cleared) must not move when the
+    image content shifts inside a zero frame."""
+    from equi7grid_ray.stages.multimodal import MomentStats
+
+    rng = np.random.default_rng(8)
+    core = rng.integers(1, 256, (6, 6)).astype(np.uint8)
+    a = np.zeros((20, 20), np.uint8); a[2:8, 3:9] = core
+    b = np.zeros((20, 20), np.uint8); b[9:15, 10:16] = core
+    batch = pa.table({
+        "image_id": pa.array(["a", "b"]),
+        "bytes": pa.array([encode_image(a, "raw"),
+                           encode_image(b, "raw")], pa.binary()),
+        "w": pa.array([20, 20], pa.int32()),
+        "h": pa.array([20, 20], pa.int32()),
+        "fmt": pa.array(["raw", "raw"]),
+    })
+    out = MomentStats()(batch)
+    for col in ("mu20s", "mu02s", "mu11s"):
+        assert out[col][0].as_py() == out[col][1].as_py()
+
+
+def test_harris_matches_scalar():
+    from equi7grid_ray.stages.multimodal import HarrisStats
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (12, 15)).astype(np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["h0"]),
+        "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+        "w": pa.array([15], pa.int32()), "h": pa.array([12], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    T = 10**6
+    out = HarrisStats(thresh=T)(batch)
+    v = img.astype(np.int64)
+    hh, ww = v.shape
+    n_c = 0; r_max = None; p_sum = 0
+    for r in range(2, hh - 2):
+        for c in range(2, ww - 2):
+            sxx = syy = sxy = 0
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    rr, cc = r + dr, c + dc
+                    ix = int(v[rr, cc + 1]) - int(v[rr, cc - 1])
+                    iy = int(v[rr + 1, cc]) - int(v[rr - 1, cc])
+                    sxx += ix * ix; syy += iy * iy; sxy += ix * iy
+            r16 = 16 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+            n_c += r16 > T
+            r_max = r16 if r_max is None else max(r_max, r16)
+            p_sum += r16 if r16 > 0 else 0
+    assert out["n_corners"][0].as_py() == n_c
+    assert out["r16_max"][0].as_py() == r_max
+    assert out["pos_sum"][0].as_py() == p_sum
+
+
+def test_harris_flat_image_no_response():
+    from equi7grid_ray.stages.multimodal import HarrisStats
+
+    img = np.full((16, 16), 77, np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["flat"]),
+        "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+        "w": pa.array([16], pa.int32()), "h": pa.array([16], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    out = HarrisStats(thresh=0)(batch)
+    assert out["n_corners"][0].as_py() == 0
+    assert out["r16_max"][0].as_py() == 0
+    assert out["pos_sum"][0].as_py() == 0
