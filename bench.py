@@ -283,6 +283,7 @@ def _driver_queries() -> dict[str, float]:
         "pagerank_q",
         "tile_focal_mean",
         "image_blobs",
+        "blob_bbox",
         "image_rle",
         "image_hist_match",
         "image_morph",

@@ -23,8 +23,9 @@ __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "MomentStats", "HarrisStats",
            "MorphStats", "GLCMStats", "QualityGate", "HOGStats",
            "VideoCuts", "AutocorrAudio",
-           "OtsuThreshold", "BandAlgebra", "BlobStats", "RleStats",
-           "label_runs", "phash_basis", "dhash_near_dup",
+           "OtsuThreshold", "BandAlgebra", "BlobStats", "BlobBoxes",
+           "RleStats",
+           "label_runs", "label_run_boxes", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
            "AudioFeatures", "PCMAudioFeatures", "FrameSampler",
            "fake_decode"]
@@ -1415,6 +1416,109 @@ def label_runs(mask: np.ndarray) -> tuple[int, int, int]:
         sizes[r] = sizes.get(r, 0) + (c1l[k] - c0l[k])
     fg = int(c1.sum() - c0.sum())
     return len(sizes), max(sizes.values()), fg
+
+
+def label_run_boxes(mask: np.ndarray):
+    """Like :func:`label_runs` but emits PER-COMPONENT geometry: for
+    each 4-connected blob of ``mask``, its canonical label pixel (the
+    topmost-then-leftmost run start — the root of the by-min
+    union-find, since every union links the larger run id under the
+    smaller), bounding box, and area.  Returns int64 arrays
+    ``(lbl_r, lbl_c, min_r, max_r, min_c, max_c, area)``; empty masks
+    return empty arrays."""
+    h, w = mask.shape
+    padded = np.zeros((h, w + 1), dtype=bool)
+    padded[:, :w] = mask
+    flat = padded.reshape(-1)
+    d = np.diff(flat.astype(np.int8), prepend=np.int8(0))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    z = np.zeros(0, np.int64)
+    if len(starts) == 0:
+        return z, z, z, z, z, z, z
+    row = starts // (w + 1)
+    c0 = starts % (w + 1)
+    c1 = c0 + (ends - starts)
+    n = len(starts)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    c0l, c1l = c0.tolist(), c1.tolist()
+    starts_by_row = np.searchsorted(row, np.arange(h + 1))
+    for r in range(1, h):
+        a, a_end = int(starts_by_row[r - 1]), int(starts_by_row[r])
+        b, b_end = int(starts_by_row[r]), int(starts_by_row[r + 1])
+        while a < a_end and b < b_end:
+            if c0l[a] < c1l[b] and c0l[b] < c1l[a]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            if c1l[a] < c1l[b]:
+                a += 1
+            else:
+                b += 1
+    roots = np.fromiter((find(k) for k in range(n)), np.int64, n)
+    uniq, inv = np.unique(roots, return_inverse=True)
+    m = len(uniq)
+    area = np.bincount(inv, weights=(c1 - c0).astype(np.float64),
+                       minlength=m).astype(np.int64)
+    min_r = np.full(m, h, np.int64)
+    max_r = np.full(m, -1, np.int64)
+    min_c = np.full(m, w, np.int64)
+    max_c = np.full(m, -1, np.int64)
+    np.minimum.at(min_r, inv, row)
+    np.maximum.at(max_r, inv, row)
+    np.minimum.at(min_c, inv, c0)
+    np.maximum.at(max_c, inv, c1 - 1)
+    return (row[uniq], c0[uniq], min_r, max_r, min_c, max_c, area)
+
+
+class BlobBoxes:
+    """Per-blob geometry extraction: one output row per 4-connected
+    component of the ``v >= thresh`` mask with its canonical label
+    pixel, bounding box and pixel area — the raster->vector feature
+    step downstream of segmentation (reference-domain analogue: raster
+    polygonization of tiled masks).  Run-based union-find (O(runs)
+    Python, vectorized geometry reduction); the SQL mirror extends the
+    image_blobs recursive-CTE closure with per-root min/max/sum."""
+
+    def __init__(self, thresh: int = 128, id_col: str = "image_id"):
+        self.thresh = thresh
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        ids = batch.column(self.id_col)
+        out_id: list = []
+        cols = [np.zeros(0, np.int64)] * 7
+        parts: list[list[np.ndarray]] = [[] for _ in range(7)]
+        for j in range(batch.num_rows):
+            img = _decode_luma(data, offs, fmts, ws, hs, j)
+            res = label_run_boxes(img >= self.thresh)
+            k = len(res[0])
+            if k == 0:
+                continue
+            out_id.extend([ids[j].as_py()] * k)
+            for t in range(7):
+                parts[t].append(res[t])
+        names = ["lbl_r", "lbl_c", "min_r", "max_r", "min_c", "max_c",
+                 "area"]
+        merged = [np.concatenate(p) if p else np.zeros(0, np.int64)
+                  for p in parts]
+        return pa.table(
+            {self.id_col: pa.array(out_id, ids.type),
+             **{nm: pa.array(v, pa.int64())
+                for nm, v in zip(names, merged)}})
 
 
 class BlobStats:

@@ -640,3 +640,72 @@ def test_harris_flat_image_no_response():
     assert out["n_corners"][0].as_py() == 0
     assert out["r16_max"][0].as_py() == 0
     assert out["pos_sum"][0].as_py() == 0
+
+
+def test_label_run_boxes_matches_bfs():
+    """Per-component bbox/area/canonical-label vs a pixel-level BFS."""
+    from collections import deque
+
+    from equi7grid_ray.stages.multimodal import label_run_boxes
+
+    rng = np.random.default_rng(13)
+    for _ in range(25):
+        m = rng.random((11, 16)) < 0.4
+        seen = np.zeros_like(m)
+        expect = set()
+        for r0 in range(m.shape[0]):
+            for c0 in range(m.shape[1]):
+                if m[r0, c0] and not seen[r0, c0]:
+                    q = deque([(r0, c0)])
+                    seen[r0, c0] = True
+                    pix = []
+                    while q:
+                        r, c = q.popleft()
+                        pix.append((r, c))
+                        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            rr, cc = r + dr, c + dc
+                            if 0 <= rr < m.shape[0] and 0 <= cc < m.shape[1] \
+                                    and m[rr, cc] and not seen[rr, cc]:
+                                seen[rr, cc] = True
+                                q.append((rr, cc))
+                    rs = [p[0] for p in pix]
+                    cs = [p[1] for p in pix]
+                    # canonical label: topmost row, then leftmost col in it
+                    lr = min(rs)
+                    lc = min(c for r, c in pix if r == lr)
+                    expect.add((lr, lc, min(rs), max(rs), min(cs), max(cs),
+                                len(pix)))
+        got = set(zip(*(a.tolist() for a in label_run_boxes(m))))
+        assert got == expect
+
+
+def test_label_run_boxes_empty_mask():
+    from equi7grid_ray.stages.multimodal import label_run_boxes
+
+    res = label_run_boxes(np.zeros((5, 5), bool))
+    assert all(len(a) == 0 for a in res)
+
+
+def test_blob_boxes_stage_row_expansion():
+    """BlobBoxes fans one image out to one row per blob, skipping
+    blob-free frames entirely."""
+    from equi7grid_ray.stages.multimodal import BlobBoxes
+
+    two = np.zeros((6, 6), np.uint8)
+    two[0:2, 0:2] = 200            # blob A: bbox (0,1,0,1), area 4
+    two[4:6, 3:6] = 255            # blob B: bbox (4,5,3,5), area 6
+    blank = np.zeros((6, 6), np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["two", "blank"]),
+        "bytes": pa.array([encode_image(two, "raw"),
+                           encode_image(blank, "raw")], pa.binary()),
+        "w": pa.array([6, 6], pa.int32()), "h": pa.array([6, 6], pa.int32()),
+        "fmt": pa.array(["raw", "raw"]),
+    })
+    out = BlobBoxes()(batch)
+    assert out["image_id"].to_pylist() == ["two", "two"]
+    rows = set(zip(out["lbl_r"].to_pylist(), out["lbl_c"].to_pylist(),
+                   out["min_r"].to_pylist(), out["max_r"].to_pylist(),
+                   out["min_c"].to_pylist(), out["max_c"].to_pylist(),
+                   out["area"].to_pylist()))
+    assert rows == {(0, 0, 0, 1, 0, 1, 4), (4, 3, 4, 5, 3, 5, 6)}
