@@ -307,6 +307,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_trend",
         "cell_quadkey",
         "csv_orders_rollup",
+        "compact_docs",
         "jsonl_events_rollup",
         "image_quality_gate",
         "ann_pq_topk",
