@@ -279,6 +279,7 @@ def _driver_queries() -> dict[str, float]:
         "image_otsu",
         "rgb_band_algebra",
         "tile_mosaic",
+        "rasterize_polys",
         "collocations_pmi",
         "pagerank_q",
         "tile_focal_mean",

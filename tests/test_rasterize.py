@@ -1,0 +1,119 @@
+"""Polygon rasterization: exact-integer PIP vs an independent
+half-plane reference (valid for convex rings), crafted rectangles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from equi7grid_ray.stages.rasterize import (point_in_polygon_mask,
+                                            rasterize_polygons)
+
+
+def _convex_inside(px, py, vx, vy):
+    """Strict-interior test for a convex CCW ring via cross products
+    (an entirely different algorithm from ray casting).  Boundary
+    points are NOT classified consistently with parity rules, so
+    callers must avoid exact-boundary probes."""
+    inside = np.ones(len(px), dtype=bool)
+    n = len(vx)
+    for e in range(n):
+        x1, y1 = int(vx[e]), int(vy[e])
+        x2, y2 = int(vx[(e + 1) % n]), int(vy[(e + 1) % n])
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        inside &= cross > 0
+    return inside
+
+
+def test_pip_matches_halfplane_on_random_octagons():
+    dx = np.array([2, 1, 0, -1, -2, -1, 0, 1])
+    dy = np.array([0, 1, 2, 1, 0, -1, -2, -1])
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        cx, cy = rng.integers(100, 900, 2)
+        r = int(rng.integers(5, 80))
+        vx = cx + r * dx
+        vy = cy + r * dy
+        px = rng.integers(0, 500, 400) * 2 + 1
+        py = rng.integers(0, 500, 400) * 2 + 1
+        # the two algorithms only agree OFF the boundary; drop probes
+        # exactly on an edge segment (collinear + inside its bbox)
+        on_edge = np.zeros(len(px), dtype=bool)
+        for e in range(8):
+            x1, y1 = int(vx[e]), int(vy[e])
+            x2, y2 = int(vx[(e + 1) % 8]), int(vy[(e + 1) % 8])
+            coll = (x2 - x1) * (py - y1) == (y2 - y1) * (px - x1)
+            inb = ((px >= min(x1, x2)) & (px <= max(x1, x2))
+                   & (py >= min(y1, y2)) & (py <= max(y1, y2)))
+            on_edge |= coll & inb
+        keep = ~on_edge
+        got = point_in_polygon_mask(px[keep], py[keep], vx, vy)
+        exp = _convex_inside(px[keep], py[keep], vx, vy)
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_pip_rectangle_counts_exact():
+    # rectangle [10, 30] x [20, 50]: the parity rule closes the
+    # bottom/left boundary and opens the top/right -- spans test
+    # (y1 > py) != (y2 > py) admits py in [20, 50); the crossing
+    # inequality is strict, so px in [10, 30)
+    vx = np.array([10, 30, 30, 10])
+    vy = np.array([20, 20, 50, 50])
+    xs, ys = np.meshgrid(np.arange(0, 40), np.arange(0, 60))
+    px, py = xs.ravel(), ys.ravel()
+    got = point_in_polygon_mask(px, py, vx, vy)
+    inside_x = (px >= 10) & (px < 30)
+    inside_y = (py >= 20) & (py < 50)
+    np.testing.assert_array_equal(got, inside_x & inside_y)
+
+
+def test_pip_horizontal_edges_ignored():
+    # degenerate: a triangle with one horizontal edge must not crash
+    vx = np.array([0, 10, 5])
+    vy = np.array([0, 0, 10])
+    px = np.array([5, 5, -3])
+    py = np.array([3, 11, 3])
+    got = point_in_polygon_mask(px, py, vx, vy)
+    np.testing.assert_array_equal(got, [True, False, False])
+
+
+def test_rasterize_polygons_end_to_end(ray_session):
+    # one 64x64 square over a unit grid: count is exact
+    polys = pa.table({
+        "poly_id": pa.array([7], pa.int64()),
+        "vx": pa.array([[8, 72, 72, 8]], pa.list_(pa.int64())),
+        "vy": pa.array([[8, 8, 72, 72]], pa.list_(pa.int64())),
+    })
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy()
+        return pa.table({
+            "px": pa.array(i // 100, pa.int64()),
+            "py": pa.array(i % 100, pa.int64()),
+        })
+
+    cells = rd.range(10_000).map_batches(to_cells, batch_format="pyarrow")
+    out = rasterize_polygons(cells, polys).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    # x in [8, 72), y in [8, 72) per the parity rule above
+    assert row.poly_id == 7
+    assert row.n_cells == 64 * 64
+    assert row.sum_px == sum(range(8, 72)) * 64
+    assert row.sum_py == sum(range(8, 72)) * 64
+
+
+def test_rasterize_no_hit_polygon_absent(ray_session):
+    polys = pa.table({
+        "poly_id": pa.array([1], pa.int64()),
+        "vx": pa.array([[1000, 1002, 1001]], pa.list_(pa.int64())),
+        "vy": pa.array([[1000, 1000, 1002]], pa.list_(pa.int64())),
+    })
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy()
+        return pa.table({"px": pa.array(i, pa.int64()),
+                         "py": pa.array(i, pa.int64())})
+
+    cells = rd.range(100).map_batches(to_cells, batch_format="pyarrow")
+    assert rasterize_polygons(cells, polys).count() == 0
