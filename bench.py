@@ -280,6 +280,7 @@ def _driver_queries() -> dict[str, float]:
         "rgb_band_algebra",
         "tile_mosaic",
         "rasterize_polys",
+        "poly_stats",
         "collocations_pmi",
         "pagerank_q",
         "tile_focal_mean",

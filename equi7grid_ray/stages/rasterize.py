@@ -32,7 +32,61 @@ import pyarrow as pa
 
 from equi7grid_ray.stages.aggregate import hash_aggregate
 
-__all__ = ["point_in_polygon_mask", "rasterize_polygons"]
+__all__ = ["point_in_polygon_mask", "rasterize_polygons", "poly_stats"]
+
+
+def poly_stats(ds, *, id_col: str = "poly_id", x_col: str = "vx",
+               y_col: str = "vy"):
+    """Vector-layer geometry statistics, one row per ring, computed as
+    a single vectorized pass over the Arrow list columns (offsets +
+    flat values — zero per-ring Python).  All outputs are the exact
+    integer shoelace forms (signed; denominators cleared):
+
+        area2   = sum x_i*y_{i+1} - x_{i+1}*y_i        (= 2*A)
+        edge_sq = sum (x_{i+1}-x_i)^2 + (y_{i+1}-y_i)^2
+        cx6a    = sum (x_i+x_{i+1}) * (x_i*y_{i+1} - x_{i+1}*y_i)
+        cy6a    = sum (y_i+y_{i+1}) * (x_i*y_{i+1} - x_{i+1}*y_i)
+        (centroid = (cx6a, cy6a) / (3 * area2), left rational)
+        min/max x/y                                     (bbox)
+
+    Self-intersecting rings are fine — the outputs are DEFINED as
+    these formulas (signed area semantics), which is also what the SQL
+    mirror computes.  Map-only: no shuffle, scales with the layer."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        xs = batch.column(x_col).combine_chunks()
+        ys = batch.column(y_col).combine_chunks()
+        if isinstance(xs, pa.ChunkedArray):
+            xs, ys = xs.chunk(0), ys.chunk(0)
+        offs = xs.offsets.to_numpy().astype(np.int64)
+        # rebase: a sliced ListArray's values buffer can extend past the
+        # last ring; trim so reduceat's implicit final segment ends there
+        x = xs.values.to_numpy().astype(np.int64)[offs[0]:offs[-1]]
+        y = ys.values.to_numpy().astype(np.int64)[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        first, last = offs[:-1], offs[1:] - 1
+        nv = offs[1:] - offs[:-1]
+        nxt = np.arange(1, len(x) + 1, dtype=np.int64)
+        nxt[last] = first
+        xn, yn = x[nxt], y[nxt]
+        cr = x * yn - xn * y
+        area2 = np.add.reduceat(cr, first)
+        edge = np.add.reduceat((xn - x) ** 2 + (yn - y) ** 2, first)
+        cx6a = np.add.reduceat((x + xn) * cr, first)
+        cy6a = np.add.reduceat((y + yn) * cr, first)
+        min_x = np.minimum.reduceat(x, first)
+        max_x = np.maximum.reduceat(x, first)
+        min_y = np.minimum.reduceat(y, first)
+        max_y = np.maximum.reduceat(y, first)
+        cols = {"nv": nv, "area2": area2, "edge_sq": edge,
+                "cx6a": cx6a, "cy6a": cy6a, "min_x": min_x,
+                "max_x": max_x, "min_y": min_y, "max_y": max_y}
+        return pa.table(
+            {id_col: batch.column(id_col),
+             **{k: pa.array(v.astype(np.int64), pa.int64())
+                for k, v in cols.items()}})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
 
 
 def point_in_polygon_mask(px: np.ndarray, py: np.ndarray,

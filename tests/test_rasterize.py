@@ -117,3 +117,55 @@ def test_rasterize_no_hit_polygon_absent(ray_session):
 
     cells = rd.range(100).map_batches(to_cells, batch_format="pyarrow")
     assert rasterize_polygons(cells, polys).count() == 0
+
+
+def test_poly_stats_known_square(ray_session):
+    # CCW unit-order square (0,0)(4,0)(4,4)(0,4): A=16, area2=32,
+    # centroid (2,2) -> cx6a = 3*area2*2 = 192
+    polys = pa.table({
+        "poly_id": pa.array([1], pa.int64()),
+        "vx": pa.array([[0, 4, 4, 0]], pa.list_(pa.int64())),
+        "vy": pa.array([[0, 0, 4, 4]], pa.list_(pa.int64())),
+    })
+    from equi7grid_ray.stages.rasterize import poly_stats
+
+    out = poly_stats(rd.from_arrow(polys)).to_pandas().iloc[0]
+    assert out.nv == 4 and out.area2 == 32
+    assert out.edge_sq == 4 * 16
+    assert out.cx6a == 3 * 32 * 2 and out.cy6a == 3 * 32 * 2
+    assert (out.min_x, out.max_x, out.min_y, out.max_y) == (0, 4, 0, 4)
+
+
+def test_poly_stats_orientation_flips_sign(ray_session):
+    from equi7grid_ray.stages.rasterize import poly_stats
+
+    polys = pa.table({
+        "poly_id": pa.array([1, 2], pa.int64()),
+        "vx": pa.array([[0, 4, 4, 0], [0, 0, 4, 4]], pa.list_(pa.int64())),
+        "vy": pa.array([[0, 0, 4, 4], [0, 4, 4, 0]], pa.list_(pa.int64())),
+    })
+    out = (poly_stats(rd.from_arrow(polys)).to_pandas()
+           .sort_values("poly_id").reset_index(drop=True))
+    assert out.area2[0] == 32 and out.area2[1] == -32
+
+
+def test_poly_stats_sliced_list_array():
+    """The offsets-rebase path: run the batch fn on a SLICE of a larger
+    list array (values buffer extends past the slice on both sides)."""
+    from equi7grid_ray.stages.rasterize import poly_stats as _ps  # noqa: F401
+    import ray.data  # noqa: F401  (stage fn is reached through map_batches)
+    from equi7grid_ray.stages import rasterize
+
+    full = pa.table({
+        "poly_id": pa.array([0, 1, 2], pa.int64()),
+        "vx": pa.array([[9, 9, 9], [0, 4, 4, 0], [7, 7, 7]],
+                       pa.list_(pa.int64())),
+        "vy": pa.array([[9, 9, 9], [0, 0, 4, 4], [7, 7, 7]],
+                       pa.list_(pa.int64())),
+    })
+    sliced = full.slice(1, 1)
+    # invoke the inner map_batches fn directly via a tiny local dataset
+    import ray.data as rdl
+
+    out = rasterize.poly_stats(rdl.from_arrow(sliced)).to_pandas().iloc[0]
+    assert out.poly_id == 1 and out.area2 == 32
