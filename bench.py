@@ -281,6 +281,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_mosaic",
         "rasterize_polys",
         "poly_stats",
+        "poly_zonal",
         "collocations_pmi",
         "pagerank_q",
         "tile_focal_mean",

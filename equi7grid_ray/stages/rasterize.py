@@ -111,7 +111,8 @@ def point_in_polygon_mask(px: np.ndarray, py: np.ndarray,
 
 
 def rasterize_polygons(cells, polys: pa.Table, *, px_col: str = "px",
-                       py_col: str = "py", n_partitions: int = 8):
+                       py_col: str = "py", value_col: str | None = None,
+                       n_partitions: int = 8):
     """Rasterize the (small, broadcast) polygon table onto the
     streaming cell grid.
 
@@ -119,10 +120,12 @@ def rasterize_polygons(cells, polys: pa.Table, *, px_col: str = "px",
     (closed rings, implicit last→first edge).  Returns one row per
     polygon that covers at least one cell:
 
-        poly_id, n_cells, sum_px, sum_py
+        poly_id, n_cells, sum_px, sum_py [, sum_v, max_v]
 
-    (the exact centroid numerators of the covered-cell set).  Cells on
-    multiple polygons count once per polygon."""
+    (the exact centroid numerators of the covered-cell set; with
+    ``value_col`` the op is ZONAL STATISTICS — sum and max of the cell
+    value over each polygon's footprint).  Cells on multiple polygons
+    count once per polygon."""
     import ray
 
     ids = polys.column("poly_id").to_pylist()
@@ -138,7 +141,10 @@ def rasterize_polygons(cells, polys: pa.Table, *, px_col: str = "px",
             .astype(np.int64)
         py = batch.column(py_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        val = (batch.column(value_col).to_numpy(zero_copy_only=False)
+               .astype(np.int64) if value_col else None)
         out_id, out_n, out_sx, out_sy = [], [], [], []
+        out_sv, out_mv = [], []
         for pid, vx, vy, (x0, x1, y0, y1) in zip(lids, lvx, lvy, lboxes):
             cand = np.flatnonzero((px >= x0) & (px <= x1)
                                   & (py >= y0) & (py <= y1))
@@ -152,16 +158,25 @@ def rasterize_polygons(cells, polys: pa.Table, *, px_col: str = "px",
             out_n.append(len(hit))
             out_sx.append(int(px[hit].sum()))
             out_sy.append(int(py[hit].sum()))
-        return pa.table({
+            if val is not None:
+                out_sv.append(int(val[hit].sum()))
+                out_mv.append(int(val[hit].max()))
+        cols = {
             "poly_id": pa.array(out_id, pa.int64()),
             "n_cells": pa.array(out_n, pa.int64()),
             "sum_px": pa.array(out_sx, pa.int64()),
             "sum_py": pa.array(out_sy, pa.int64()),
-        })
+        }
+        if val is not None:
+            cols["sum_v"] = pa.array(out_sv, pa.int64())
+            cols["max_v"] = pa.array(out_mv, pa.int64())
+        return pa.table(cols)
 
     part = cells.map_batches(partials, batch_format="pyarrow")
-    return hash_aggregate(
-        part, keys=["poly_id"],
-        aggs={"n_cells": ("n_cells", "sum"), "sum_px": ("sum_px", "sum"),
-              "sum_py": ("sum_py", "sum")},
-        n_partitions=n_partitions)
+    aggs = {"n_cells": ("n_cells", "sum"), "sum_px": ("sum_px", "sum"),
+            "sum_py": ("sum_py", "sum")}
+    if value_col:
+        aggs["sum_v"] = ("sum_v", "sum")
+        aggs["max_v"] = ("max_v", "max")
+    return hash_aggregate(part, keys=["poly_id"], aggs=aggs,
+                          n_partitions=n_partitions)

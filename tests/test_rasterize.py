@@ -169,3 +169,31 @@ def test_poly_stats_sliced_list_array():
 
     out = rasterize.poly_stats(rdl.from_arrow(sliced)).to_pandas().iloc[0]
     assert out.poly_id == 1 and out.area2 == 32
+
+
+def test_rasterize_zonal_values(ray_session):
+    """value_col turns rasterization into zonal stats: sum/max of the
+    cell value over each polygon footprint."""
+    polys = pa.table({
+        "poly_id": pa.array([1], pa.int64()),
+        "vx": pa.array([[0, 10, 10, 0]], pa.list_(pa.int64())),
+        "vy": pa.array([[0, 0, 10, 10]], pa.list_(pa.int64())),
+    })
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy()
+        return pa.table({
+            "px": pa.array(i // 20, pa.int64()),
+            "py": pa.array(i % 20, pa.int64()),
+            "v": pa.array(i * 3, pa.int64()),
+        })
+
+    cells = rd.range(400).map_batches(to_cells, batch_format="pyarrow")
+    out = rasterize_polygons(cells, polys, value_col="v").to_pandas()
+    # inside: px, py in [0, 10) -> i = 20*px + py
+    exp_cells = [(x, y) for x in range(10) for y in range(10)]
+    exp_v = [3 * (20 * x + y) for x, y in exp_cells]
+    row = out.iloc[0]
+    assert row.n_cells == 100
+    assert row.sum_v == sum(exp_v)
+    assert row.max_v == max(exp_v)
