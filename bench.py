@@ -308,6 +308,7 @@ def _driver_queries() -> dict[str, float]:
         "od_matrix",
         "embedding_pq",
         "tile_trend",
+        "tile_anomaly",
         "cell_quadkey",
         "csv_orders_rollup",
         "compact_docs",

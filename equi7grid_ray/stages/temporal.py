@@ -32,7 +32,7 @@ from equi7grid_ray.stages.aggregate import hash_aggregate
 from equi7grid_ray.stages.multimodal import _decode_luma
 
 __all__ = ["SceneCellMeans", "tile_temporal_median", "tile_change_detect",
-           "tile_trend"]
+           "tile_trend", "tile_anomaly"]
 
 
 class SceneCellMeans:
@@ -242,4 +242,68 @@ def tile_change_detect(cells, *, thresh: int = 8, n_partitions: int = 32):
             "sum_absd": ("absd", "sum"),
         },
         n_partitions=n_partitions,
+    )
+
+
+def tile_anomaly(cells, *, t: int = 2, min_n: int = 3,
+                 n_partitions: int = 32):
+    """Per-(tile, cell) temporal OUTLIER screening: a scene's block
+    mean is anomalous when its exact z-score exceeds ``t`` —
+    cross-multiplied so no division or sqrt appears:
+
+        z^2 > t^2   <=>   (m*n - s)^2 > t^2 * (n*ss - s^2)
+
+    with per-cell n = scene count, s = sum m, ss = sum m^2 (the cloud /
+    sensor-glitch screen that precedes compositing).  Cells with fewer
+    than ``min_n`` scenes are skipped (no usable variance).  Emits
+
+        tile, gr, gc, n_sc, n_outl, outl_scene_sum
+
+    (``outl_scene_sum`` = sum of flagged scene indices — an
+    order-independent witness the SQL mirror recomputes).  One tile
+    hash partition, one lexsort + reduceat pass per partition."""
+    from equi7grid_ray.stages.aggregate import _key_parts
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", pa.array(_key_parts(batch, ["tile"], n_partitions)))
+
+    t2 = t * t
+
+    def screen(g: pd.DataFrame) -> pd.DataFrame:
+        tcode, tuniq = pd.factorize(g["tile"], sort=False)
+        gr = g["gr"].to_numpy()
+        gc = g["gc"].to_numpy()
+        m = g["m"].to_numpy().astype(np.int64)
+        sc = g["i"].to_numpy().astype(np.int64)
+        order = np.lexsort((sc, gc, gr, tcode))
+        tc, gr, gc, m, sc = (a[order] for a in (tcode, gr, gc, m, sc))
+        new = np.empty(len(m), bool)
+        new[0] = True
+        new[1:] = (tc[1:] != tc[:-1]) | (gr[1:] != gr[:-1]) \
+            | (gc[1:] != gc[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(m))).astype(np.int64)
+        gid = np.cumsum(new) - 1
+        n = counts[gid]
+        s = np.add.reduceat(m, starts)[gid]
+        ss = np.add.reduceat(m * m, starts)[gid]
+        dev = m * n - s
+        flag = (dev * dev > t2 * (n * ss - s * s)) & (n >= min_n)
+        keep = counts >= min_n
+        out = pd.DataFrame({
+            "tile": tuniq.take(tc[starts]),
+            "gr": gr[starts].astype(np.int32),
+            "gc": gc[starts].astype(np.int32),
+            "n_sc": counts,
+            "n_outl": np.add.reduceat(flag.astype(np.int64), starts),
+            "outl_scene_sum": np.add.reduceat(
+                np.where(flag, sc, 0), starts),
+        })
+        return out[keep].reset_index(drop=True)
+
+    return (
+        cells.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(screen, batch_format="pandas")
     )

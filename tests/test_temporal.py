@@ -176,3 +176,86 @@ def test_tile_trend_negative_truncation(ray_session):
     })
     out = tile_trend(rd.from_arrow(t), n_partitions=1).to_pandas()
     assert out["trend_q6"].iloc[0] == -333_333
+
+
+def test_tile_anomaly_matches_scalar(ray_session):
+    """Exact z^2 rule vs a float-reference implementation on values
+    safely away from the threshold boundary, plus a crafted exact
+    boundary case below."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.temporal import tile_anomaly
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for tile in ("T_A", "T_B"):
+        for cell in range(6):
+            n = int(rng.integers(3, 9))
+            for k in range(n):
+                v = int(rng.integers(0, 50))
+                if k == 0 and cell % 2 == 0:
+                    v += 200  # plant an outlier
+                rows.append((tile, cell // 3, cell % 3, 100 * cell + k, v))
+    t = pa.table({
+        "tile": pa.array([r[0] for r in rows]),
+        "gr": pa.array([r[1] for r in rows], pa.int32()),
+        "gc": pa.array([r[2] for r in rows], pa.int32()),
+        "i": pa.array([r[3] for r in rows], pa.int64()),
+        "m": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    got = tile_anomaly(rd.from_arrow(t), t=2, min_n=3).to_pandas()
+    got = got.sort_values(["tile", "gr", "gc"]).reset_index(drop=True)
+    df = t.to_pandas()
+    exp = []
+    for (tile, gr, gc), g in df.groupby(["tile", "gr", "gc"]):
+        m = g.m.to_numpy().astype(np.int64)
+        n = len(m)
+        if n < 3:
+            continue
+        s, ss = int(m.sum()), int((m * m).sum())
+        flags = (m * n - s) ** 2 > 4 * (n * ss - s * s)
+        exp.append((tile, gr, gc, n, int(flags.sum()),
+                    int(g.i.to_numpy()[flags].sum())))
+    exp = pd.DataFrame(exp, columns=["tile", "gr", "gc", "n_sc", "n_outl",
+                                     "outl_scene_sum"])
+    exp = exp.sort_values(["tile", "gr", "gc"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_sc": "int64", "n_outl": "int64",
+                    "outl_scene_sum": "int64"}),
+        exp.astype({"gr": got.gr.dtype, "gc": got.gc.dtype,
+                    "n_sc": "int64", "n_outl": "int64",
+                    "outl_scene_sum": "int64"}))
+
+
+def test_tile_anomaly_exact_boundary_not_flagged(ray_session):
+    """The rule is a strict >, so dev^2 == t^2 * var-term must NOT
+    flag.  An all-identical stack hits the boundary exactly (0 > 0);
+    a sub-threshold asymmetric stack must also stay clean."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.temporal import tile_anomaly
+
+    t = pa.table({
+        "tile": pa.array(["T"] * 6),
+        "gr": pa.array([0, 0, 0, 1, 1, 1], pa.int32()),
+        "gc": pa.array([0] * 6, pa.int32()),
+        "i": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "m": pa.array([5, 5, 5, 0, 0, 6], pa.int64()),
+    })
+    out = tile_anomaly(rd.from_arrow(t), t=2, min_n=3).to_pandas()
+    assert len(out) == 2 and out.n_outl.sum() == 0
+
+
+def test_tile_anomaly_min_n_skips_thin_cells(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.temporal import tile_anomaly
+
+    t = pa.table({
+        "tile": pa.array(["T", "T"]),
+        "gr": pa.array([0, 0], pa.int32()),
+        "gc": pa.array([0, 0], pa.int32()),
+        "i": pa.array([1, 2], pa.int64()),
+        "m": pa.array([0, 255], pa.int64()),
+    })
+    assert tile_anomaly(rd.from_arrow(t), min_n=3).count() == 0
