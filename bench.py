@@ -276,6 +276,7 @@ def _driver_queries() -> dict[str, float]:
         "image_sobel",
         "image_moments",
         "image_harris",
+        "header_audit",
         "image_otsu",
         "rgb_band_algebra",
         "tile_mosaic",

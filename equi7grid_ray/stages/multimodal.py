@@ -20,7 +20,7 @@ from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "PatchStats", "HistEqualize", "PyramidStats", "SobelStats",
-           "MomentStats", "HarrisStats",
+           "MomentStats", "HarrisStats", "HeaderAudit",
            "MorphStats", "GLCMStats", "QualityGate", "HOGStats",
            "VideoCuts", "AutocorrAudio",
            "OtsuThreshold", "BandAlgebra", "BlobStats", "BlobBoxes",
@@ -847,6 +847,66 @@ class SobelStats:
             self.id_col: batch.column(self.id_col),
             "grad_sum": pa.array(gsum, pa.int64()),
             "edge_px": pa.array(epx, pa.int64()),
+        })
+
+
+_PNG_SIG = np.frombuffer(b"\x89PNG\r\n\x1a\n", dtype=np.uint8)
+
+
+class HeaderAudit:
+    """Metadata-vs-payload consistency audit — the ingestion gate a
+    100-TB binary archive runs before anything decodes: does each
+    row's DECLARED metadata (fmt, w, h) agree with what the payload
+    bytes actually say?
+
+    * ``png``: signature must match; IHDR width/height (big-endian at
+      fixed offsets 16/20) must equal the declared columns.
+    * ``raw``: no magic to check; the byte length must equal w*h
+      (single-band uint8 contract).
+
+    Emits (image_id, fmt, reason) with the FIRST failing reason:
+    ``bad_sig`` -> ``dim_mismatch`` -> ``ok``.  Fully vectorized: one
+    (n, 26) prefix gather from the Arrow binary buffer, numpy
+    big-endian assembly, np.select — no per-row Python."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        n = batch.num_rows
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        k = 26
+        prefix = np.zeros((n, k), np.uint8)
+        take = np.minimum(lens, k)
+        # gather: flat indices offs[j] + 0..take[j), masked past each end
+        idx = offs[:-1, None] + np.arange(k)[None, :]
+        valid = np.arange(k)[None, :] < take[:, None]
+        flat = np.frombuffer(data, dtype=np.uint8)
+        prefix[valid] = flat[idx[valid]]
+        fmts = batch.column("fmt").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy().astype(np.int64)
+        h = batch.column("h").to_numpy().astype(np.int64)
+        is_png = fmts == "png"
+        sig_ok = (prefix[:, :8] == _PNG_SIG[None, :]).all(axis=1)
+        hw = (prefix[:, 16].astype(np.int64) << 24) \
+            | (prefix[:, 17].astype(np.int64) << 16) \
+            | (prefix[:, 18].astype(np.int64) << 8) \
+            | prefix[:, 19].astype(np.int64)
+        hh = (prefix[:, 20].astype(np.int64) << 24) \
+            | (prefix[:, 21].astype(np.int64) << 16) \
+            | (prefix[:, 22].astype(np.int64) << 8) \
+            | prefix[:, 23].astype(np.int64)
+        bad_sig = is_png & ~sig_ok
+        dims_bad = np.where(is_png, (hw != w) | (hh != h), lens != w * h)
+        reason = np.select([bad_sig, dims_bad],
+                           ["bad_sig", "dim_mismatch"], default="ok")
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "fmt": batch.column("fmt"),
+            "reason": pa.array(reason.tolist(), pa.string()),
         })
 
 

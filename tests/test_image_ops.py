@@ -709,3 +709,41 @@ def test_blob_boxes_stage_row_expansion():
                    out["min_c"].to_pylist(), out["max_c"].to_pylist(),
                    out["area"].to_pylist()))
     assert rows == {(0, 0, 0, 1, 0, 1, 4), (4, 3, 4, 5, 3, 5, 6)}
+
+
+def test_header_audit_reasons():
+    from equi7grid_ray.codec import encode_image
+    from equi7grid_ray.stages.multimodal import HeaderAudit
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8))
+    png = encode_image(img, "png")
+    bad_sig = b"\x00" + png[1:]
+    raw = encode_image(img, "raw")
+    batch = pa.table({
+        "image_id": pa.array(["ok_png", "png_wrong_w", "png_badsig_and_w",
+                              "raw_ok", "raw_wrong_w", "short"]),
+        "bytes": pa.array([png, png, bad_sig, raw, raw, b"\x89P"],
+                          pa.binary()),
+        "w": pa.array([8, 9, 9, 8, 9, 8], pa.int32()),
+        "h": pa.array([8, 8, 8, 8, 8, 8], pa.int32()),
+        "fmt": pa.array(["png", "png", "png", "raw", "raw", "png"]),
+    })
+    out = HeaderAudit()(batch)
+    assert out["reason"].to_pylist() == [
+        "ok", "dim_mismatch", "bad_sig", "ok", "dim_mismatch", "bad_sig"]
+
+
+def test_header_audit_reads_real_ihdr_dims():
+    """A payload whose IHDR says 16x4 must fail against declared 8x8
+    even though the byte count is identical."""
+    from equi7grid_ray.codec import encode_image
+    from equi7grid_ray.stages.multimodal import HeaderAudit
+
+    png_16x4 = encode_image(np.zeros((4, 16), np.uint8), "png")
+    batch = pa.table({
+        "image_id": pa.array(["x"]),
+        "bytes": pa.array([png_16x4], pa.binary()),
+        "w": pa.array([8], pa.int32()), "h": pa.array([8], pa.int32()),
+        "fmt": pa.array(["png"]),
+    })
+    assert HeaderAudit()(batch)["reason"].to_pylist() == ["dim_mismatch"]
