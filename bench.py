@@ -313,6 +313,7 @@ def _driver_queries() -> dict[str, float]:
         "cell_quadkey",
         "csv_orders_rollup",
         "compact_docs",
+        "doc_chunks",
         "jsonl_events_rollup",
         "image_quality_gate",
         "ann_pq_topk",

@@ -15,7 +15,8 @@ import pyarrow.compute as pc
 __all__ = ["token_stats", "bpe_token_count", "quality_score",
            "quality_buckets", "LangId", "fingerprint64", "BPE_SPLIT_RE",
            "STOPWORDS", "gopher_filter", "inverted_index",
-           "collocations_pmi", "pii_scrub", "EMAIL_RE", "PHONE_RE"]
+           "collocations_pmi", "pii_scrub", "EMAIL_RE", "PHONE_RE",
+           "doc_chunks"]
 
 # interior-occurrence stopword probes (space-padded, so only
 # mid-document occurrences count -- identical semantics to the SQL
@@ -745,4 +746,56 @@ def pii_scrub(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
         "n_email": pc.cast(n_email, pa.int64()),
         "n_phone": pc.cast(n_phone, pa.int64()),
         "red_text": red,
+    })
+
+
+def doc_chunks(batch: pa.Table, *, id_col: str = "doc_id",
+               text_col: str = "text", window: int = 32,
+               stride: int = 24) -> pa.Table:
+    """RAG chunk inventory: overlapping ``window``-token windows at
+    ``stride`` (stride < window => window-stride tokens of overlap),
+    emitted as one row per chunk with its exact token span and joined
+    character length:
+
+        doc_id, chunk_idx, tok_start, n_toks, n_chars
+
+    A chunk exists iff it contributes at least one NEW token
+    (chunk_idx == 0 or chunk_idx*stride + window - stride < n), so the
+    chunk count is 1 + ceil(max(0, n - window) / stride).  Tokens are
+    single-space splits (empty tokens kept — rejoining reconstructs the
+    original text), n_chars = token codepoints + (n_toks - 1) joiner
+    spaces, all computed from ONE flattened prefix-sum over the Arrow
+    list offsets — no per-document Python, no chunk text materialized.
+    Map-only (pair with a downstream groupby/dedup as needed)."""
+    if window <= stride or stride <= 0:
+        raise ValueError("need window > stride > 0")
+    toks = pc.split_pattern(batch.column(text_col), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.values
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    n = offs[1:] - offs[:-1]
+    over = np.maximum(0, n - window)
+    n_chunks = 1 + -(-over // stride)
+    doc_rep = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    starts = np.zeros(len(n) + 1, np.int64)
+    np.cumsum(n_chunks, out=starts[1:])
+    chunk_idx = np.arange(starts[-1], dtype=np.int64) \
+        - np.repeat(starts[:-1], n_chunks)
+    tok_start = chunk_idx * stride
+    n_toks = np.minimum(window, n[doc_rep] - tok_start)
+    cs = np.zeros(len(tok_len) + 1, np.int64)
+    np.cumsum(tok_len, out=cs[1:])
+    a = offs[:-1][doc_rep] + tok_start
+    n_chars = cs[a + n_toks] - cs[a] + (n_toks - 1)
+    ids = batch.column(id_col).take(pa.array(doc_rep, pa.int64()))
+    return pa.table({
+        id_col: ids,
+        "chunk_idx": pa.array(chunk_idx, pa.int64()),
+        "tok_start": pa.array(tok_start, pa.int64()),
+        "n_toks": pa.array(n_toks, pa.int64()),
+        "n_chars": pa.array(n_chars, pa.int64()),
     })

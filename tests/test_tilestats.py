@@ -9,6 +9,7 @@ from fractions import Fraction
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from equi7grid_ray.stages.text import pii_scrub
 from equi7grid_ray.stages.tilestats import tile_moran, tile_revisit
@@ -165,3 +166,51 @@ def test_tile_node_codec_roundtrip():
     # order-isomorphism: int order == name lexicographic order
     by_node = [n for _, n in sorted(zip(nodes, names))]
     assert by_node == sorted(names)
+
+
+def test_doc_chunks_matches_scalar():
+    """Overlapping windows vs a per-doc Python reference, including the
+    new-token chunk-existence rule and empty-token preservation."""
+    from equi7grid_ray.stages.text import doc_chunks
+
+    texts = [
+        "a bb ccc",                      # 3 tokens, 1 chunk
+        " ".join(f"t{k}" for k in range(9)),   # 9 toks: W=4,S=3 -> 3 chunks
+        " ".join(f"t{k}" for k in range(10)),  # 10 toks -> 3 chunks
+        " ".join(f"t{k}" for k in range(11)),  # 11 toks -> 4 chunks (tail)
+        "x  y",                          # double space: empty token kept
+        "",                              # one empty token
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    W, S = 4, 3
+    out = doc_chunks(batch, window=W, stride=S)
+    got = list(zip(*(out[c].to_pylist() for c in
+                     ("doc_id", "chunk_idx", "tok_start", "n_toks",
+                      "n_chars"))))
+    exp = []
+    for d, text in enumerate(texts):
+        toks = text.split(" ")
+        n = len(toks)
+        s = 0
+        ci = 0
+        while ci == 0 or ci * S + W - S < n:
+            st = ci * S
+            nt = min(W, n - st)
+            piece = " ".join(toks[st:st + nt])
+            exp.append((d, ci, st, nt, len(piece)))
+            ci += 1
+    assert got == exp
+
+
+def test_doc_chunks_rejects_bad_params():
+    from equi7grid_ray.stages.text import doc_chunks
+
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["a b"])})
+    with pytest.raises(ValueError):
+        doc_chunks(batch, window=4, stride=4)
+    with pytest.raises(ValueError):
+        doc_chunks(batch, window=4, stride=0)
