@@ -277,6 +277,7 @@ def _driver_queries() -> dict[str, float]:
         "image_moments",
         "image_harris",
         "header_audit",
+        "image_template",
         "image_otsu",
         "rgb_band_algebra",
         "tile_mosaic",

@@ -20,7 +20,7 @@ from equi7grid_ray.codec import decode_image, png_stream_stats
 
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "PatchStats", "HistEqualize", "PyramidStats", "SobelStats",
-           "MomentStats", "HarrisStats", "HeaderAudit",
+           "MomentStats", "HarrisStats", "HeaderAudit", "TemplateSAD",
            "MorphStats", "GLCMStats", "QualityGate", "HOGStats",
            "VideoCuts", "AutocorrAudio",
            "OtsuThreshold", "BandAlgebra", "BlobStats", "BlobBoxes",
@@ -1014,6 +1014,64 @@ class HarrisStats:
             "n_corners": pa.array(nc, pa.int64()),
             "r16_max": pa.array(rmax, pa.int64()),
             "pos_sum": pa.array(psum, pa.int64()),
+        })
+
+
+class TemplateSAD:
+    """Template matching by sum-of-absolute-differences — the
+    co-registration / chip-matching primitive (the reference aligns
+    rasters by projected coordinates; matching a known chip against a
+    scene is how ground-control drift is measured).  For every valid
+    placement of the (k x k) template the SAD is computed exactly;
+    emits per image:
+
+        best_sad, best_pr, best_pc   (argmin; ties -> smallest (pr, pc))
+        sad_sum                      (checksum over all placements)
+
+    Vectorized as k^2 shifted-view accumulations per frame (no sliding
+    Python loop, no FFT approximation); the SQL mirror evaluates the
+    same |pixel - template| lattice and reproduces the tie rule with a
+    min-filter + row_number."""
+
+    def __init__(self, template: np.ndarray, id_col: str = "image_id"):
+        self.t = np.asarray(template, dtype=np.int64)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        k = self.t.shape[0]
+        n = batch.num_rows
+        best = np.zeros(n, np.int64)
+        bpr = np.zeros(n, np.int64)
+        bpc = np.zeros(n, np.int64)
+        tot = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            h, w = v.shape
+            if h < k or w < k:
+                best[j] = -1
+                bpr[j] = bpc[j] = -1
+                continue
+            sad = np.zeros((h - k + 1, w - k + 1), np.int64)
+            for dr in range(k):
+                for dc in range(k):
+                    sad += np.abs(v[dr:dr + h - k + 1, dc:dc + w - k + 1]
+                                  - self.t[dr, dc])
+            flat = int(np.argmin(sad))  # row-major argmin == (pr, pc) tie rule
+            bpr[j], bpc[j] = divmod(flat, sad.shape[1])
+            best[j] = int(sad[bpr[j], bpc[j]])
+            tot[j] = int(sad.sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "best_sad": pa.array(best, pa.int64()),
+            "best_pr": pa.array(bpr, pa.int64()),
+            "best_pc": pa.array(bpc, pa.int64()),
+            "sad_sum": pa.array(tot, pa.int64()),
         })
 
 

@@ -747,3 +747,50 @@ def test_header_audit_reads_real_ihdr_dims():
         "fmt": pa.array(["png"]),
     })
     assert HeaderAudit()(batch)["reason"].to_pylist() == ["dim_mismatch"]
+
+
+def test_template_sad_planted_exact_match():
+    """A frame with the template pasted at (5, 9) must match there
+    with SAD 0."""
+    from equi7grid_ray.stages.multimodal import TemplateSAD
+
+    rng = np.random.default_rng(21)
+    r = np.arange(6, dtype=np.int64)[:, None]
+    c = np.arange(6, dtype=np.int64)[None, :]
+    tpl = (r * 13 + c * 7 + 3) % 256
+    img = rng.integers(0, 256, (20, 24)).astype(np.uint8)
+    img[5:11, 9:15] = tpl.astype(np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["p"]),
+        "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+        "w": pa.array([24], pa.int32()), "h": pa.array([20], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    out = TemplateSAD(template=tpl)(batch)
+    assert out["best_sad"][0].as_py() == 0
+    assert out["best_pr"][0].as_py() == 5
+    assert out["best_pc"][0].as_py() == 9
+
+
+def test_template_sad_matches_scalar_and_tie_rule():
+    from equi7grid_ray.stages.multimodal import TemplateSAD
+
+    # constant image + constant template: every placement ties at the
+    # same SAD -> argmin must be (0, 0)
+    img = np.full((10, 12), 7, np.uint8)
+    tpl = np.full((3, 3), 9, np.int64)
+    batch = pa.table({
+        "image_id": pa.array(["tie", "small"]),
+        "bytes": pa.array([encode_image(img, "raw"),
+                           encode_image(np.zeros((2, 2), np.uint8), "raw")],
+                          pa.binary()),
+        "w": pa.array([12, 2], pa.int32()), "h": pa.array([10, 2], pa.int32()),
+        "fmt": pa.array(["raw", "raw"]),
+    })
+    out = TemplateSAD(template=tpl)(batch)
+    assert out["best_sad"][0].as_py() == 9 * 2
+    assert (out["best_pr"][0].as_py(), out["best_pc"][0].as_py()) == (0, 0)
+    assert out["sad_sum"][0].as_py() == 18 * 8 * 10
+    # frame smaller than the template -> sentinel row
+    assert out["best_sad"][1].as_py() == -1
+    assert out["best_pr"][1].as_py() == -1
