@@ -262,6 +262,7 @@ def _driver_queries() -> dict[str, float]:
         "scd2_user_state",
         "nchars_outliers",
         "jaccard_join_exact",
+        "containment_join",
         "orders_cdc_diff",
         "gopher_filter",
         "image_dedup_ensemble",
