@@ -282,6 +282,7 @@ def _driver_queries() -> dict[str, float]:
         "image_otsu",
         "rgb_band_algebra",
         "tile_mosaic",
+        "tile_mosaic_delta",
         "rasterize_polys",
         "poly_stats",
         "poly_zonal",

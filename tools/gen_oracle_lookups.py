@@ -178,7 +178,7 @@ def filtered_subset(domain_sfs: list[str]) -> pa.Table:
     })
 
 
-def gen_image_tiles(n: int = 2000) -> pa.Table:
+def gen_image_tiles(n: int = 2200) -> pa.Table:
     """image index -> assigned T6 tile for the synthetic image fixture
     (the centers_for_index sweep), via the engine's own TileAssigner.
     Pins the geodesic center assignment that the tile_mosaic oracle
