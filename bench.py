@@ -237,6 +237,7 @@ def _driver_queries() -> dict[str, float]:
         "pack_sequences",
         "docs_balanced_sample",
         "spatial_neighbor_pairs",
+        "footprint_overlap",
         "distortion_planar",
         "embedding_centroids",
         "events_profile",

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["neighbor_pairs"]
+__all__ = ["neighbor_pairs", "rect_overlap_join"]
 
 def neighbor_pairs(ds, *, radius: float, x_col: str = "x", y_col: str = "y",
                    id_col: str = "id", cell_size: float | None = None,
@@ -94,3 +94,89 @@ def neighbor_pairs(ds, *, radius: float, x_col: str = "x", y_col: str = "y",
 
     rep = ds.map_batches(replicate, batch_format="pyarrow")
     return rep.groupby("part").map_groups(resolve, batch_format="pandas")
+
+
+def rect_overlap_join(ds, *, id_col: str = "id", x0_col: str = "x0",
+                      x1_col: str = "x1", y0_col: str = "y0",
+                      y1_col: str = "y1", cell_shift: int = 8,
+                      n_partitions: int = 32):
+    """All distinct pairs (id_a < id_b) of rectangles with POSITIVE
+    intersection area (touching edges don't count) — scene-footprint
+    overlap detection, the 2-D interval join (the reference's
+    get_overlapping_tiles is the one-rect-vs-grid special case).
+
+    PBSM shape: each rect replicates to every ``2^cell_shift``-sized
+    grid cell its bbox touches ((id, bbox) metadata only — a rect
+    spanning k cells costs k 40-byte rows); one vectorized self-merge
+    per cell-hash partition; a pair is emitted EXACTLY ONCE via the
+    reference-point rule (only the cell containing the intersection's
+    min corner reports it).  Output (id_a, id_b, ov_area), exact
+    integers.  SQL oracle: the plain O(n^2) inequality join."""
+    s = cell_shift
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x0 = batch.column(x0_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x1 = batch.column(x1_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y0 = batch.column(y0_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y1 = batch.column(y1_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cx0, cx1 = x0 >> s, x1 >> s
+        cy0, cy1 = y0 >> s, y1 >> s
+        ncx = cx1 - cx0 + 1
+        ncy = cy1 - cy0 + 1
+        reps = ncx * ncy
+        ridx = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+        starts = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(reps, out=starts[1:])
+        local = np.arange(starts[-1], dtype=np.int64) \
+            - np.repeat(starts[:-1], reps)
+        cx = cx0[ridx] + local // ncy[ridx]
+        cy = cy0[ridx] + local % ncy[ridx]
+        cell = cx * 1_000_003 + cy
+        part = ((cell.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)).astype(np.int64) % n_partitions
+        return pa.table({
+            "id": pa.array(ids[ridx], pa.int64()),
+            "x0": pa.array(x0[ridx], pa.int64()),
+            "x1": pa.array(x1[ridx], pa.int64()),
+            "y0": pa.array(y0[ridx], pa.int64()),
+            "y1": pa.array(y1[ridx], pa.int64()),
+            "cx": pa.array(cx, pa.int64()),
+            "cy": pa.array(cy, pa.int64()),
+            "__part": pa.array(part.astype(np.int32), pa.int32()),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__part")
+        m = g.merge(g, on=["cx", "cy"], suffixes=("_a", "_b"))
+        m = m[m.id_a < m.id_b]
+        if m.empty:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "ov_area": pd.Series([], dtype=np.int64)})
+        ox = (np.minimum(m.x1_a, m.x1_b)
+              - np.maximum(m.x0_a, m.x0_b)).to_numpy()
+        oy = (np.minimum(m.y1_a, m.y1_b)
+              - np.maximum(m.y0_a, m.y0_b)).to_numpy()
+        # reference point: the intersection's min corner must lie in
+        # THIS cell (dedupes across replicas exactly once)
+        ix = np.maximum(m.x0_a, m.x0_b).to_numpy() >> s
+        iy = np.maximum(m.y0_a, m.y0_b).to_numpy() >> s
+        keep = (ox > 0) & (oy > 0) & (ix == m.cx.to_numpy()) \
+            & (iy == m.cy.to_numpy())
+        m = m[keep]
+        return pd.DataFrame({
+            "id_a": m.id_a.to_numpy(),
+            "id_b": m.id_b.to_numpy(),
+            "ov_area": (ox * oy)[keep],
+        })
+
+    return (ds.map_batches(replicate, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(resolve, batch_format="pandas"))

@@ -197,3 +197,48 @@ def test_rasterize_zonal_values(ray_session):
     assert row.n_cells == 100
     assert row.sum_v == sum(exp_v)
     assert row.max_v == max(exp_v)
+
+
+def test_rect_overlap_join_matches_brute(ray_session):
+    """PBSM rectangle join vs O(n^2), rects spanning multiple cells."""
+    from equi7grid_ray.stages.neighbors import rect_overlap_join
+
+    rng = np.random.default_rng(17)
+    n = 400
+    x0 = rng.integers(0, 2000, n).astype(np.int64)
+    y0 = rng.integers(0, 2000, n).astype(np.int64)
+    x1 = x0 + rng.integers(1, 600, n)   # up to 600 wide vs 256 cells:
+    y1 = y0 + rng.integers(1, 600, n)   # rects span up to 3x3 cells
+    rects = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "x0": pa.array(x0), "x1": pa.array(x1),
+        "y0": pa.array(y0), "y1": pa.array(y1),
+    })
+    got_df = rect_overlap_join(rd.from_arrow(rects),
+                               cell_shift=8).to_pandas()
+    got = {(a, b): v for a, b, v in
+           zip(got_df.id_a, got_df.id_b, got_df.ov_area)}
+    exp = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            ox = min(x1[i], x1[j]) - max(x0[i], x0[j])
+            oy = min(y1[i], y1[j]) - max(y0[i], y0[j])
+            if ox > 0 and oy > 0:
+                exp[(i, j)] = int(ox * oy)
+    assert got == exp
+
+
+def test_rect_overlap_touching_edges_excluded(ray_session):
+    from equi7grid_ray.stages.neighbors import rect_overlap_join
+
+    rects = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "x0": pa.array([0, 10, 5], pa.int64()),
+        "x1": pa.array([10, 20, 6], pa.int64()),
+        "y0": pa.array([0, 0, 0], pa.int64()),
+        "y1": pa.array([10, 10, 10], pa.int64()),
+    })
+    got = rect_overlap_join(rd.from_arrow(rects), cell_shift=3).to_pandas()
+    # 1|2 touch at x=10 (no area); 3 sits inside 1 only
+    assert set(zip(got.id_a, got.id_b)) == {(1, 3)}
+    assert got.ov_area.tolist() == [10]
