@@ -317,6 +317,7 @@ def _driver_queries() -> dict[str, float]:
         "cell_quadkey",
         "csv_orders_rollup",
         "compact_docs",
+        "mosaic_manifest",
         "doc_chunks",
         "jsonl_events_rollup",
         "image_quality_gate",

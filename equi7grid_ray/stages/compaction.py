@@ -34,7 +34,8 @@ from pathlib import Path
 
 import pyarrow as pa
 
-__all__ = ["plan_compaction", "compact_parquet", "export_parquet_shards"]
+__all__ = ["plan_compaction", "compact_parquet", "export_parquet_shards",
+           "manifest_from_footers"]
 
 
 def export_parquet_shards(sf_dir: str, table: str, columns: list[str],
@@ -86,6 +87,47 @@ def plan_compaction(files: list[tuple[str, int]],
             bins.append([path])
             room.append(max(0, target_bytes - sz))
     return bins
+
+
+def manifest_from_footers(paths: list[str], *, column: str,
+                          group_fn=None) -> pa.Table:
+    """Iceberg-style manifest build: per-file statistics harvested from
+    parquet FOOTERS ONLY (row count + column min/max per row group) —
+    no data pages are read.  One Ray task per file; returns a table
+
+        path, group, n_rows, min_v, max_v
+
+    where ``group`` = group_fn(path) (e.g. the hive partition value).
+    This is the statistics table that makes pruned scans and
+    resumability audits possible at 100 TB: the cost is O(files)
+    footer reads, never O(bytes)."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def stats(path: str):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        ci = md.schema.to_arrow_schema().get_field_index(column)
+        mn = None
+        mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(f"no stats for {column} in {path}")
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        return path, md.num_rows, mn, mx
+
+    rows = ray.get([stats.remote(p) for p in sorted(paths)])
+    return pa.table({
+        "path": pa.array([r[0] for r in rows], pa.string()),
+        "group": pa.array([group_fn(r[0]) if group_fn else ""
+                           for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "min_v": pa.array([r[2] for r in rows], pa.int64()),
+        "max_v": pa.array([r[3] for r in rows], pa.int64()),
+    })
 
 
 def compact_parquet(src_dir: str | Path, dst_dir: str | Path, *,

@@ -90,3 +90,40 @@ def test_compact_empty_dir(ray_session, tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert compact_parquet(empty, tmp_path / "o") == []
+
+
+def test_manifest_from_footers_exact(ray_session, tmp_path):
+    from equi7grid_ray.stages.compaction import manifest_from_footers
+
+    rng = np.random.default_rng(5)
+    paths = []
+    exp = {}
+    for k in range(4):
+        v = rng.integers(-50, 500, 70).astype(np.int64)
+        p = tmp_path / f"g{k % 2}-f{k}.parquet"
+        pq.write_table(pa.table({"v": pa.array(v)}), p, row_group_size=16)
+        paths.append(str(p))
+        exp[str(p)] = (len(v), int(v.min()), int(v.max()))
+    from pathlib import Path as _P
+
+    man = manifest_from_footers(
+        paths, column="v", group_fn=lambda s: _P(s).name.split("-")[0])
+    got = {man["path"][i].as_py(): (man["n_rows"][i].as_py(),
+                                    man["min_v"][i].as_py(),
+                                    man["max_v"][i].as_py())
+           for i in range(man.num_rows)}
+    assert got == exp
+    assert set(man["group"].to_pylist()) == {"g0", "g1"}
+
+
+def test_manifest_missing_stats_raises(ray_session, tmp_path):
+    import pytest as _pytest
+    import ray
+
+    from equi7grid_ray.stages.compaction import manifest_from_footers
+
+    p = tmp_path / "nostats.parquet"
+    pq.write_table(pa.table({"v": pa.array([1, 2, 3], pa.int64())}), p,
+                   write_statistics=False)
+    with _pytest.raises(ray.exceptions.RayTaskError):
+        manifest_from_footers([str(p)], column="v")
