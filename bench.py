@@ -314,6 +314,7 @@ def _driver_queries() -> dict[str, float]:
         "embedding_pq",
         "tile_trend",
         "tile_anomaly",
+        "cell_provenance",
         "cell_quadkey",
         "csv_orders_rollup",
         "compact_docs",

@@ -32,7 +32,7 @@ from equi7grid_ray.stages.aggregate import hash_aggregate
 from equi7grid_ray.stages.multimodal import _decode_luma
 
 __all__ = ["SceneCellMeans", "tile_temporal_median", "tile_change_detect",
-           "tile_trend", "tile_anomaly"]
+           "tile_trend", "tile_anomaly", "tile_best_scene_cell"]
 
 
 class SceneCellMeans:
@@ -306,4 +306,46 @@ def tile_anomaly(cells, *, t: int = 2, min_n: int = 3,
         cells.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(screen, batch_format="pandas")
+    )
+
+
+def tile_best_scene_cell(cells, *, n_partitions: int = 32):
+    """Per-(tile, cell) PROVENANCE of the max composite: which scene
+    supplied the winning value (ties -> smallest scene index, the
+    deterministic rule row_number() mirrors).  One lexsort per tile
+    partition — the argmax rides the same pass that would build the
+    composite, so provenance costs nothing extra at 100 TB.  Emits
+    (tile, gr, gc, best_scene, best_m)."""
+    from equi7grid_ray.stages.aggregate import _key_parts
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", pa.array(_key_parts(batch, ["tile"], n_partitions)))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        tcode, tuniq = pd.factorize(g["tile"], sort=False)
+        gr = g["gr"].to_numpy()
+        gc = g["gc"].to_numpy()
+        m = g["m"].to_numpy().astype(np.int64)
+        sc = g["i"].to_numpy().astype(np.int64)
+        # sort so each group's FIRST row is its winner: (-m, scene)
+        order = np.lexsort((sc, -m, gc, gr, tcode))
+        tc, gr, gc, m, sc = (a[order] for a in (tcode, gr, gc, m, sc))
+        new = np.empty(len(m), bool)
+        new[0] = True
+        new[1:] = (tc[1:] != tc[:-1]) | (gr[1:] != gr[:-1]) \
+            | (gc[1:] != gc[:-1])
+        first = np.flatnonzero(new)
+        return pd.DataFrame({
+            "tile": tuniq.take(tc[first]),
+            "gr": gr[first].astype(np.int32),
+            "gc": gc[first].astype(np.int32),
+            "best_scene": sc[first],
+            "best_m": m[first],
+        })
+
+    return (
+        cells.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(argmax, batch_format="pandas")
     )

@@ -259,3 +259,22 @@ def test_tile_anomaly_min_n_skips_thin_cells(ray_session):
         "m": pa.array([0, 255], pa.int64()),
     })
     assert tile_anomaly(rd.from_arrow(t), min_n=3).count() == 0
+
+
+def test_best_scene_cell_tie_rule(ray_session):
+    """argmax with tie -> smallest scene index."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.temporal import tile_best_scene_cell
+
+    t = pa.table({
+        "tile": pa.array(["T"] * 5),
+        "gr": pa.array([0, 0, 0, 1, 1], pa.int32()),
+        "gc": pa.array([0, 0, 0, 0, 0], pa.int32()),
+        "i": pa.array([9, 2, 5, 1, 2], pa.int64()),
+        "m": pa.array([7, 7, 3, 4, 9], pa.int64()),
+    })
+    out = (tile_best_scene_cell(rd.from_arrow(t)).to_pandas()
+           .sort_values(["gr"]).reset_index(drop=True))
+    assert out.best_scene.tolist() == [2, 2]  # tie at m=7 -> scene 2
+    assert out.best_m.tolist() == [7, 9]
