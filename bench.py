@@ -280,6 +280,7 @@ def _driver_queries() -> dict[str, float]:
         "image_harris",
         "header_audit",
         "image_template",
+        "image_quadtree",
         "image_otsu",
         "rgb_band_algebra",
         "tile_mosaic",

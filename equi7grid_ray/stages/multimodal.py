@@ -21,6 +21,7 @@ from equi7grid_ray.codec import decode_image, png_stream_stats
 __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "PatchStats", "HistEqualize", "PyramidStats", "SobelStats",
            "MomentStats", "HarrisStats", "HeaderAudit", "TemplateSAD",
+           "QuadtreeStats",
            "MorphStats", "GLCMStats", "QualityGate", "HOGStats",
            "VideoCuts", "AutocorrAudio",
            "OtsuThreshold", "BandAlgebra", "BlobStats", "BlobBoxes",
@@ -1072,6 +1073,70 @@ class TemplateSAD:
             "best_pr": pa.array(bpr, pa.int64()),
             "best_pc": pa.array(bpc, pa.int64()),
             "sad_sum": pa.array(tot, pa.int64()),
+        })
+
+
+class QuadtreeStats:
+    """Adaptive quadtree encoding of each frame (the variance-pruned
+    tiling that COG/overview pyramids approximate with fixed levels):
+    starting from the whole frame, a block SPLITS into 4 while its
+    pixel range (max - min) exceeds ``thresh`` and the level is below
+    ``max_level``.  Emits the resulting leaf census per image:
+
+        n_leaves, depth_sum (sum of leaf levels), n_deepest
+
+    Everything is exact integers (range compares only); per frame the
+    level grids are four reshape-reductions — no recursion, no Python
+    per block.  SQL mirror: per-level block ranges + a 3-ancestor
+    split-chain join."""
+
+    def __init__(self, thresh: int = 60, max_level: int = 3,
+                 id_col: str = "image_id"):
+        self.t = thresh
+        self.lmax = max_level
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        nl = np.zeros(n, np.int64)
+        ds_ = np.zeros(n, np.int64)
+        nd = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            h, w = v.shape
+            rng = []
+            for lv in range(self.lmax + 1):
+                g = 1 << lv
+                if h % g or w % g:
+                    raise ValueError("frame dims must divide 2^max_level")
+                bh, bw = h // g, w // g
+                r4 = v.reshape(g, bh, g, bw)
+                rng.append(r4.max(axis=(1, 3)) - r4.min(axis=(1, 3)))
+            exists = np.ones((1, 1), bool)
+            leaves = depth = deepest = 0
+            for lv in range(self.lmax + 1):
+                is_leaf = exists & ((rng[lv] <= self.t)
+                                    if lv < self.lmax
+                                    else np.ones_like(exists))
+                leaves += int(is_leaf.sum())
+                depth += lv * int(is_leaf.sum())
+                if lv == self.lmax:
+                    deepest = int(is_leaf.sum())
+                    break
+                split = exists & (rng[lv] > self.t)
+                exists = np.repeat(np.repeat(split, 2, 0), 2, 1)
+            nl[j], ds_[j], nd[j] = leaves, depth, deepest
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_leaves": pa.array(nl, pa.int64()),
+            "depth_sum": pa.array(ds_, pa.int64()),
+            "n_deepest": pa.array(nd, pa.int64()),
         })
 
 

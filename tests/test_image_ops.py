@@ -794,3 +794,52 @@ def test_template_sad_matches_scalar_and_tie_rule():
     # frame smaller than the template -> sentinel row
     assert out["best_sad"][1].as_py() == -1
     assert out["best_pr"][1].as_py() == -1
+
+
+def test_quadtree_matches_recursive_reference():
+    """Level-grid construction vs a genuinely recursive reference."""
+    from equi7grid_ray.stages.multimodal import QuadtreeStats
+
+    rng = np.random.default_rng(31)
+    T, LMAX = 40, 3
+    for _ in range(6):
+        img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        batch = pa.table({
+            "image_id": pa.array(["q"]),
+            "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+            "w": pa.array([16], pa.int32()), "h": pa.array([16], pa.int32()),
+            "fmt": pa.array(["raw"]),
+        })
+        out = QuadtreeStats(thresh=T, max_level=LMAX)(batch)
+        leaves = []
+
+        def rec(v, lv):
+            if lv < LMAX and int(v.max()) - int(v.min()) > T:
+                hh, ww = v.shape[0] // 2, v.shape[1] // 2
+                for a in (0, 1):
+                    for b in (0, 1):
+                        rec(v[a * hh:(a + 1) * hh, b * ww:(b + 1) * ww],
+                            lv + 1)
+            else:
+                leaves.append(lv)
+
+        rec(img.astype(np.int64), 0)
+        assert out["n_leaves"][0].as_py() == len(leaves)
+        assert out["depth_sum"][0].as_py() == sum(leaves)
+        assert out["n_deepest"][0].as_py() == sum(1 for x in leaves
+                                                  if x == LMAX)
+
+
+def test_quadtree_constant_frame_single_leaf():
+    from equi7grid_ray.stages.multimodal import QuadtreeStats
+
+    img = np.full((32, 32), 9, np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["c"]),
+        "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+        "w": pa.array([32], pa.int32()), "h": pa.array([32], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    out = QuadtreeStats(thresh=0)(batch)
+    assert out["n_leaves"][0].as_py() == 1
+    assert out["depth_sum"][0].as_py() == 0
