@@ -288,6 +288,7 @@ def _driver_queries() -> dict[str, float]:
         "rasterize_polys",
         "poly_stats",
         "poly_zonal",
+        "poly_majority",
         "collocations_pmi",
         "pagerank_q",
         "tile_focal_mean",

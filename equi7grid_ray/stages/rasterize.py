@@ -32,7 +32,73 @@ import pyarrow as pa
 
 from equi7grid_ray.stages.aggregate import hash_aggregate
 
-__all__ = ["point_in_polygon_mask", "rasterize_polygons", "poly_stats"]
+__all__ = ["point_in_polygon_mask", "rasterize_polygons",
+           "rasterize_majority", "poly_stats"]
+
+
+def rasterize_majority(cells, polys: pa.Table, *, px_col: str = "px",
+                       py_col: str = "py", value_col: str = "v",
+                       n_partitions: int = 8):
+    """Zonal MAJORITY (mode) — the categorical zonal statistic (land
+    cover class per region): for each polygon, the most frequent cell
+    value over its footprint, ties -> smallest value.  Same broadcast
+    PIP as rasterize_polygons, but each batch emits (poly, value,
+    count) partials (bounded by n_polys x distinct values), one keyed
+    aggregate folds them, and a tiny per-poly resolve picks the mode.
+    Output: poly_id, mode_v, mode_n, n_vals (distinct values seen)."""
+    import pandas as pd
+    import ray
+
+    ids = polys.column("poly_id").to_pylist()
+    vxs = [np.asarray(v, np.int64) for v in polys.column("vx").to_pylist()]
+    vys = [np.asarray(v, np.int64) for v in polys.column("vy").to_pylist()]
+    boxes = [(int(vx.min()), int(vx.max()), int(vy.min()), int(vy.max()))
+             for vx, vy in zip(vxs, vys)]
+    layer_ref = ray.put((ids, vxs, vys, boxes))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lids, lvx, lvy, lboxes = ray.get(layer_ref)
+        px = batch.column(px_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        py = batch.column(py_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        val = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_id, out_v, out_n = [], [], []
+        for pid, vx, vy, (x0, x1, y0, y1) in zip(lids, lvx, lvy, lboxes):
+            cand = np.flatnonzero((px >= x0) & (px <= x1)
+                                  & (py >= y0) & (py <= y1))
+            if len(cand) == 0:
+                continue
+            m = point_in_polygon_mask(px[cand], py[cand], vx, vy)
+            if not m.any():
+                continue
+            u, cnt = np.unique(val[cand[m]], return_counts=True)
+            out_id.extend([pid] * len(u))
+            out_v.extend(u.tolist())
+            out_n.extend(cnt.tolist())
+        return pa.table({
+            "poly_id": pa.array(out_id, pa.int64()),
+            "v": pa.array(out_v, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    counts = hash_aggregate(
+        cells.map_batches(partials, batch_format="pyarrow"),
+        keys=["poly_id", "v"], aggs={"n": ("n", "sum")},
+        n_partitions=n_partitions)
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "v"], ascending=[False, True],
+                          kind="stable")
+        top = g.iloc[0]
+        return pd.DataFrame({
+            "poly_id": [top.poly_id], "mode_v": [top.v],
+            "mode_n": [top.n], "n_vals": [len(g)],
+        })
+
+    return counts.groupby("poly_id").map_groups(mode,
+                                                batch_format="pandas")
 
 
 def poly_stats(ds, *, id_col: str = "poly_id", x_col: str = "vx",

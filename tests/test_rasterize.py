@@ -242,3 +242,29 @@ def test_rect_overlap_touching_edges_excluded(ray_session):
     # 1|2 touch at x=10 (no area); 3 sits inside 1 only
     assert set(zip(got.id_a, got.id_b)) == {(1, 3)}
     assert got.ov_area.tolist() == [10]
+
+
+def test_rasterize_majority_mode_and_tie(ray_session):
+    from equi7grid_ray.stages.rasterize import rasterize_majority
+
+    polys = pa.table({
+        "poly_id": pa.array([1], pa.int64()),
+        "vx": pa.array([[0, 10, 10, 0]], pa.list_(pa.int64())),
+        "vy": pa.array([[0, 0, 10, 10]], pa.list_(pa.int64())),
+    })
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy()
+        # values: 40 cells of v=7, 40 of v=3, 20 of v=9 inside the box
+        v = np.where(i % 5 < 2, 7, np.where(i % 5 < 4, 3, 9))
+        return pa.table({
+            "px": pa.array(i // 10, pa.int64()),
+            "py": pa.array(i % 10, pa.int64()),
+            "v": pa.array(v.astype(np.int64), pa.int64()),
+        })
+
+    cells = rd.range(100).map_batches(to_cells, batch_format="pyarrow")
+    out = rasterize_majority(cells, polys).to_pandas()
+    row = out.iloc[0]
+    # v=7 and v=3 both have 40 cells: tie -> smallest value wins
+    assert (row.mode_v, row.mode_n, row.n_vals) == (3, 40, 3)
