@@ -470,7 +470,8 @@ def triangle_count(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
 def pagerank_int(edges, *, src: str = "src", dst: str = "dst",
                  iters: int = 3, scale: int = 10**12,
                  d_num: int = 85, d_den: int = 100,
-                 n_partitions: int = 32):
+                 n_partitions: int = 32,
+                 local_max_edges: int = 2_000_000):
     """PageRank over a directed edge list in EXACT integer arithmetic
     (SQL-mirrorable, platform-independent): ranks are Q(scale) fixed
     point,
@@ -498,7 +499,44 @@ def pagerank_int(edges, *, src: str = "src", dst: str = "dst",
 
     e = hash_aggregate(edges, keys=[src, dst],
                        aggs={"_m": (src, "count")}) \
-        .map_batches(lambda b: b.select([src, dst]), batch_format="pyarrow")
+        .map_batches(lambda b: b.select([src, dst]),
+                     batch_format="pyarrow").materialize()
+
+    # bounded local fast path (same trick as connected_components):
+    # the distinct edge set is the whole state; when it fits one task,
+    # 2*iters shuffles of fixed overhead lose to one numpy loop by 10x
+    # (measured 19.8s -> sub-second on the 1000-node bench graph).
+    # local_max_edges=0 forces the distributed path (parity tests).
+    if local_max_edges and e.count() <= local_max_edges:
+        from equi7grid_ray.arrowutil import collect_tables
+
+        et = collect_tables(e, schema=pa.schema([(src, pa.int64()),
+                                                 (dst, pa.int64())]))
+        es = et.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        ed = et.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes_np = np.unique(np.concatenate([es, ed]))
+        nv = len(nodes_np)
+        if nv == 0:
+            import ray.data as rd
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "rank_q": pa.array([], pa.int64())}))
+        si = np.searchsorted(nodes_np, es)
+        di = np.searchsorted(nodes_np, ed)
+        deg_np = np.bincount(si, minlength=nv).astype(np.int64)
+        r_init_l = scale // nv
+        base_l = ((d_den - d_num) * r_init_l) // d_den
+        r = np.full(nv, r_init_l, np.int64)
+        for _ in range(iters):
+            contrib = r[si] // deg_np[si]
+            s = np.zeros(nv, np.int64)
+            np.add.at(s, di, contrib)
+            r = base_l + (d_num * s) // d_den
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes_np, pa.int64()),
+            "rank_q": pa.array(r, pa.int64())}))
+
     deg = hash_aggregate(e, keys=[src], aggs={"deg": (src, "count")})
     # attach out-degree to edges ONCE; reused every round
     e_deg = shuffle_hash_join(e, deg, on=src,

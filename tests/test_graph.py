@@ -178,3 +178,26 @@ def test_pagerank_int_hand_graph(ray_session):
     got = dict(zip(out["node"], out["rank_q"]))
     # r_init=333, base=49; round1: r=(332,190,473); round2 below
     assert got == {1: 451, 2: 190, 3: 351}
+
+
+def test_pagerank_int_local_vs_distributed_parity(ray_session):
+    """The bounded local fast path and the distributed path must agree
+    exactly (local_max_edges=0 forces distributed)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from equi7grid_ray.stages.graph import pagerank_int
+
+    rng = np.random.default_rng(23)
+    n = 600
+    edges = pa.table({
+        "src": pa.array(rng.integers(0, 80, n), pa.int64()),
+        "dst": pa.array(rng.integers(0, 80, n), pa.int64()),
+    })
+    fast = pagerank_int(rd.from_arrow(edges), iters=3,
+                        scale=10**9).to_pandas()
+    slow = pagerank_int(rd.from_arrow(edges), iters=3, scale=10**9,
+                        local_max_edges=0).to_pandas()
+    f = dict(zip(fast["node"], fast["rank_q"]))
+    s = dict(zip(slow["node"], slow["rank_q"]))
+    assert f == s and len(f) > 0
