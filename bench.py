@@ -285,6 +285,7 @@ def _driver_queries() -> dict[str, float]:
         "rgb_band_algebra",
         "tile_mosaic",
         "tile_mosaic_delta",
+        "tile_similarity",
         "rasterize_polys",
         "poly_stats",
         "poly_zonal",

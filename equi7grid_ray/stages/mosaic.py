@@ -27,7 +27,8 @@ import pyarrow as pa
 from equi7grid_ray.stages.aggregate import hash_aggregate
 from equi7grid_ray.stages.multimodal import _decode_luma
 
-__all__ = ["MosaicGrid", "tile_mosaic", "tile_focal_mean"]
+__all__ = ["MosaicGrid", "tile_mosaic", "tile_focal_mean",
+           "tile_similarity"]
 
 
 class MosaicGrid:
@@ -211,3 +212,66 @@ def tile_focal_mean(mosaic, *, value: str = "v_max", grid: int = 8,
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def tile_similarity(mosaic, *, max_d2: int, grid: int = 8,
+                    value: str = "v_max", batch_tiles: int = 256):
+    """Content-based tile retrieval: all pairs of SAME-CONTINENT tiles
+    whose composite grids sit within squared-L2 distance ``max_d2`` —
+    "find tiles that look like this one" over the archive's composite
+    layer (duplicate-coverage detection, mosaic seam diagnosis).
+
+    The composite is bounded (|tiles| * grid^2 rows — ~1.7M rows for
+    the full planet at T6), so it broadcasts ONCE via ray.put as a
+    dense int64 matrix; tile row-chunks then stream against it with
+    one (chunk x |tiles|) matmul per batch (the ANN brute-force
+    shape), emitting only qualifying (tile_a < tile_b, d2) pairs.
+    Missing cells are 0-filled (scene grids always cover the full
+    G x G here; the fill rule is part of the contract the SQL mirror
+    restates)."""
+    import ray
+    import ray.data as rd
+
+    from equi7grid_ray.arrowutil import collect_tables
+
+    cells = grid * grid
+    t = collect_tables(
+        mosaic.map_batches(
+            lambda b: b.select(["tile", "gr", "gc", value]),
+            batch_format="pyarrow"),
+        schema=None)
+    tiles, tinv = np.unique(
+        np.asarray(t.column("tile").to_pylist()), return_inverse=True)
+    m = np.zeros((len(tiles), cells), np.int64)
+    gr = t.column("gr").to_numpy(zero_copy_only=False).astype(np.int64)
+    gc = t.column("gc").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t.column(value).to_numpy(zero_copy_only=False).astype(np.int64)
+    m[tinv, gr * grid + gc] = v
+    cont = np.array([s[:2] for s in tiles])
+    _, ccode = np.unique(cont, return_inverse=True)
+    mat_ref = ray.put((tiles, m, ccode))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ltiles, lm, lcc = ray.get(mat_ref)
+        idx = batch.column("id").to_numpy().astype(np.int64)
+        idx = idx[idx < len(ltiles)]
+        if len(idx) == 0:
+            return pa.table({"tile_a": pa.array([], pa.string()),
+                             "tile_b": pa.array([], pa.string()),
+                             "d2": pa.array([], pa.int64())})
+        a = lm[idx]
+        sq = (lm * lm).sum(1)
+        d2 = sq[idx][:, None] + sq[None, :] - 2 * (a @ lm.T)
+        jj = np.arange(len(ltiles))
+        mask = (d2 <= max_d2) & (idx[:, None] < jj[None, :]) \
+            & (lcc[idx][:, None] == lcc[None, :])
+        ai, bj = np.nonzero(mask)
+        return pa.table({
+            "tile_a": pa.array(ltiles[idx[ai]], pa.string()),
+            "tile_b": pa.array(ltiles[bj], pa.string()),
+            "d2": pa.array(d2[ai, bj], pa.int64()),
+        })
+
+    n_chunks = -(-len(tiles) // batch_tiles)
+    return rd.range(n_chunks * batch_tiles).map_batches(
+        pairs, batch_format="pyarrow", batch_size=batch_tiles)

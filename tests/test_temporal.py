@@ -278,3 +278,38 @@ def test_best_scene_cell_tie_rule(ray_session):
            .sort_values(["gr"]).reset_index(drop=True))
     assert out.best_scene.tolist() == [2, 2]  # tie at m=7 -> scene 2
     assert out.best_m.tolist() == [7, 9]
+
+
+def test_tile_similarity_crafted(ray_session):
+    """Identical composites pair at d2=0; cross-continent pairs are
+    excluded; above-threshold pairs drop."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import tile_similarity
+
+    rows = []
+    grids = {
+        "EU_E006N006T6": 0,     # base pattern
+        "EU_E012N006T6": 0,     # identical -> d2 = 0
+        "EU_E018N006T6": 5,     # offset 5 per cell -> d2 = 64*25 = 1600
+        "AF_E006N006T6": 0,     # identical but other continent
+    }
+    for tile, off in grids.items():
+        for gr in range(8):
+            for gc in range(8):
+                rows.append((tile, gr, gc, (gr * 8 + gc) % 7 + off))
+    t = pa.table({
+        "tile": pa.array([r[0] for r in rows]),
+        "gr": pa.array([r[1] for r in rows], pa.int32()),
+        "gc": pa.array([r[2] for r in rows], pa.int32()),
+        "v_max": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = tile_similarity(rd.from_arrow(t), max_d2=1600).to_pandas()
+    pairs = {(a, b): d for a, b, d in zip(out.tile_a, out.tile_b, out.d2)}
+    assert pairs == {
+        ("EU_E006N006T6", "EU_E012N006T6"): 0,
+        ("EU_E006N006T6", "EU_E018N006T6"): 1600,
+        ("EU_E012N006T6", "EU_E018N006T6"): 1600,
+    }
+    tight = tile_similarity(rd.from_arrow(t), max_d2=1599).to_pandas()
+    assert len(tight) == 1
