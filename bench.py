@@ -307,6 +307,7 @@ def _driver_queries() -> dict[str, float]:
         "image_glcm",
         "tile_coverage",
         "tile_clusters",
+        "tile_kring",
         "best_scene_topk",
         "source_checksums",
         "tile_gaps",

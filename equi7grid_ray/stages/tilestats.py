@@ -20,7 +20,7 @@ import pyarrow as pa
 
 from equi7grid_ray.stages.aggregate import hash_aggregate
 
-__all__ = ["tile_moran", "tile_revisit", "tile_clusters"]
+__all__ = ["tile_moran", "tile_revisit", "tile_clusters", "tile_kring"]
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -241,4 +241,56 @@ def tile_clusters(assigned, *, step: int = 6, n_partitions: int = 32):
             _node_to_tile(agg["comp"].to_numpy(np.int64)), pa.string()),
         "n_tiles": pa.array(agg["n_tiles"].to_numpy(np.int64), pa.int64()),
         "n_scenes": pa.array(agg["n_scenes"].to_numpy(np.int64), pa.int64()),
+    }))
+
+
+def tile_kring(assigned, *, radius_steps: int = 2, step: int = 6,
+               n_partitions: int = 32):
+    """K-ring neighborhood density on the T6 lattice: for every
+    observed tile, how many observed same-continent tiles (and how
+    many scenes) sit within Chebyshev distance ``radius_steps`` —
+    itself included.  The halo-planning / coverage-density statistic
+    (which tiles can run stencils without remote reads; where the
+    archive is thin).
+
+    Shape: the per-tile COUNT is the only row shuffle; the k-ring
+    fold runs over the bounded tile table as (2r+1)^2 vectorized
+    shifted merges (the tile_clusters pattern).  Emits
+    (tile, n_nbrs, nbr_scenes)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile": pc.cast(batch.column("tile"), pa.string()),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    counts = hash_aggregate(
+        assigned.map_batches(ones, batch_format="pyarrow"),
+        keys=["tile"], aggs={"x": ("one", "sum")},
+        n_partitions=n_partitions,
+    )
+    df = counts.to_pandas()  # bounded: observed tiles
+    par = _parse_names(df["tile"].astype(str))
+    par["x"] = df["x"].to_numpy()
+    par["tile"] = df["tile"].to_numpy()
+    n_nbrs = np.zeros(len(par), np.int64)
+    nbr_sc = np.zeros(len(par), np.int64)
+    base = par[["cont", "te", "tn", "x"]].copy()
+    for dx in range(-radius_steps, radius_steps + 1):
+        for dy in range(-radius_steps, radius_steps + 1):
+            sh = base.copy()
+            sh["te"] = sh["te"] + dx * step
+            sh["tn"] = sh["tn"] + dy * step
+            m = par.reset_index().merge(
+                sh, on=["cont", "te", "tn"], suffixes=("", "_b"))
+            idx = m["index"].to_numpy()
+            n_nbrs[idx] += 1
+            nbr_sc[idx] += m["x_b"].to_numpy(np.int64)
+    return rd.from_arrow(pa.table({
+        "tile": pa.array(par["tile"].to_numpy(), pa.string()),
+        "n_nbrs": pa.array(n_nbrs, pa.int64()),
+        "nbr_scenes": pa.array(nbr_sc, pa.int64()),
     }))
