@@ -264,6 +264,7 @@ def _driver_queries() -> dict[str, float]:
         "nchars_outliers",
         "jaccard_join_exact",
         "containment_join",
+        "part_affinity",
         "orders_cdc_diff",
         "gopher_filter",
         "image_dedup_ensemble",

@@ -162,3 +162,35 @@ def test_pq_sdc_topk_matches_bruteforce(ray_session):
                  for v, c in enumerate(codes))[:10]
     assert list(zip(got["pq_dist"], got["vec_id"])) == ref
     assert got["pq_dist"].iloc[0] == 0  # query vs itself
+
+
+def test_pair_affinity_matches_scalar(ray_session):
+    """Pair supports + exact lift vs an itertools reference, with
+    in-basket duplicate items counted once."""
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from equi7grid_ray.stages.affinity import pair_affinity
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    t = pa.table({
+        "bk": pa.array(rng.integers(0, 300, n), pa.int64()),
+        "it": pa.array(rng.integers(0, 40, n), pa.int64()),
+    })
+    got_df = pair_affinity(rd.from_arrow(t), basket_col="bk",
+                           item_col="it", min_support=2).to_pandas()
+    got = {(a, b): (s, q) for a, b, s, q in zip(
+        got_df.item_a, got_df.item_b, got_df.support, got_df.lift_q)}
+    df = t.to_pandas().drop_duplicates()
+    baskets = df.groupby("bk")["it"].apply(lambda s: sorted(set(s)))
+    sup = {}
+    for items in baskets:
+        for a, b in combinations(items, 2):
+            sup[(a, b)] = sup.get((a, b), 0) + 1
+    cnt = df.groupby("it")["bk"].nunique().to_dict()
+    nb = df["bk"].nunique()
+    exp = {p: (s, (s * nb * 10**6) // (cnt[p[0]] * cnt[p[1]]))
+           for p, s in sup.items() if s >= 2}
+    assert got == exp and len(exp) > 0
