@@ -265,6 +265,7 @@ def _driver_queries() -> dict[str, float]:
         "jaccard_join_exact",
         "containment_join",
         "part_affinity",
+        "priority_transitions",
         "orders_cdc_diff",
         "gopher_filter",
         "image_dedup_ensemble",
