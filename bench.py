@@ -266,6 +266,7 @@ def _driver_queries() -> dict[str, float]:
         "containment_join",
         "part_affinity",
         "priority_transitions",
+        "embedding_dim_stats",
         "orders_cdc_diff",
         "gopher_filter",
         "image_dedup_ensemble",

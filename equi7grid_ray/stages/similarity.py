@@ -16,7 +16,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["CosineTopK", "topk_cosine", "HyperplaneLSH", "KDTree",
-           "knn_tiles", "embedding_int8_quantize", "embedding_pq_codes", "pq_sdc_topk"]
+           "knn_tiles", "embedding_int8_quantize", "embedding_pq_codes",
+           "pq_sdc_topk", "embedding_dim_stats"]
 
 
 def _stack_embeddings(batch: pa.Table, col: str) -> np.ndarray:
@@ -563,3 +564,70 @@ def pq_sdc_topk(codes, query_code: int, *, k: int = 10, m: int = 8,
         .sort(["pq_dist", "vec_id"])
         .limit(k)
     )
+
+
+def embedding_dim_stats(ds, *, col: str = "embedding",
+                        id_col: str = "vec_id", n_partitions: int = 8):
+    """Per-dimension moment statistics over the int8-quantized codes —
+    the PCA/whitening prep pass of an embedding pipeline (which
+    dimensions carry variance; which are dead).  Quantize rule shared
+    bit-exactly with embedding_int8_quantize; each batch folds to
+    (dim, n, s, ss) partials (d x 4 ints — combiner-first, the shuffle
+    moves nothing proportional to the data), one keyed aggregate, and
+    a closing map emits the denominator-cleared variance numerator
+    ``var_num = n*ss - s*s`` (= n^2 * variance, exact).  Output:
+
+        d, n, s, ss, var_num
+    """
+    import ray
+
+    from equi7grid_ray.arrowutil import collect_tables
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def range_partials(batch: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(batch, col).astype(np.float64)
+        d = emb.shape[1]
+        return pa.table({
+            "d": pa.array(np.arange(d, dtype=np.int64)),
+            "mn": pa.array(emb.min(axis=0)),
+            "mx": pa.array(emb.max(axis=0)),
+        })
+
+    part = collect_tables(
+        ds.map_batches(range_partials, batch_format="pyarrow"),
+        schema=pa.schema([("d", pa.int64()), ("mn", pa.float64()),
+                          ("mx", pa.float64())]))
+    pdf = part.to_pandas().groupby("d").agg(mn=("mn", "min"),
+                                            mx=("mx", "max"))
+    ref = ray.put((pdf.mn.to_numpy(), pdf.mx.to_numpy()))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        gmn, gmx = ray.get(ref)
+        emb = _stack_embeddings(batch, col).astype(np.float64)
+        span = gmx - gmn
+        safe = np.where(span == 0.0, 1.0, span)
+        codes = np.clip(np.floor((emb - gmn) * 255.0 / safe), 0, 255) \
+            .astype(np.int64)
+        codes[:, span == 0.0] = 0
+        d = codes.shape[1]
+        return pa.table({
+            "d": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, codes.shape[0], np.int64)),
+            "s": pa.array(codes.sum(axis=0), pa.int64()),
+            "ss": pa.array((codes * codes).sum(axis=0), pa.int64()),
+        })
+
+    agg = hash_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        keys=["d"],
+        aggs={"n": ("n", "sum"), "s": ("s", "sum"), "ss": ("ss", "sum")},
+        n_partitions=n_partitions)
+
+    def close(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        s = batch.column("s").to_numpy()
+        ss = batch.column("ss").to_numpy()
+        return batch.append_column(
+            "var_num", pa.array(n * ss - s * s, pa.int64()))
+
+    return agg.map_batches(close, batch_format="pyarrow")
