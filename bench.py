@@ -267,6 +267,7 @@ def _driver_queries() -> dict[str, float]:
         "part_affinity",
         "priority_transitions",
         "embedding_dim_stats",
+        "edit_verified_pairs",
         "orders_cdc_diff",
         "gopher_filter",
         "image_dedup_ensemble",

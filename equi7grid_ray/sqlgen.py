@@ -981,3 +981,25 @@ def hilbert_hist_sql(bits: int = 13, xmod: int = 8_640_000,
         + f"\nSELECT d >> 16 AS bucket, count(*) AS n, "
         f"MIN(d) AS min_d, MAX(d) AS max_d FROM h{bits} GROUP BY bucket"
     )
+
+
+def lsh_edit_verified_sql(max_dist: int = 32, num_perm: int = 64,
+                          bands: int = 16, shingle: int = 8,
+                          max_bucket: int = 200) -> str:
+    """Mirror of stages/editdist.py edit_verified_pairs: the LSH
+    candidate SQL extended with exact Levenshtein <= max_dist (DuckDB's
+    levenshtein(); the corpus is pure ASCII so byte and character
+    distances coincide with the engine's uint8 DP)."""
+    base = lsh_pairs_sql(num_perm=num_perm, bands=bands, shingle=shingle,
+                         max_bucket=max_bucket)
+    head, final = base.rsplit("SELECT DISTINCT a.doc_id AS id_a", 1)
+    cand_select = "SELECT DISTINCT a.doc_id AS id_a" + final
+    return f"""{head.rstrip()},
+cand AS ({cand_select})
+SELECT c.id_a, c.id_b,
+       levenshtein(da.text, db.text)::BIGINT AS edit_dist
+FROM cand c
+JOIN documents da ON da.doc_id = c.id_a
+JOIN documents db ON db.doc_id = c.id_b
+WHERE levenshtein(da.text, db.text) <= {max_dist}
+"""

@@ -170,3 +170,48 @@ def test_containment_join_is_asymmetric(ray_session):
     jac = jaccard_similarity_join(rd.from_arrow(tbl), threshold=0.9,
                                   n=3).to_pandas()
     assert len(jac) == 0
+
+
+def test_edit_distance_matches_reference():
+    """Row-vectorized DP vs a classic O(nm) scalar reference."""
+    from equi7grid_ray.stages.editdist import edit_distance
+
+    def scalar(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                               prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(2)
+    cases = [(b"kitten", b"sitting"), (b"", b"abc"), (b"abc", b""),
+             (b"same", b"same"), (b"ab", b"ba")]
+    for _ in range(15):
+        la, lb = rng.integers(1, 60, 2)
+        cases.append((bytes(rng.integers(97, 102, la).astype(np.uint8)),
+                      bytes(rng.integers(97, 102, lb).astype(np.uint8))))
+    from equi7grid_ray.stages.editdist import edit_distance as ed
+    for a, b in cases:
+        got = ed(np.frombuffer(a, np.uint8), np.frombuffer(b, np.uint8))
+        assert got == scalar(a, b), (a, b)
+
+
+def test_edit_verified_pairs_planted(ray_session):
+    """A planted 2-edit near-dup passes; an unrelated doc never pairs."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.editdist import edit_verified_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base.replace("quick", "quack", 1)          # 1 substitution
+    other = "completely different content here " * 8
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, near, other]),
+    })
+    out = edit_verified_pairs(rd.from_arrow(docs), max_dist=8).to_pandas()
+    assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
+    assert out.edit_dist.tolist() == [1]
