@@ -242,6 +242,7 @@ def _driver_queries() -> dict[str, float]:
         "embedding_centroids",
         "events_profile",
         "docs_rollup",
+        "docs_cube",
         "doc_surprisal",
         "triangle_count",
         "docs_rank_ntile",

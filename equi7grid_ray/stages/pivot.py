@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["pivot_counts", "melt"]
+__all__ = ["pivot_counts", "melt", "cube_counts"]
 
 
 def pivot_counts(ds, *, index: str, pivot_col: str,
@@ -163,6 +163,76 @@ def rollup_counts(ds, *, keys: list[str], all_label: str = "<all>"):
             return pa.table(cols)
 
         levels.append(agg.map_batches(relabel, batch_format="pyarrow"))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in keys}
+        cols["n"] = batch.column("pn")
+        return pa.table(cols)
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def cube_counts(ds, *, keys: list[str], all_label: str = "<all>"):
+    """SQL ``GROUP BY CUBE(k1, ..., kn)``: counts at EVERY subset of
+    the keys (2^n grouping sets; ROLLUP's prefixes are the special
+    case).  Same scale shape as rollup_counts — only the finest level
+    aggregates input rows; all 2^n - 1 other grouping sets re-aggregate
+    the finest RESULT (bounded by the key-domain product), so the cube
+    costs O(2^n * domain) regardless of corpus size."""
+    import pyarrow.compute as pc
+
+    if not keys:
+        raise ValueError("cube_counts: need at least one key")
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sub = pa.table({k: pc.cast(batch.column(k), pa.string())
+                        for k in keys})
+        counted = sub.group_by(keys).aggregate([([], "count_all")])
+        return counted.rename_columns(keys + ["pn"])
+
+    finest = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=keys, aggs={"pn": ("pn", "sum")},
+    ).materialize()
+
+    levels = [finest]
+    n = len(keys)
+    for mask in range((1 << n) - 2, -1, -1):  # every proper subset
+        kept = [keys[i] for i in range(n) if mask & (1 << i)]
+        if kept:
+            agg = hash_aggregate(finest.select_columns(kept + ["pn"]),
+                                 keys=kept, aggs={"pn": ("pn", "sum")},
+                                 n_partitions=4)
+
+            def relabel(batch: pa.Table, kept=tuple(kept)) -> pa.Table:
+                cols = {}
+                m = batch.num_rows
+                for k in keys:
+                    cols[k] = (batch.column(k) if k in kept
+                               else pa.array([all_label] * m, pa.string()))
+                cols["pn"] = batch.column("pn")
+                return pa.table(cols)
+
+            levels.append(agg.map_batches(relabel, batch_format="pyarrow"))
+        else:
+            from equi7grid_ray.arrowutil import single_group
+
+            def total(t: pa.Table) -> pa.Table:
+                cols = {k: pa.array([all_label], pa.string())
+                        for k in keys}
+                cols["pn"] = pa.array(
+                    [pc.sum(t.column("pn")).as_py() or 0], pa.int64())
+                return pa.table(cols)
+
+            levels.append(single_group(
+                finest.select_columns(["pn"]), total, keys + ["pn"],
+                batch_format="pyarrow"))
 
     out = levels[0]
     for lv in levels[1:]:
