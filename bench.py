@@ -313,6 +313,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_coverage",
         "tile_clusters",
         "tile_kring",
+        "tile_erosion",
         "best_scene_topk",
         "source_checksums",
         "tile_gaps",

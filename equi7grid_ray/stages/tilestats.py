@@ -20,7 +20,8 @@ import pyarrow as pa
 
 from equi7grid_ray.stages.aggregate import hash_aggregate
 
-__all__ = ["tile_moran", "tile_revisit", "tile_clusters", "tile_kring"]
+__all__ = ["tile_moran", "tile_revisit", "tile_clusters", "tile_kring",
+           "tile_erosion_depth"]
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -294,3 +295,43 @@ def tile_kring(assigned, *, radius_steps: int = 2, step: int = 6,
         "n_nbrs": pa.array(n_nbrs, pa.int64()),
         "nbr_scenes": pa.array(nbr_sc, pa.int64()),
     }))
+
+
+def tile_erosion_depth(tiles, *, step: int = 6, max_depth: int = 3):
+    """Interior depth of the zone-tile lattice: the smallest Chebyshev
+    ring d at which a tile's (2d+1)^2 same-continent neighborhood is
+    no longer fully zone tiles (capped at ``max_depth`` + 1) — the
+    morphological-erosion depth map of each continent's zone, which
+    tells a scheduler how far from the projection boundary a stencil
+    can run without edge handling.
+
+    ``tiles``: the bounded zone inventory (export.tiles_table —
+    O(thousands) rows planet-wide), folded with (2r+1)^2 shifted
+    merges.  Emits (tile, n1, n2, n3, depth) where n_d counts zone
+    tiles within Chebyshev d (self included)."""
+    import ray.data as rd
+
+    df = tiles.to_pandas()  # bounded: the zone inventory
+    par = _parse_names(df["tile"].astype(str))
+    counts = {d: np.zeros(len(par), np.int64)
+              for d in range(1, max_depth + 1)}
+    base = par[["cont", "te", "tn"]].copy()
+    for dx in range(-max_depth, max_depth + 1):
+        for dy in range(-max_depth, max_depth + 1):
+            ring = max(abs(dx), abs(dy))
+            sh = base.copy()
+            sh["te"] = sh["te"] + dx * step
+            sh["tn"] = sh["tn"] + dy * step
+            m = par.reset_index().merge(sh, on=["cont", "te", "tn"])
+            idx = m["index"].to_numpy()
+            for d in range(max(1, ring), max_depth + 1):
+                counts[d][idx] += 1
+    full = {d: (2 * d + 1) ** 2 for d in counts}
+    depth = np.full(len(par), max_depth + 1, np.int64)
+    for d in range(max_depth, 0, -1):
+        depth = np.where(counts[d] < full[d], d, depth)
+    cols = {"tile": pa.array(par["tile"].to_numpy(), pa.string())}
+    for d in counts:
+        cols[f"n{d}"] = pa.array(counts[d], pa.int64())
+    cols["depth"] = pa.array(depth, pa.int64())
+    return rd.from_arrow(pa.table(cols))
