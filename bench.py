@@ -243,6 +243,7 @@ def _driver_queries() -> dict[str, float]:
         "events_profile",
         "docs_rollup",
         "docs_cube",
+        "nchars_drift",
         "doc_surprisal",
         "triangle_count",
         "docs_rank_ntile",
