@@ -194,3 +194,94 @@ def test_pair_affinity_matches_scalar(ray_session):
     exp = {p: (s, (s * nb * 10**6) // (cnt[p[0]] * cnt[p[1]]))
            for p, s in sup.items() if s >= 2}
     assert got == exp and len(exp) > 0
+
+
+def test_cube_counts_matches_pandas(ray_session):
+    import ray.data as rd
+    from itertools import combinations
+
+    from equi7grid_ray.stages.pivot import cube_counts
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y", "z"], n)),
+        "b": pa.array(rng.choice(["p", "q"], n)),
+        "c": pa.array(rng.choice(["1", "2", "3", "4"], n)),
+    })
+    got = cube_counts(rd.from_arrow(t), keys=["a", "b", "c"]).to_pandas()
+    got_set = set(map(tuple, got[["a", "b", "c", "n"]].to_numpy()))
+    df = t.to_pandas()
+    exp = set()
+    keys = ["a", "b", "c"]
+    for r in range(4):
+        for kept in combinations(keys, r):
+            g = df.groupby(list(kept)).size() if kept else None
+            if kept:
+                for idx, cnt in g.items():
+                    idx = (idx,) if r == 1 else idx
+                    row = {k: "<all>" for k in keys}
+                    row.update(dict(zip(kept, idx)))
+                    exp.add((row["a"], row["b"], row["c"], cnt))
+            else:
+                exp.add(("<all>", "<all>", "<all>", len(df)))
+    assert got_set == exp
+
+
+def test_tile_erosion_depth_crafted(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.tilestats import tile_erosion_depth
+
+    # 5x5 zone block: center depth 3 is impossible (n3 < 49) -> the
+    # exact depths are Chebyshev distance to outside, capped
+    tiles = [f"EU_E{6*x:03d}N{6*y:03d}T6" for x in range(5)
+             for y in range(5)]
+    t = pa.table({"tile": pa.array(tiles, pa.string())})
+    out = tile_erosion_depth(rd.from_arrow(t)).to_pandas() \
+        .set_index("tile")
+    center = out.loc["EU_E012N012T6"]
+    assert (center.n1, center.n2) == (9, 25)
+    assert center.depth == 3          # ring 3 incomplete (n3 < 49)
+    corner = out.loc["EU_E000N000T6"]
+    assert corner.n1 == 4 and corner.depth == 1
+    edge = out.loc["EU_E012N000T6"]
+    assert edge.n1 == 6 and edge.depth == 1
+
+
+def test_chi2_drift_matches_fraction_reference(ray_session):
+    from fractions import Fraction
+
+    import ray.data as rd
+
+    from equi7grid_ray.stages.drift import chi2_drift
+
+    rng = np.random.default_rng(6)
+    n = 4000
+    v = np.concatenate([rng.integers(0, 100, n // 2),
+                        rng.integers(20, 140, n // 2)]).astype(np.int64)
+    grp = np.array(["even"] * (n // 2) + ["odd"] * (n // 2))
+    t = pa.table({"val": pa.array(v), "grp": pa.array(grp)})
+    got = chi2_drift(rd.from_arrow(t), col="val", grp_col="grp") \
+        .to_pandas()
+    # reference: exact quantile_disc octiles + Fraction chi2
+    sv = np.sort(v)
+    import math as _m
+    edges = np.sort(np.array(
+        [sv[max(1, _m.ceil(q * n)) - 1]
+         for q in (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)]))
+    bucket = np.searchsorted(edges, v, side="left")
+    df = pd.DataFrame({"bucket": bucket, "grp": grp})
+    cnt = df.groupby(["bucket", "grp"]).size().reset_index(name="obs")
+    ng = cnt.groupby("grp")["obs"].sum().to_dict()
+    ci = cnt.groupby("bucket")["obs"].sum().to_dict()
+    N = int(cnt["obs"].sum())
+    exp = {}
+    for _, r in cnt.iterrows():
+        obs, g_, b_ = int(r.obs), r.grp, int(r.bucket)
+        q = Fraction(10**6 * (obs * N - ng[g_] * ci[b_]) ** 2,
+                     N * ng[g_] * ci[b_])
+        exp[(b_, g_)] = (obs, q.numerator // q.denominator)
+    got_map = {(int(r.bucket), r.grp): (int(r.obs), int(r.chi2_q))
+               for _, r in got.iterrows()}
+    assert got_map == exp
