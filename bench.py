@@ -228,6 +228,7 @@ def _driver_queries() -> dict[str, float]:
         "docs_split_counts",
         "near_dup_components",
         "dedup_canonical_docs",
+        "dedup_report",
         "chunk_dedup_docs",
         "doc_repetition",
         "zorder_hist",

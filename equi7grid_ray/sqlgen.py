@@ -1003,3 +1003,33 @@ JOIN documents da ON da.doc_id = c.id_a
 JOIN documents db ON db.doc_id = c.id_b
 WHERE levenshtein(da.text, db.text) <= {max_dist}
 """
+
+
+def dedup_report_sql(num_perm: int = 64, bands: int = 16, shingle: int = 8,
+                     max_bucket: int = 200) -> str:
+    """Per-source dedup survival report: doc counts, exact-text extras
+    (doc_id != min id of its text group), near-dup extras (canonical
+    != doc_id over the LSH component closure), and survivors."""
+    inner = lsh_pairs_sql(num_perm, bands, shingle, max_bucket)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({inner}) lsh),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+flags AS (
+  SELECT d.source,
+    CASE WHEN d.doc_id <> min(d.doc_id) OVER (PARTITION BY d.text)
+         THEN 1 ELSE 0 END AS ee,
+    CASE WHEN COALESCE(c.component, d.doc_id) <> d.doc_id
+         THEN 1 ELSE 0 END AS ne
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(ee)::BIGINT AS n_exact_extra,
+       sum(ne)::BIGINT AS n_near_extra,
+       (count(*) - sum(ne))::BIGINT AS n_kept
+FROM flags GROUP BY source"""
