@@ -209,6 +209,9 @@ def _driver_queries() -> dict[str, float]:
         "events_hourly",
         "events_sessionize",
         "knn_cosine",
+        "knn_cosine_filtered",
+        "kwic_snippets",
+        "user_gap_quantiles",
         "lsh_near_dup",
         "regrid_sample",
         "pixel_index",
