@@ -212,6 +212,7 @@ def _driver_queries() -> dict[str, float]:
         "knn_cosine_filtered",
         "kwic_snippets",
         "user_gap_quantiles",
+        "order_backlog",
         "lsh_near_dup",
         "regrid_sample",
         "pixel_index",
