@@ -1033,3 +1033,46 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(ne)::BIGINT AS n_near_extra,
        (count(*) - sum(ne))::BIGINT AS n_kept
 FROM flags GROUP BY source"""
+
+
+def audio_gate_sql(n_images: int = 500, loud: int = 30_000,
+                   quiet: int = 256, min_quiet_run: int = 2) -> str:
+    """Mirror of stages/multimodal.py:AudioGate: s16le samples from the
+    synthetic payload bytes, loud-fraction clip rule (100*n_loud >
+    8*n), gaps-and-islands longest quiet run, first-failing reason."""
+    return f"""
+WITH img AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+s AS (
+  SELECT i, CAST(k.k AS BIGINT) AS k,
+    (((2 * k.k) // w) * h + ((2 * k.k) % w) * w + i) % 256
+      + 256 * ((((2 * k.k + 1) // w) * h + ((2 * k.k + 1) % w) * w + i) % 256)
+      AS u
+  FROM img, UNNEST(range((w * h) // 2)) AS k(k)),
+sv AS (SELECT i, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+       FROM s),
+q AS (SELECT i, k,
+             CASE WHEN abs(v) <= {quiet} THEN 1 ELSE 0 END AS quiet,
+             CASE WHEN abs(v) >= {loud} THEN 1 ELSE 0 END AS loud
+      FROM sv),
+runs AS (
+  SELECT i, quiet,
+         sum(CASE WHEN quiet = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY i ORDER BY k) AS g
+  FROM q),
+qr AS (
+  SELECT i, max(cnt) AS max_quiet FROM (
+    SELECT i, g, count(*) AS cnt FROM runs WHERE quiet = 1
+    GROUP BY i, g) GROUP BY i),
+agg AS (SELECT i, sum(loud)::BIGINT AS n_loud, count(*)::BIGINT AS n
+        FROM q GROUP BY i)
+SELECT printf('img%012d', a.i) AS image_id, a.n_loud,
+       COALESCE(qr.max_quiet, 0)::BIGINT AS max_quiet,
+       CASE WHEN 100 * a.n_loud > 8 * a.n THEN 'clipped'
+            WHEN COALESCE(qr.max_quiet, 0) >= {min_quiet_run}
+            THEN 'silent' ELSE 'ok' END AS reason
+FROM agg a LEFT JOIN qr ON qr.i = a.i
+"""

@@ -28,7 +28,7 @@ __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "RleStats",
            "label_runs", "label_run_boxes", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
-           "AudioFeatures", "PCMAudioFeatures", "FrameSampler",
+           "AudioFeatures", "PCMAudioFeatures", "AudioGate", "FrameSampler",
            "fake_decode"]
 
 
@@ -1859,3 +1859,66 @@ def global_histogram(ds) -> np.ndarray:
     for row in agg.take_all():   # bounded: <= 256 rows
         hist[int(row["v"])] = int(row["c"])
     return hist
+
+
+class AudioGate:
+    """PCM audio quality gate (first-failing-reason, the audio Gopher):
+
+        clipped -- loud samples (|v| >= 30000) exceed 8% of the clip
+                   (100 * n_loud > 8 * n_samples, integer-exact)
+        silent  -- a quiet run (|v| <= 256) of >= ``min_quiet_run``
+                   consecutive samples exists
+        ok      -- otherwise
+
+    Same s16le interpretation as PCMAudioFeatures; the quiet-run scan
+    is one vectorized diff pass per clip.  Emits
+    (image_id, n_loud, max_quiet, reason)."""
+
+    LOUD = 30_000
+    QUIET = 256
+
+    def __init__(self, min_quiet_run: int = 2, id_col: str = "image_id"):
+        self.q_run = min_quiet_run
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        n_loud = np.zeros(n, np.int64)
+        max_q = np.zeros(n, np.int64)
+        reason = np.empty(n, object)
+        for j in range(n):
+            raw = np.frombuffer(data, np.uint8,
+                                count=int(offs[j + 1] - offs[j]),
+                                offset=int(offs[j]))
+            raw = decode_image(raw, fmts[j], int(ws[j]), int(hs[j]),
+                               copy=False).reshape(-1)
+            m = len(raw) // 2
+            pair = raw[: 2 * m].reshape(m, 2).astype(np.int64)
+            v = pair[:, 0] + 256 * pair[:, 1]
+            v -= (v >= 32768) * 65536
+            av = np.abs(v)
+            n_loud[j] = int((av >= self.LOUD).sum())
+            quiet = av <= self.QUIET
+            if quiet.any():
+                padded = np.concatenate([[False], quiet, [False]])
+                d = np.diff(padded.astype(np.int8))
+                max_q[j] = int((np.flatnonzero(d == -1)
+                                - np.flatnonzero(d == 1)).max())
+            if 100 * n_loud[j] > 8 * m:
+                reason[j] = "clipped"
+            elif max_q[j] >= self.q_run:
+                reason[j] = "silent"
+            else:
+                reason[j] = "ok"
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_loud": pa.array(n_loud, pa.int64()),
+            "max_quiet": pa.array(max_q, pa.int64()),
+            "reason": pa.array(reason.tolist(), pa.string()),
+        })

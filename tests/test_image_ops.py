@@ -843,3 +843,32 @@ def test_quadtree_constant_frame_single_leaf():
     out = QuadtreeStats(thresh=0)(batch)
     assert out["n_leaves"][0].as_py() == 1
     assert out["depth_sum"][0].as_py() == 0
+
+
+def test_audio_gate_crafted():
+    from equi7grid_ray.stages.multimodal import AudioGate
+
+    def clip_bytes(samples):
+        v = np.asarray(samples, np.int64)
+        u = np.where(v < 0, v + 65536, v)
+        out = np.empty(2 * len(v), np.uint8)
+        out[0::2] = u % 256
+        out[1::2] = u // 256
+        return bytes(out)
+
+    loud = clip_bytes([31000, -31000, 5, 6, 7, 8, 9, 10])   # 2/8 = 25%
+    quiet = clip_bytes([5000, 100, -200, 4000, 5000, 6000, 7000, 8000])
+    ok = clip_bytes([5000, -4000, 3000, -2000, 1000, 500, 2000, 3000])
+    batch = pa.table({
+        "image_id": pa.array(["loud", "quiet", "ok"]),
+        "bytes": pa.array([loud, quiet, ok], pa.binary()),
+        "w": pa.array([16, 16, 16], pa.int32()),
+        "h": pa.array([1, 1, 1], pa.int32()),
+        "fmt": pa.array(["raw", "raw", "raw"]),
+    })
+    out = AudioGate()(batch)
+    assert out["reason"].to_pylist() == ["clipped", "silent", "ok"]
+    assert out["n_loud"].to_pylist() == [2, 0, 0]
+    # the loud clip's 5..10 tail is itself a 6-sample quiet run, but
+    # 'clipped' fires first
+    assert out["max_quiet"].to_pylist() == [6, 2, 0]
