@@ -344,6 +344,11 @@ def _driver_queries() -> dict[str, float]:
         "audio_autocorr",
     ]
     qs = e.queries()
+    # sweep EVERYTHING: the explicit list above pins a stable ordering
+    # for the queries it names (round-over-round comparability); any
+    # queries() entry it misses is appended so no operator ships
+    # unbenchmarked (a round-3 ADVICE item hit one such omission)
+    sel = sel + sorted(set(qs) - set(sel))
     for name in sel:
         best = float("inf")
         for _trial in range(2):  # best-of-2: the VM's run-to-run noise
