@@ -1922,3 +1922,60 @@ class AudioGate:
             "max_quiet": pa.array(max_q, pa.int64()),
             "reason": pa.array(reason.tolist(), pa.string()),
         })
+
+
+class LBPStats:
+    """Per-image local-binary-pattern texture summary (Ojala et al.
+    2002 -- the rotation-variant 8-neighbour base code) in EXACT
+    integers.  Each interior pixel gets
+
+        code = sum_k [px(neighbour_k) >= px(center)] << k
+
+    over the fixed clockwise-from-top-left neighbour order; the frame
+    emits (id, lbp_sum, lbp_energy, n_interior) where lbp_sum is the
+    code total and lbp_energy = sum over the 256 code bins of count^2
+    (the texture-uniformity analogue of GLCM energy).
+
+    Scale shape: 8 shifted-view uint8 comparisons + one bincount per
+    frame, no per-pixel Python.  The SQL mirror evaluates the synthetic
+    pixel formula at the 9 offsets and groups (frame, code).  Reference
+    analogue: texture features over tiled rasters (reference warp.py
+    tiles are exactly what such per-tile texture screens run on)."""
+
+    OFFSETS = ((-1, -1), (-1, 0), (-1, 1), (0, 1),
+               (1, 1), (1, 0), (1, -1), (0, -1))
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        lsum = np.zeros(n, np.int64)
+        lenergy = np.zeros(n, np.int64)
+        ninter = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j)
+            hh, ww = v.shape
+            if hh < 3 or ww < 3:
+                continue
+            center = v[1:-1, 1:-1]
+            code = np.zeros(center.shape, np.int64)
+            for k, (dr, dc) in enumerate(self.OFFSETS):
+                nb = v[1 + dr : hh - 1 + dr, 1 + dc : ww - 1 + dc]
+                code += (nb >= center).astype(np.int64) << k
+            bc = np.bincount(code.ravel(), minlength=256).astype(np.int64)
+            lsum[j] = int(code.sum())
+            lenergy[j] = int((bc * bc).sum())
+            ninter[j] = center.size
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "lbp_sum": pa.array(lsum, pa.int64()),
+            "lbp_energy": pa.array(lenergy, pa.int64()),
+            "n_interior": pa.array(ninter, pa.int64()),
+        })

@@ -872,3 +872,30 @@ def test_audio_gate_crafted():
     # the loud clip's 5..10 tail is itself a 6-sample quiet run, but
     # 'clipped' fires first
     assert out["max_quiet"].to_pylist() == [6, 2, 0]
+
+
+def test_lbp_matches_bruteforce():
+    from collections import Counter
+
+    from equi7grid_ray.stages.multimodal import LBPStats
+
+    batch = make_batch(0, 12)
+    out = LBPStats()(batch)
+    got = {out["image_id"][k].as_py():
+           (out["lbp_sum"][k].as_py(), out["lbp_energy"][k].as_py(),
+            out["n_interior"][k].as_py()) for k in range(out.num_rows)}
+    for i in range(12):
+        v = _img_of(i).astype(int)
+        h, w = v.shape
+        cnt = Counter()
+        total = 0
+        for r in range(1, h - 1):
+            for c in range(1, w - 1):
+                code = 0
+                for k, (dr, dc) in enumerate(LBPStats.OFFSETS):
+                    if v[r + dr, c + dc] >= v[r, c]:
+                        code += 1 << k
+                cnt[code] += 1
+                total += code
+        energy = sum(n * n for n in cnt.values())
+        assert got[f"img{i:012d}"] == (total, energy, (h - 2) * (w - 2))
