@@ -1979,3 +1979,53 @@ class LBPStats:
             "lbp_energy": pa.array(lenergy, pa.int64()),
             "n_interior": pa.array(ninter, pa.int64()),
         })
+
+
+class Median3Stats:
+    """Per-image 3x3 median filter (the classic salt-and-pepper
+    denoise) in EXACT integers: every interior pixel is replaced by
+    the 5th-smallest of its 9-neighbourhood; the frame emits
+
+        n_changed = interior pixels where median != original
+        med_sum   = sum of the filtered interior
+        n_interior
+
+    Scale shape: 9 shifted views stacked + one np.partition per frame
+    (no per-pixel Python).  The SQL mirror unnests the 9 offsets per
+    interior pixel and takes quantile_disc(0.5) -- the 5th-smallest of
+    9, exactly the partition index the engine uses."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        nchg = np.zeros(n, np.int64)
+        msum = np.zeros(n, np.int64)
+        ninter = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j)
+            hh, ww = v.shape
+            if hh < 3 or ww < 3:
+                continue
+            stack = np.stack([
+                v[1 + dr : hh - 1 + dr, 1 + dc : ww - 1 + dc]
+                for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+            ])
+            med = np.partition(stack, 4, axis=0)[4]
+            center = v[1:-1, 1:-1]
+            nchg[j] = int((med != center).sum())
+            msum[j] = int(med.sum(dtype=np.int64))
+            ninter[j] = center.size
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_changed": pa.array(nchg, pa.int64()),
+            "med_sum": pa.array(msum, pa.int64()),
+            "n_interior": pa.array(ninter, pa.int64()),
+        })

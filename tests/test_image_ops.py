@@ -899,3 +899,44 @@ def test_lbp_matches_bruteforce():
                 total += code
         energy = sum(n * n for n in cnt.values())
         assert got[f"img{i:012d}"] == (total, energy, (h - 2) * (w - 2))
+
+
+def test_median3_matches_bruteforce():
+    from equi7grid_ray.stages.multimodal import Median3Stats
+
+    batch = make_batch(0, 12)
+    out = Median3Stats()(batch)
+    got = {out["image_id"][k].as_py():
+           (out["n_changed"][k].as_py(), out["med_sum"][k].as_py(),
+            out["n_interior"][k].as_py()) for k in range(out.num_rows)}
+    for i in range(12):
+        v = _img_of(i).astype(int)
+        h, w = v.shape
+        nchg = msum = 0
+        for r in range(1, h - 1):
+            for c in range(1, w - 1):
+                nb = sorted(v[r + dr, c + dc]
+                            for dr in (-1, 0, 1) for dc in (-1, 0, 1))
+                m = nb[4]
+                msum += m
+                nchg += int(m != v[r, c])
+        assert got[f"img{i:012d}"] == (nchg, msum, (h - 2) * (w - 2))
+
+
+def test_median3_denoises_planted_impulse():
+    from equi7grid_ray.codec import encode_image
+    from equi7grid_ray.stages.multimodal import Median3Stats
+
+    img = np.full((16, 16), 80, np.uint8)
+    img[5, 5] = 255                       # salt impulse
+    batch = pa.table({
+        "image_id": pa.array(["x"], pa.string()),
+        "bytes": pa.array([encode_image(img, "raw")], pa.binary()),
+        "w": pa.array([16], pa.int32()),
+        "h": pa.array([16], pa.int32()),
+        "fmt": pa.array(["raw"], pa.string()),
+    })
+    out = Median3Stats()(batch)
+    # the impulse itself is the only changed pixel; median restores 80
+    assert out["n_changed"][0].as_py() == 1
+    assert out["med_sum"][0].as_py() == 80 * 14 * 14
