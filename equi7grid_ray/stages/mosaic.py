@@ -28,7 +28,7 @@ from equi7grid_ray.stages.aggregate import hash_aggregate
 from equi7grid_ray.stages.multimodal import _decode_luma
 
 __all__ = ["MosaicGrid", "tile_mosaic", "tile_focal_mean",
-           "tile_similarity"]
+           "tile_similarity", "MaskedMosaicGrid", "tile_clear_composite"]
 
 
 class MosaicGrid:
@@ -275,3 +275,98 @@ def tile_similarity(mosaic, *, max_d2: int, grid: int = 8,
     n_chunks = -(-len(tiles) // batch_tiles)
     return rd.range(n_chunks * batch_tiles).map_batches(
         pairs, batch_format="pyarrow", batch_size=batch_tiles)
+
+
+class MaskedMosaicGrid(MosaicGrid):
+    """Cloud-masked variant of :class:`MosaicGrid`: a (scene, cell)
+    observation whose block mean >= ``cloud_t`` is treated as cloudy
+    (the bright-pixel screen optical EO compositors run before
+    best-pixel selection); per (tile, cell) the batch emits
+
+        n_img   -- total observations
+        n_clear -- observations below the threshold
+        max_clear -- MAX over clear observations (-1 sentinel when the
+                     cell has no clear view in this batch; -1 is the
+                     partial's identity under max and survives to the
+                     final composite only for never-clear cells)
+
+    Same exchange bound as the parent: G*G*|tiles-in-batch| rows."""
+
+    def __init__(self, grid: int = 8, cloud_t: int = 200,
+                 id_col: str = "image_id"):
+        super().__init__(grid=grid, id_col=id_col)
+        self.cloud_t = cloud_t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        tiles = batch.column("tile").to_pylist()
+        G, T = self.g, self.cloud_t
+        acc: dict[str, list] = {}
+        for j in range(batch.num_rows):
+            sr, sc = int(hs[j]) // G, int(ws[j]) // G
+            if sr == 0 or sc == 0:
+                continue
+            img = _decode_luma(data, offs, fmts, ws, hs, j)
+            m = img[: sr * G, : sc * G].reshape(G, sr, G, sc) \
+                .sum(axis=(1, 3), dtype=np.int64) // (sr * sc)
+            clear = m < T
+            mc = np.where(clear, m, -1)
+            a = acc.get(tiles[j])
+            if a is None:
+                acc[tiles[j]] = [np.ones_like(m), clear.astype(np.int64),
+                                 mc]
+            else:
+                a[0] += 1
+                a[1] += clear
+                np.maximum(a[2], mc, out=a[2])
+        n_tiles = len(acc)
+        cells = G * G
+        tile_col = []
+        nimg = np.empty(n_tiles * cells, np.int64)
+        nclr = np.empty(n_tiles * cells, np.int64)
+        mxc = np.empty(n_tiles * cells, np.int64)
+        gr, gc = np.divmod(
+            np.tile(np.arange(cells, dtype=np.int32), n_tiles), G)
+        for k, (t, (nt, nc, mx)) in enumerate(acc.items()):
+            tile_col.extend([t] * cells)
+            nimg[k * cells : (k + 1) * cells] = nt.reshape(-1)
+            nclr[k * cells : (k + 1) * cells] = nc.reshape(-1)
+            mxc[k * cells : (k + 1) * cells] = mx.reshape(-1)
+        return pa.table({
+            "tile": pa.array(tile_col, pa.string()),
+            "gr": pa.array(gr.astype(np.int32), pa.int32()),
+            "gc": pa.array(gc.astype(np.int32), pa.int32()),
+            "n_img": pa.array(nimg, pa.int64()),
+            "n_clear": pa.array(nclr, pa.int64()),
+            "max_clear": pa.array(mxc, pa.int64()),
+        })
+
+
+def tile_clear_composite(ds, *, grid: int = 8, cloud_t: int = 200,
+                         n_partitions: int = 32):
+    """Cloud-masked best-pixel composite: per (tile, cell) the total
+    and clear observation counts and the MAX over clear observations
+    (-1 where the cell never had a clear view -- the gap-fill
+    worklist).  Same pixels-never-shuffle shape as tile_mosaic."""
+    grids = ds.map_batches(
+        MaskedMosaicGrid,
+        fn_constructor_kwargs=dict(grid=grid, cloud_t=cloud_t),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return hash_aggregate(
+        grids,
+        keys=["tile", "gr", "gc"],
+        aggs={
+            "n_img": ("n_img", "sum"),
+            "n_clear": ("n_clear", "sum"),
+            "max_clear": ("max_clear", "max"),
+        },
+        n_partitions=n_partitions,
+    )

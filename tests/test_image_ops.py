@@ -940,3 +940,56 @@ def test_median3_denoises_planted_impulse():
     # the impulse itself is the only changed pixel; median restores 80
     assert out["n_changed"][0].as_py() == 1
     assert out["med_sum"][0].as_py() == 80 * 14 * 14
+
+
+def test_masked_mosaic_grid_matches_naive():
+    """MaskedMosaicGrid: block means >= cloud_t are masked; never-clear
+    cells carry the -1 sentinel through the max partial."""
+    from equi7grid_ray.stages.mosaic import MaskedMosaicGrid
+
+    batch = make_batch(0, 30)
+    tiles = ["T_A" if i % 2 == 0 else "T_B" for i in range(30)]
+    batch = batch.append_column("tile", pa.array(tiles))
+    out = MaskedMosaicGrid(cloud_t=200)(batch)
+    got = {}
+    for k in range(out.num_rows):
+        key = (out["tile"][k].as_py(), out["gr"][k].as_py(),
+               out["gc"][k].as_py())
+        got[key] = (out["n_img"][k].as_py(), out["n_clear"][k].as_py(),
+                    out["max_clear"][k].as_py())
+    expect = {}
+    for i in range(30):
+        img = _img_of(i).astype(np.int64)
+        sr, sc = img.shape[0] // 8, img.shape[1] // 8
+        m = img.reshape(8, sr, 8, sc).sum(axis=(1, 3)) // (sr * sc)
+        for gr in range(8):
+            for gc in range(8):
+                key = (tiles[i], gr, gc)
+                nt, nc, mx = expect.get(key, (0, 0, -1))
+                v = int(m[gr, gc])
+                if v < 200:
+                    nc, mx = nc + 1, max(mx, v)
+                expect[key] = (nt + 1, nc, mx)
+    assert got == expect
+    # sentinel semantics: a never-clear cell reports max_clear == -1
+    assert any(v[2] == -1 for v in expect.values()) == \
+        any(v[2] == -1 for v in got.values())
+
+
+def test_masked_mosaic_all_cloudy_cell():
+    from equi7grid_ray.codec import encode_image
+    from equi7grid_ray.stages.mosaic import MaskedMosaicGrid
+
+    bright = np.full((16, 16), 255, np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["a"], pa.string()),
+        "bytes": pa.array([encode_image(bright, "raw")], pa.binary()),
+        "w": pa.array([16], pa.int32()),
+        "h": pa.array([16], pa.int32()),
+        "fmt": pa.array(["raw"], pa.string()),
+        "tile": pa.array(["T_X"], pa.string()),
+    })
+    out = MaskedMosaicGrid(cloud_t=200)(batch)
+    assert out.num_rows == 64
+    assert set(out["n_clear"].to_pylist()) == {0}
+    assert set(out["max_clear"].to_pylist()) == {-1}
