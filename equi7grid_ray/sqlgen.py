@@ -895,6 +895,37 @@ SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
 
 
+def canonical_quality_sql(num_perm: int = 64, bands: int = 16,
+                          shingle: int = 8,
+                          max_bucket: int = 200) -> str:
+    """Quality-keeping canonical ids: every document mapped to the
+    highest-n_chars member of its near-duplicate component (ties ->
+    smallest doc_id; itself when in no candidate pair).  Mirrors
+    stages/graph.py:canonical_by_quality over components_sql."""
+    inner = lsh_pairs_sql(num_perm, bands, shingle, max_bucket)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({inner}) lsh),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+best AS (
+  SELECT component, node AS rep FROM (
+    SELECT c.component, c.node, row_number() OVER (
+        PARTITION BY c.component
+        ORDER BY d.n_chars DESC, c.node) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.node) t
+  WHERE rn = 1)
+SELECT d.doc_id, COALESCE(b.rep, d.doc_id) AS canonical
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN best b ON b.component = c.component"""
+
+
 def zorder_hist_sql(bits: int = 13, xmod: int = 8_640_000,
                     ymod: int = 6_000_000, xmul: int = 97_003,
                     ymul: int = 53_003) -> str:

@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["connected_components", "canonical_assignments",
-           "pagerank_int"]
+           "canonical_by_quality", "pagerank_int"]
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -296,6 +296,87 @@ def canonical_assignments(docs, components, *, id_col: str = "doc_id"):
         hit = (len(snodes) > 0) & (snodes[pos_c] == ids) if len(snodes) \
             else np.zeros(len(ids), dtype=bool)
         canon = np.where(hit, slbls[pos_c] if len(snodes) else ids, ids)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "canonical": pa.array(canon, pa.int64()),
+        })
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def canonical_by_quality(docs, components, *, id_col: str = "doc_id",
+                         quality_col: str = "n_chars"):
+    """Quality-keeping canonical ids: every document mapped to the
+    HIGHEST-``quality_col`` member of its near-dup component (ties ->
+    smallest doc_id; itself when in no pair) -- the "keep the longest
+    document" representative rule curation pipelines prefer over
+    min-id when near-dups are truncations of one another.
+
+    Shape: identical to :func:`canonical_assignments` -- the component
+    table is pair-nodes-only, so member qualities are harvested with
+    one broadcast-probe streaming pass (bounded collect, <= |nodes|
+    rows), the per-component argmax resolves driver-side in numpy, and
+    the corpus streams against the broadcast node -> representative
+    map."""
+    import ray
+
+    from equi7grid_ray.arrowutil import collect_tables
+
+    comp = collect_tables(components, schema=pa.schema(
+        [("node", pa.int64()), ("component", pa.int64())]))
+    nodes = comp.column("node").to_numpy().astype(np.int64)
+    lbls = comp.column("component").to_numpy().astype(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes, lbls = nodes[order], lbls[order]
+    node_ref = ray.put(nodes)
+
+    def members(batch: pa.Table) -> pa.Table:
+        snodes = ray.get(node_ref)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        q = batch.column(quality_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(snodes):
+            pos = np.minimum(np.searchsorted(snodes, ids),
+                             len(snodes) - 1)
+            hit = snodes[pos] == ids
+        else:
+            hit = np.zeros(len(ids), dtype=bool)
+        return pa.table({
+            "node": pa.array(ids[hit], pa.int64()),
+            "q": pa.array(q[hit], pa.int64()),
+        })
+
+    mem = collect_tables(
+        docs.map_batches(members, batch_format="pyarrow"),
+        schema=pa.schema([("node", pa.int64()), ("q", pa.int64())]))
+    mid = mem.column("node").to_numpy().astype(np.int64)
+    mq = mem.column("q").to_numpy().astype(np.int64)
+    # align member qualities onto the sorted node table
+    pos = np.searchsorted(nodes, mid)
+    qual = np.full(len(nodes), np.iinfo(np.int64).min, np.int64)
+    qual[pos] = mq
+    # per-component argmax(quality, tie -> min id): lexsort by
+    # (component, -quality, id) and take each component's first row
+    srt = np.lexsort((nodes, -qual, lbls))
+    cl, cn = lbls[srt], nodes[srt]
+    first = np.ones(len(cl), dtype=bool)
+    first[1:] = cl[1:] != cl[:-1]
+    comp_ids = cl[first]
+    reps = cn[first]
+    # node -> representative, through its component label
+    rep_for_node = reps[np.searchsorted(comp_ids, lbls)]
+    ref = ray.put((nodes, rep_for_node))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        snodes, sreps = ray.get(ref)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        if len(snodes):
+            pos = np.minimum(np.searchsorted(snodes, ids),
+                             len(snodes) - 1)
+            hit = snodes[pos] == ids
+            canon = np.where(hit, sreps[pos], ids)
+        else:
+            canon = ids
         return pa.table({
             id_col: batch.column(id_col),
             "canonical": pa.array(canon, pa.int64()),

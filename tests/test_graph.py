@@ -201,3 +201,49 @@ def test_pagerank_int_local_vs_distributed_parity(ray_session):
     f = dict(zip(fast["node"], fast["rank_q"]))
     s = dict(zip(slow["node"], slow["rank_q"]))
     assert f == s and len(f) > 0
+
+
+def test_canonical_by_quality_keeps_longest(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.graph import (canonical_by_quality,
+                                            connected_components)
+
+    # components {2,5,9} and {3,7}; quality: 5 is longest in the first
+    # (rep=5 despite min-id 2), tie 3==7 in the second (rep=min id 3)
+    pairs = [(2, 5), (5, 9), (3, 7)]
+    pairs_ds = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "id_b": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+    comp = connected_components(pairs_ds)
+    qual = {2: 10, 5: 99, 9: 50, 3: 42, 7: 42}
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "n_chars": pa.array([qual.get(i, 1) for i in range(12)],
+                            pa.int64()),
+    }))
+    out = canonical_by_quality(docs, comp).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    expect = list(range(12))
+    expect[2] = expect[5] = expect[9] = 5
+    expect[3] = expect[7] = 3
+    assert out["canonical"].tolist() == expect
+
+
+def test_canonical_by_quality_no_pairs(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.graph import canonical_by_quality
+
+    comp = ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()),
+        "component": pa.array([], pa.int64()),
+    }))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([4, 8], pa.int64()),
+        "n_chars": pa.array([1, 2], pa.int64()),
+    }))
+    out = canonical_by_quality(docs, comp).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["canonical"].tolist() == [4, 8]
