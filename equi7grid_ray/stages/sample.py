@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["hash_sample", "stratified_sample", "assign_splits", "balanced_sample", "weighted_sample",
-           "SAMPLE_SALT"]
+           "mixture_allocation", "isqrt_i64", "SAMPLE_SALT"]
 
 SAMPLE_SALT = np.uint64(0xA076_1D64_78BD_642F)  # distinct from dedup/fp seeds
 _DENOM = np.uint64(1) << np.uint64(32)
@@ -190,3 +190,78 @@ def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def isqrt_i64(n: np.ndarray) -> np.ndarray:
+    """Exact floor(sqrt(n)) for int64 n >= 0: float sqrt + a one-step
+    integer correction (float rounding can land one off an integer
+    boundary; the division-based correction makes the result exact for the full int64 range)."""
+    n = np.asarray(n, dtype=np.int64)
+    s = np.floor(np.sqrt(n.astype(np.float64))).astype(np.int64)
+    # division-based corrections (s*s and (s+1)^2 can overflow int64):
+    # s^2 > n  <=>  s > n // s;  (s+1)^2 <= n  <=>  s+1 <= n // (s+1)
+    sp = np.maximum(s, 1)
+    s = s - ((s > 0) & (sp > n // sp))
+    s = s + ((s + 1) <= n // (s + 1))
+    return s
+
+
+def mixture_allocation(ds, *, key: str, target: int,
+                       n_partitions: int = 16):
+    """Temperature-based data-mixture planner: allocate a sampling
+    budget of ``target`` rows across the values of ``key`` with
+    weights proportional to sqrt(count) (the alpha = 0.5 temperature
+    that upweights small sources, standard in multilingual / multi-
+    source LLM data recipes), apportioned EXACTLY by the
+    largest-remainder (Hamilton) method:
+
+        base_s = target * w_s // W,   w_s = isqrt(count_s)
+        the target - sum(base) leftover units go to the largest
+        remainders (tie -> key ascending)
+
+    so quotas are integers that sum to exactly ``target`` and the plan
+    is deterministic.  Shape: one combiner-first keyed count (the only
+    shuffle, partial counts per batch), then the bounded per-key table
+    resolves on a single partition.  Emits (key, n_rows, weight,
+    quota)."""
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([key]).group_by(key).aggregate([([], "count_all")])
+        return pa.table({key: t.column(key),
+                         "n_rows": t.column("count_all")})
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[key],
+        aggs={"n_rows": ("n_rows", "sum")},
+        n_partitions=n_partitions,
+    )
+
+    def alloc(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch.column(key).to_pylist())
+        n = batch.column("n_rows").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ks, kind="stable")
+        ks, n = ks[order], n[order]
+        w = isqrt_i64(n)
+        W = int(w.sum())
+        base = target * w // W
+        rem = target * w % W
+        leftover = target - int(base.sum())
+        # leftover largest remainders win; ties -> key ascending
+        pick = np.lexsort((np.arange(len(ks)), -rem))[:leftover]
+        quota = base.copy()
+        quota[pick] += 1
+        return pa.table({
+            key: pa.array(ks.tolist(), pa.string()),
+            "n_rows": pa.array(n, pa.int64()),
+            "weight": pa.array(w, pa.int64()),
+            "quota": pa.array(quota, pa.int64()),
+        })
+
+    # bounded: one row per key value
+    return counts.repartition(1).map_batches(
+        alloc, batch_format="pyarrow", batch_size=None)

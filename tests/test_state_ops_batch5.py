@@ -285,3 +285,41 @@ def test_chi2_drift_matches_fraction_reference(ray_session):
     got_map = {(int(r.bucket), r.grp): (int(r.obs), int(r.chi2_q))
                for _, r in got.iterrows()}
     assert got_map == exp
+
+
+def test_isqrt_i64_exact_full_range():
+    import math
+
+    from equi7grid_ray.stages.sample import isqrt_i64
+
+    n = np.concatenate([
+        np.arange(0, 5000, dtype=np.int64),
+        np.array([2**62 - 1, 2**62, 10**18, 3037000499**2,
+                  3037000499**2 - 1, 2**63 - 1], dtype=np.int64),
+    ])
+    got = isqrt_i64(n)
+    for v, s in zip(n.tolist(), got.tolist()):
+        assert s == math.isqrt(v)
+
+
+def test_mixture_allocation_hand_case(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.sample import mixture_allocation
+
+    # counts 100 / 25 / 4 / 1 -> weights 10 / 5 / 2 / 1, W = 18
+    rows = (["a"] * 100) + (["b"] * 25) + (["c"] * 4) + (["d"] * 1)
+    ds = ray.data.from_arrow(pa.table({"source": pa.array(rows)}))
+    out = mixture_allocation(ds, key="source", target=18 * 3) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    # W divides target exactly: quota = 3 * weight, no remainder seats
+    assert out["weight"].tolist() == [10, 5, 2, 1]
+    assert out["quota"].tolist() == [30, 15, 6, 3]
+    assert out["quota"].sum() == 54
+
+    out2 = mixture_allocation(ds, key="source", target=100) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    # base = 100*w//18 = [55, 27, 11, 5] (sum 98), remainders
+    # [10, 14, 4, 10]: two seats -> b (14) then a (10, ties -> 'a' < 'd')
+    assert out2["quota"].tolist() == [56, 28, 11, 5]
+    assert out2["quota"].sum() == 100
