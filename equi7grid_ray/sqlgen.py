@@ -895,6 +895,37 @@ SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
 
 
+def doc_novelty_sql(shingle: int = 8) -> str:
+    """Mirror of stages/dedup.py doc_novelty: distinct char-k-gram
+    Horner hashes per doc; a shingle is novel for the smallest doc_id
+    carrying it.  Valid for corpora where every doc has length >=
+    shingle (the driver corpus: min 48)."""
+    hp = [pow(_PRIME, shingle - 1 - j, U64) for j in range(shingle)]
+    horner_rows = ", ".join(f"({j}, {hp[j]}::UBIGINT)" for j in range(shingle))
+    return f"""
+WITH hp(j, pw) AS (VALUES {horner_rows}),
+docs AS (SELECT doc_id, text FROM documents
+         WHERE length(text) >= {shingle}),
+wins AS (
+  SELECT doc_id, CAST(i AS INT) AS i
+  FROM docs, UNNEST(range(1, length(text) - {shingle} + 2)) AS r(i)),
+chars AS (
+  SELECT w.doc_id, w.i, hp.j,
+    (ascii(substring(d.text, w.i + hp.j, 1))::HUGEINT * hp.pw) % {U64}
+      AS term
+  FROM wins w JOIN docs d USING (doc_id) CROSS JOIN hp),
+wh AS (
+  SELECT doc_id, i, CAST(SUM(term) % {U64} AS UBIGINT) AS h
+  FROM chars GROUP BY doc_id, i),
+dist AS (SELECT DISTINCT doc_id, h FROM wh),
+firsts AS (SELECT h, min(doc_id) AS first_doc FROM dist GROUP BY h)
+SELECT d.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel
+FROM dist d JOIN firsts f USING (h) GROUP BY d.doc_id"""
+
+
 def canonical_quality_sql(num_perm: int = 64, bands: int = 16,
                           shingle: int = 8,
                           max_bucket: int = 200) -> str:

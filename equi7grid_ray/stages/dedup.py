@@ -24,6 +24,7 @@ __all__ = [
     "ngram_jaccard",
     "verified_near_dup_pairs",
     "lsh_cross_pairs",
+    "doc_novelty",
 ]
 
 
@@ -797,3 +798,62 @@ def lsh_cross_pairs(left, right, *, num_perm: int = 64, bands: int = 16,
     return hash_aggregate(
         cand, keys=["train_id", "eval_id"], aggs={"__n": ("train_id", "count")},
     ).select_columns(["train_id", "eval_id"])
+
+
+def doc_novelty(ds, *, k: int = 8, id_col: str = "doc_id",
+                text_col: str = "text", n_partitions: int = 32):
+    """Per-document n-gram novelty vs the EARLIER corpus: of a doc's
+    distinct char-``k``-gram hashes, how many appear in no smaller
+    doc_id -- the "how much new text does this doc add" curation score
+    (novelty ~ 0 flags recombinations exact/near dedup miss).
+
+    Shape: one vectorized Horner pass per batch (the shared
+    shingle_hashes kernel) emits distinct (hash, doc) pairs -- a doc's
+    text lives in one row, so within-batch dedupe IS global dedupe;
+    pairs hash-partition by shingle so each hash's first-doc resolves
+    in one vectorized pass per partition; per-doc partials fold there
+    and one keyed aggregate sums them.  Only (hash, doc) int pairs
+    ever shuffle.  Docs shorter than ``k`` emit no row."""
+    import pandas as pd
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h, doc = shingle_hashes(batch.column(text_col), k)
+        hi = h.view(np.int64)
+        d = ids[doc]
+        order = np.lexsort((d, hi))
+        hi, d = hi[order], d[order]
+        keep = np.ones(len(hi), dtype=bool)
+        keep[1:] = (hi[1:] != hi[:-1]) | (d[1:] != d[:-1])
+        hi, d = hi[keep], d[keep]
+        part = (hi.view(np.uint64) % np.uint64(n_partitions)).astype(np.int32)
+        return pa.table({
+            "h": pa.array(hi, pa.int64()),
+            "doc": pa.array(d, pa.int64()),
+            "__part": pa.array(part, pa.int32()),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        d = g["doc"].to_numpy()
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        ud, inv = np.unique(d, return_inverse=True)
+        n_sh = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+        n_nov = np.bincount(inv[first], minlength=len(ud)).astype(np.int64)
+        return pd.DataFrame({id_col: ud, "n_shingles": n_sh,
+                             "n_novel": n_nov})
+
+    parts = ds.map_batches(shingles, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pandas")
+    return hash_aggregate(
+        parts, keys=[id_col],
+        aggs={"n_shingles": ("n_shingles", "sum"),
+              "n_novel": ("n_novel", "sum")},
+        n_partitions=n_partitions,
+    )

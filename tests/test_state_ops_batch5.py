@@ -323,3 +323,37 @@ def test_mixture_allocation_hand_case(ray_session):
     # [10, 14, 4, 10]: two seats -> b (14) then a (10, ties -> 'a' < 'd')
     assert out2["quota"].tolist() == [56, 28, 11, 5]
     assert out2["quota"].sum() == 100
+
+
+def test_doc_novelty_hand_corpus(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.dedup import doc_novelty
+
+    # k=4 shingles; doc 1 is wholly contained in doc 0 -> novelty 0;
+    # doc 2 shares a prefix window with doc 0 but adds new ones.
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["abcdef", "bcde", "abcXY"], pa.string()),
+    })
+    out = doc_novelty(ray.data.from_arrow(docs), k=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 0: {abcd, bcde, cdef} all first -> 3/3
+    # doc 1: {bcde} seen in doc 0 -> 0/1
+    # doc 2: {abcX, bcXY} both new -> 2/2  (abc... window 'abcX' != 'abcd')
+    assert out["n_shingles"].tolist() == [3, 1, 2]
+    assert out["n_novel"].tolist() == [3, 0, 2]
+
+
+def test_doc_novelty_repeated_shingle_counts_once(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.dedup import doc_novelty
+
+    docs = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["abababab"], pa.string()),  # k=4: abab/baba x3/2
+    })
+    out = doc_novelty(ray.data.from_arrow(docs), k=4).to_pandas()
+    assert out["n_shingles"].tolist() == [2]   # distinct windows only
+    assert out["n_novel"].tolist() == [2]
