@@ -16,7 +16,7 @@ import pyarrow as pa
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize",
            "cumulative_over", "funnel_stages", "merge_intervals",
-           "scd2_intervals"]
+           "scd2_intervals", "cusum_alarms"]
 
 _US = 1_000_000
 
@@ -335,3 +335,71 @@ def scd2_intervals(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         })
 
     return parted.groupby("__part").map_groups(resolve, batch_format="pandas")
+
+
+def cusum_alarms(ds, *, ts_col: str = "ts", key: str = "event_type",
+                 width_s: int = 3600, h_mult: int = 3,
+                 n_partitions: int = 16):
+    """Streaming rate change-point detection: a one-sided CUSUM over
+    the per-``key`` event-rate series (counts per ``width_s`` bucket,
+    MISSING buckets count 0 -- a rate monitor must see silence), with
+    per-key drift k = ceil(mean rate) and alarm threshold h = h_mult*k.
+    The sequential recurrence  s_t = max(0, s_{t-1} + x_t - k)  is
+    computed CLOSED-FORM as  s_t = P_t - min(0, min_{j<=t} P_j)  with
+    P the prefix sum of (x - k), so the per-key series resolves in one
+    vectorized cumsum + running-min pass -- no Python loop, and the
+    identity is exactly what the SQL mirror's nested window functions
+    restate.
+
+    Shape: per-batch (key, bucket) count partials -> one keyed
+    aggregate (the only shuffle; bucket counts, not events, move) ->
+    per-key dense series (bounded by the stream's time span) resolved
+    per partition.  Emits (key, n_buckets, k, n_alarms, max_s,
+    first_alarm_bucket [-1 when quiet])."""
+    import pandas as pd
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    us = width_s * _US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = batch.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.int64())
+        b = pc.divide(ts, us)
+        t = pa.table({key: batch.column(key), "bucket": b}) \
+            .group_by([key, "bucket"]).aggregate([([], "count_all")])
+        return pa.table({key: t.column(key), "bucket": t.column("bucket"),
+                         "n": t.column("count_all")})
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[key, "bucket"], aggs={"n": ("n", "sum")},
+        n_partitions=n_partitions,
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for kv, grp in g.groupby(key, sort=False):
+            hr = grp["bucket"].to_numpy().astype(np.int64)
+            n = grp["n"].to_numpy().astype(np.int64)
+            h0, h1 = int(hr.min()), int(hr.max())
+            nh = h1 - h0 + 1
+            x = np.zeros(nh, np.int64)
+            x[hr - h0] = n
+            tot = int(n.sum())
+            k = -(-tot // nh)  # ceil
+            p = np.cumsum(x - k)
+            s = p - np.minimum(np.minimum.accumulate(p), 0)
+            h = h_mult * k
+            alarm = s >= h
+            first = int(np.flatnonzero(alarm)[0]) + h0 if alarm.any() else -1
+            out.append((kv, nh, k, int(alarm.sum()), int(s.max()), first))
+        return pd.DataFrame(out, columns=[
+            key, "n_buckets", "k", "n_alarms", "max_s",
+            "first_alarm_bucket"])
+
+    # keys are few; resolve each key's (bounded) series in one pass
+    return counts.groupby(key).map_groups(resolve, batch_format="pandas")

@@ -489,3 +489,60 @@ def test_mad_outliers_planted(ray_session):
                        id_col="doc_id", k=3).to_pandas()
     assert sorted(out.doc_id.tolist()) == [9, 10]
     assert set(out.src) == {"a"}
+
+
+def test_cusum_alarms_crafted_surge(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.windows import cusum_alarms
+
+    # key 'a': 1 event/hour for 10h, then a 6-event surge at hour 10.
+    # tot=16, nh=11 -> k=2 (ceil(16/11)); alarms when s >= 6.
+    ts, key = [], []
+    for h in range(10):
+        ts.append(h * 3600 * 1_000_000)
+        key.append("a")
+    ts += [10 * 3600 * 1_000_000 + j for j in range(6)]
+    key += ["a"] * 6
+    # key 'b': flat 1/hour for 5h -> k=1, s never reaches 3
+    ts += [h * 3600 * 1_000_000 for h in range(5)]
+    key += ["b"] * 5
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array(ts, pa.int64()),
+        "event_type": pa.array(key, pa.string()),
+    }))
+    out = cusum_alarms(ds, ts_col="ts", key="event_type", width_s=3600,
+                       h_mult=3).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    a = out.iloc[0]
+    # manual CUSUM, k=2: ten hours of x=1 keep s=0; hour 10 x=6 -> s=4
+    assert a["event_type"] == "a"
+    assert (a["n_buckets"], a["k"]) == (11, 2)
+    assert a["max_s"] == 4 and a["n_alarms"] == 0
+    b = out.iloc[1]
+    assert b["event_type"] == "b"
+    assert (b["k"], b["n_alarms"], b["max_s"],
+            b["first_alarm_bucket"]) == (1, 0, 0, -1)
+
+
+def test_cusum_alarms_fires_and_reports_first_hour(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.windows import cusum_alarms
+
+    # 20 quiet hours (1/hr) then 4 hours at 10/hr: tot=60, nh=24, k=3;
+    # s ramps 7, 14, 21, 28 -> alarms at s >= 9 from the 2nd surge hour
+    ts = [h * 3600 * 1_000_000 for h in range(20)]
+    for h in range(20, 24):
+        ts += [h * 3600 * 1_000_000 + j for j in range(10)]
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array(ts, pa.int64()),
+        "event_type": pa.array(["x"] * len(ts), pa.string()),
+    }))
+    out = cusum_alarms(ds, ts_col="ts", key="event_type", width_s=3600,
+                       h_mult=3).to_pandas()
+    r = out.iloc[0]
+    assert (r["n_buckets"], r["k"]) == (24, 3)
+    # prefix of (x-k): 20 hours of -2 floor at 0; surge +7/hr
+    assert r["max_s"] == 28
+    assert r["n_alarms"] == 3 and r["first_alarm_bucket"] == 21
