@@ -16,7 +16,7 @@ __all__ = ["token_stats", "bpe_token_count", "quality_score",
            "quality_buckets", "LangId", "fingerprint64", "BPE_SPLIT_RE",
            "STOPWORDS", "gopher_filter", "inverted_index",
            "collocations_pmi", "pii_scrub", "EMAIL_RE", "PHONE_RE",
-           "doc_chunks"]
+           "doc_chunks", "vocab_growth"]
 
 # interior-occurrence stopword probes (space-padded, so only
 # mid-document occurrences count -- identical semantics to the SQL
@@ -799,3 +799,72 @@ def doc_chunks(batch: pa.Table, *, id_col: str = "doc_id",
         "n_toks": pa.array(n_toks, pa.int64()),
         "n_chars": pa.array(n_chars, pa.int64()),
     })
+
+
+def vocab_growth(ds, *, bucket_docs: int = 50, id_col: str = "doc_id",
+                 text_col: str = "text", n_partitions: int = 16):
+    """Heaps-law vocabulary growth curve: docs are grouped into
+    ingestion buckets of ``bucket_docs`` consecutive doc_ids; a token
+    is NEW in the bucket of the smallest doc_id carrying it.  Emits
+    one row per non-empty bucket: (bucket, new_tokens, cum_vocab) --
+    the diminishing-returns curve data teams read before buying more
+    of the same source.
+
+    Shape: per-batch per-token min-doc partials (one zero-copy Arrow
+    split + group_by per batch -- a combiner, so the shuffle moves one
+    (token, min_doc) row per DISTINCT token per batch, not per
+    occurrence), one keyed min aggregate, then the bounded bucket
+    histogram folds on a single partition with a cumulative sum."""
+    import pandas as pd
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(col)
+        lodt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lo = np.frombuffer(toks.buffers()[1], dtype=lodt)[
+            toks.offset : toks.offset + n + 1].astype(np.int64)
+        rep = np.repeat(ids, np.diff(lo))
+        t = pa.table({
+            "token": toks.values,
+            "first_doc": pa.array(rep, pa.int64()),
+        }).group_by("token").aggregate([("first_doc", "min")])
+        return pa.table({"token": t.column("token"),
+                         "first_doc": t.column("first_doc_min")})
+
+    firsts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["token"], aggs={"first_doc": ("first_doc", "min")},
+        n_partitions=n_partitions,
+    )
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        fd = batch.column("first_doc").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = fd // bucket_docs
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "new_tokens": pa.array(cnt.astype(np.int64),
+                                                pa.int64())})
+
+    hist = hash_aggregate(
+        firsts.map_batches(to_bucket, batch_format="pyarrow"),
+        keys=["bucket"], aggs={"new_tokens": ("new_tokens", "sum")},
+        n_partitions=1,
+    )
+
+    def cum(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("bucket").reset_index(drop=True)
+        g["cum_vocab"] = g["new_tokens"].cumsum().astype(np.int64)
+        return g[["bucket", "new_tokens", "cum_vocab"]]
+
+    return hist.repartition(1).map_batches(
+        cum, batch_format="pandas", batch_size=None)

@@ -357,3 +357,22 @@ def test_doc_novelty_repeated_shingle_counts_once(ray_session):
     out = doc_novelty(ray.data.from_arrow(docs), k=4).to_pandas()
     assert out["n_shingles"].tolist() == [2]   # distinct windows only
     assert out["n_novel"].tolist() == [2]
+
+
+def test_vocab_growth_hand_corpus(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.text import vocab_growth
+
+    # bucket size 2: docs 0-1 introduce {a,b,c}; docs 2-3 add {d};
+    # docs 4-5 add {e,f}; repeats never count again
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["a b", "b c", "c d a", "d b", "e f a", "f"],
+                         pa.string()),
+    })
+    out = vocab_growth(ray.data.from_arrow(docs), bucket_docs=2) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    assert out["bucket"].tolist() == [0, 1, 2]
+    assert out["new_tokens"].tolist() == [3, 1, 2]
+    assert out["cum_vocab"].tolist() == [3, 4, 6]
