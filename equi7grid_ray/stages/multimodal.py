@@ -2029,3 +2029,126 @@ class Median3Stats:
             "med_sum": pa.array(msum, pa.int64()),
             "n_interior": pa.array(ninter, pa.int64()),
         })
+
+
+def shift_detect(ds, *, stride: int = 9, max_lag: int = 4,
+                 id_col: str = "image_id", n_partitions: int = 16):
+    """Scene co-registration check: estimate the vertical mis-
+    registration between revisit pairs (frame i vs frame i + ``stride``
+    -- same dimensions by the fixture's size cycle) from horizontal
+    projection profiles, the classic profile-correlation registration
+    step.  For each lag d in [-max_lag, max_lag] the exact SAD of the
+    overlapping profile rows is computed; the winner minimizes the
+    exact MEAN absolute difference (cross-multiplied rational compare
+    -- overlap size varies by lag), ties -> smallest d.
+
+    Shape: pixels collapse to one int64 profile row per scan line at
+    the decode stage (the only stage that sees payloads); (pair, row)
+    profile rows hash-partition by pair; each partition resolves ALL
+    its pairs with 2*max_lag+1 vectorized searchsorted alignments --
+    no per-pair Python.  Emits (image_id, best_lag, sad, n_overlap)
+    per pair."""
+    import pandas as pd
+
+    from equi7grid_ray.arrowutil import binary_view
+
+    lags = list(range(-max_lag, max_lag + 1))
+
+    def profiles(batch: pa.Table) -> pa.Table:
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        ids = [int(s[3:]) for s in batch.column(id_col).to_pylist()]
+        pid, rr, vv, side = [], [], [], []
+        for j in range(batch.num_rows):
+            v = _decode_luma(data, offs, fmts, ws, hs, j)
+            prof = v.sum(axis=1, dtype=np.int64)
+            i = ids[j]
+            r = np.arange(len(prof), dtype=np.int64)
+            # side a of pair i; side b of pair i - stride
+            pid.append(np.full(len(prof), i, np.int64))
+            rr.append(r); vv.append(prof)
+            side.append(np.zeros(len(prof), np.int8))
+            if i >= stride:
+                pid.append(np.full(len(prof), i - stride, np.int64))
+                rr.append(r); vv.append(prof)
+                side.append(np.ones(len(prof), np.int8))
+        pidc = np.concatenate(pid) if pid else np.empty(0, np.int64)
+        part = (pidc % n_partitions).astype(np.int32)
+        return pa.table({
+            "pid": pa.array(pidc, pa.int64()),
+            "r": pa.array(np.concatenate(rr) if rr else
+                          np.empty(0, np.int64), pa.int64()),
+            "v": pa.array(np.concatenate(vv) if vv else
+                          np.empty(0, np.int64), pa.int64()),
+            "side": pa.array(np.concatenate(side) if side else
+                             np.empty(0, np.int8), pa.int8()),
+            "__part": pa.array(part, pa.int32()),
+        })
+
+    R = 1 << 10  # rows per frame < 1024: packed (pair, row) key
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        pid = g["pid"].to_numpy().astype(np.int64)
+        r = g["r"].to_numpy().astype(np.int64)
+        v = g["v"].to_numpy().astype(np.int64)
+        am, bm = side == 0, side == 1
+        # pairs need both sides present
+        both = np.intersect1d(np.unique(pid[am]), np.unique(pid[bm]))
+        if len(both) == 0:
+            return pd.DataFrame({"pid": pd.Series([], dtype=np.int64),
+                                 "best_lag": pd.Series([], dtype=np.int64),
+                                 "sad": pd.Series([], dtype=np.int64),
+                                 "n_overlap": pd.Series([], dtype=np.int64)})
+        keep = np.isin(pid, both)
+        pid, r, v, am = pid[keep], r[keep], v[keep], (side[keep] == 0)
+        upid, pinv = np.unique(pid, return_inverse=True)
+        npair = len(upid)
+        ka = pinv[am] * R + r[am]
+        va = v[am]
+        kb = pinv[~am] * R + r[~am]
+        vb = v[~am]
+        ob = np.argsort(kb, kind="stable")
+        kb, vb = kb[ob], vb[ob]
+        best_sad = np.zeros(npair, np.int64)
+        best_n = np.zeros(npair, np.int64)
+        best_d = np.zeros(npair, np.int64)
+        init = np.ones(npair, dtype=bool)
+        for d in lags:
+            tk = ka + d
+            pos = np.searchsorted(kb, tk)
+            pos_c = np.minimum(pos, len(kb) - 1)
+            hit = kb[pos_c] == tk
+            diff = np.abs(va[hit] - vb[pos_c[hit]])
+            # recover the pair index from the packed key: hits always
+            # carry 0 <= r + d < R, so the floor-div is exact
+            pp = tk[hit] // R
+            sad = np.bincount(pp, weights=diff, minlength=npair) \
+                .astype(np.int64)
+            n = np.bincount(pp, minlength=npair).astype(np.int64)
+            has = n > 0
+            # exact mean-SAD compare: sad/n < best/bn <=> sad*bn < best*n
+            better = has & (init | (sad * best_n < best_sad * n))
+            best_sad[better] = sad[better]
+            best_n[better] = n[better]
+            best_d[better] = d
+            init &= ~better
+        return pd.DataFrame({"pid": upid, "best_lag": best_d,
+                             "sad": best_sad, "n_overlap": best_n})
+
+    out = ds.map_batches(profiles, batch_format="pyarrow") \
+        .groupby("__part").map_groups(resolve, batch_format="pandas")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pid = batch.column("pid").to_numpy(zero_copy_only=False)
+        ids = pa.array([f"img{int(i):012d}" for i in pid], pa.string())
+        return pa.table({
+            id_col: ids,
+            "best_lag": batch.column("best_lag"),
+            "sad": batch.column("sad"),
+            "n_overlap": batch.column("n_overlap"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -993,3 +993,59 @@ def test_masked_mosaic_all_cloudy_cell():
     assert out.num_rows == 64
     assert set(out["n_clear"].to_pylist()) == {0}
     assert set(out["max_clear"].to_pylist()) == {-1}
+
+
+def test_shift_detect_planted_shift(ray_session):
+    import ray
+
+    from equi7grid_ray.codec import encode_image
+    from equi7grid_ray.stages.multimodal import shift_detect
+
+    # frame B is frame A shifted DOWN by 2 rows (distinct row sums) --
+    # profile of B at row r+2 equals profile of A at row r, so the
+    # best alignment is lag d with A[r] == B[r+d] => d = +2, SAD 0.
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 255, size=(24, 16)).astype(np.uint8)
+    b = np.zeros_like(a)
+    b[2:] = a[:-2]
+
+    def row(i, img):
+        return {
+            "image_id": f"img{i:012d}",
+            "bytes": encode_image(img, "raw"),
+            "w": 16, "h": 24, "fmt": "raw",
+        }
+
+    t = pa.Table.from_pylist([row(0, a), row(1, b)])
+    out = shift_detect(ray.data.from_arrow(t), stride=1, max_lag=4) \
+        .to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["image_id"] == "img000000000000"
+    assert r["best_lag"] == 2 and r["sad"] == 0 and r["n_overlap"] == 22
+
+
+def test_shift_detect_matches_bruteforce(ray_session):
+    import ray
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.multimodal import shift_detect
+
+    n = 40
+    out = shift_detect(ray.data.from_arrow(make_batch(0, n)),
+                       stride=9, max_lag=4).to_pandas()
+    got = {r["image_id"]: (r["best_lag"], r["sad"], r["n_overlap"])
+           for _, r in out.iterrows()}
+    assert len(got) == n - 9
+    for i in range(n - 9):
+        pa_ = _img_of(i).astype(np.int64).sum(axis=1)
+        pb = _img_of(i + 9).astype(np.int64).sum(axis=1)
+        h = len(pa_)
+        best = None
+        for d in range(-4, 5):
+            lo, hi = max(0, -d), min(h, h - d)
+            sad = int(np.abs(pa_[lo:hi] - pb[lo + d:hi + d]).sum())
+            cnt = hi - lo
+            if best is None or sad * best[1] < best[0] * cnt:
+                best = (sad, cnt, d)
+        assert got[f"img{i:012d}"] == (best[2], best[0], best[1])
