@@ -546,3 +546,29 @@ def test_cusum_alarms_fires_and_reports_first_hour(ray_session):
     # prefix of (x-k): 20 hours of -2 floor at 0; surge +7/hr
     assert r["max_s"] == 28
     assert r["n_alarms"] == 3 and r["first_alarm_bucket"] == 21
+
+
+def test_user_retention_hand_case(ray_session):
+    import ray
+
+    import __ray_entry__  # noqa: F401  (query fn exercises the shape)
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    wk = 7 * 86400 * 1_000_000
+    # u1 active weeks 0,1,3; u2 weeks 1,1(dup),2; u3 week 3 only
+    rows = [(1, 0), (1, 1), (1, 3), (2, 1), (2, 1), (2, 2), (3, 3)]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "week": pa.array([w for _, w in rows], pa.int64()),
+    }))
+    ua = hash_aggregate(ds, keys=["user_id", "week"],
+                        aggs={"__n": ("week", "count")}) \
+        .select_columns(["user_id", "week"])
+    fw = hash_aggregate(ua, keys=["user_id"],
+                        aggs={"cohort_week": ("week", "min")})
+    j = shuffle_hash_join(ua, fw, on="user_id").to_pandas()
+    j["off"] = j["week"] - j["cohort_week"]
+    got = j.groupby(["cohort_week", "off"]).size().to_dict()
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (1, 1): 1, (3, 0): 1}
