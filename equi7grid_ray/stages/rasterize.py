@@ -33,7 +33,7 @@ import pyarrow as pa
 from equi7grid_ray.stages.aggregate import hash_aggregate
 
 __all__ = ["point_in_polygon_mask", "rasterize_polygons",
-           "rasterize_majority", "poly_stats"]
+           "rasterize_majority", "poly_stats", "poly_simplify"]
 
 
 def rasterize_majority(cells, polys: pa.Table, *, px_col: str = "px",
@@ -246,3 +246,55 @@ def rasterize_polygons(cells, polys: pa.Table, *, px_col: str = "px",
         aggs["max_v"] = ("max_v", "max")
     return hash_aggregate(part, keys=["poly_id"], aggs=aggs,
                           n_partitions=n_partitions)
+
+
+def poly_simplify(ds, *, tol2: int, id_col: str = "poly_id",
+                  x_col: str = "vx", y_col: str = "vy"):
+    """Radial-distance polyline simplification (the cheap GIS
+    pre-filter before Douglas-Peucker): vertex 0 is always kept; each
+    later vertex is kept iff its SQUARED distance from the last KEPT
+    vertex exceeds ``tol2`` (exact integers, no sqrt).  Emits one row
+    per ring: (id, nv, n_kept, kept_cksum) with kept_cksum =
+    sum(x + 7*y) over kept vertices, pinning the kept SET, not just
+    its size.
+
+    The keep rule is a sequential recurrence along each ring, but
+    rings are short and independent: the scan runs as max(nv)
+    VECTORIZED steps across ALL rings in the batch (each step one
+    masked gather/update over the ring axis) -- no per-ring Python.
+    Map-only, no shuffle.  The SQL mirror walks the same recurrence as
+    a recursive CTE."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        xs = batch.column(x_col).combine_chunks()
+        ys = batch.column(y_col).combine_chunks()
+        if isinstance(xs, pa.ChunkedArray):
+            xs, ys = xs.chunk(0), ys.chunk(0)
+        offs = xs.offsets.to_numpy().astype(np.int64)
+        x = xs.values.to_numpy().astype(np.int64)
+        y = ys.values.to_numpy().astype(np.int64)
+        starts = offs[:-1]
+        nv = np.diff(offs)
+        n = len(nv)
+        lx = x[starts].copy()
+        ly = y[starts].copy()
+        kept = np.ones(n, np.int64)
+        cks = lx + 7 * ly
+        for p in range(1, int(nv.max()) if n else 0):
+            valid = np.flatnonzero(nv > p)
+            idx = starts[valid] + p
+            xi, yi = x[idx], y[idx]
+            d2 = (xi - lx[valid]) ** 2 + (yi - ly[valid]) ** 2
+            sel = valid[d2 > tol2]
+            xi, yi = xi[d2 > tol2], yi[d2 > tol2]
+            lx[sel], ly[sel] = xi, yi
+            kept[sel] += 1
+            cks[sel] += xi + 7 * yi
+        return pa.table({
+            id_col: batch.column(id_col),
+            "nv": pa.array(nv, pa.int64()),
+            "n_kept": pa.array(kept, pa.int64()),
+            "kept_cksum": pa.array(cks, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -268,3 +268,37 @@ def test_rasterize_majority_mode_and_tie(ray_session):
     row = out.iloc[0]
     # v=7 and v=3 both have 40 cells: tie -> smallest value wins
     assert (row.mode_v, row.mode_n, row.n_vals) == (3, 40, 3)
+
+
+def test_poly_simplify_matches_scalar(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.rasterize import poly_simplify
+
+    rng = np.random.default_rng(11)
+    rings = [rng.integers(0, 2000, size=(3 + rng.integers(0, 10), 2))
+             for _ in range(200)]
+    offs = np.zeros(len(rings) + 1, np.int32)
+    np.cumsum([len(r) for r in rings], out=offs[1:])
+    flat = np.concatenate(rings)
+    t = pa.table({
+        "poly_id": pa.array(np.arange(len(rings)), pa.int64()),
+        "vx": pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       pa.array(flat[:, 0], pa.int64())),
+        "vy": pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       pa.array(flat[:, 1], pa.int64())),
+    })
+    tol2 = 300 ** 2
+    out = poly_simplify(ray.data.from_arrow(t), tol2=tol2).to_pandas() \
+        .sort_values("poly_id").reset_index(drop=True)
+    for i, ring in enumerate(rings):
+        lx, ly = int(ring[0][0]), int(ring[0][1])
+        kept, cks = 1, lx + 7 * ly
+        for x, y in ring[1:]:
+            if (int(x) - lx) ** 2 + (int(y) - ly) ** 2 > tol2:
+                lx, ly = int(x), int(y)
+                kept += 1
+                cks += lx + 7 * ly
+        r = out.iloc[i]
+        assert (r["nv"], r["n_kept"], r["kept_cksum"]) == \
+            (len(ring), kept, cks)
