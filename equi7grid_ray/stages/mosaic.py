@@ -28,7 +28,8 @@ from equi7grid_ray.stages.aggregate import hash_aggregate
 from equi7grid_ray.stages.multimodal import _decode_luma
 
 __all__ = ["MosaicGrid", "tile_mosaic", "tile_focal_mean",
-           "tile_similarity", "MaskedMosaicGrid", "tile_clear_composite"]
+           "tile_similarity", "MaskedMosaicGrid", "tile_clear_composite",
+           "tile_gradient"]
 
 
 class MosaicGrid:
@@ -124,6 +125,30 @@ def _packed_keys(cont_idx, te, tn, gr, gc, grid=8):
              + tn + 1200) * grid * grid + gr * grid + gc)
 
 
+
+def _parse_tile_cols(b: pa.Table):
+    """(continent index, easting, SIGNED northing, gr, gc) arrays from
+    a mosaic batch.  The northing token carries a hemisphere sign
+    (N006 vs S006) -- parsing it unsigned would conflate hemisphere
+    twin tiles into one packed stencil key."""
+    import pyarrow.compute as pc
+
+    tile = b.column("tile")
+    cont = pc.utf8_slice_codeunits(tile, 0, 2)
+    cidx = np.searchsorted(np.asarray(_CONTS),
+                           cont.to_numpy(zero_copy_only=False))
+    te = pc.cast(pc.utf8_slice_codeunits(tile, 4, 7), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    tn = pc.cast(pc.utf8_slice_codeunits(tile, 8, 11), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    sign = pc.equal(pc.utf8_slice_codeunits(tile, 7, 8), "S") \
+        .to_numpy(zero_copy_only=False)
+    tn = np.where(sign, -tn, tn)
+    gr = b.column("gr").to_numpy(zero_copy_only=False).astype(np.int64)
+    gc = b.column("gc").to_numpy(zero_copy_only=False).astype(np.int64)
+    return cidx, te, tn, gr, gc
+
+
 def tile_focal_mean(mosaic, *, value: str = "v_max", grid: int = 8,
                     n_partitions: int = 32):
     """3x3 focal (moving-window) mean over the tile-mosaic composite,
@@ -147,18 +172,7 @@ def tile_focal_mean(mosaic, *, value: str = "v_max", grid: int = 8,
 
     mosaic = mosaic.materialize()  # bounded: |tiles| * grid^2
 
-    def parse(b: pa.Table):
-        tile = b.column("tile")
-        cont = pc.utf8_slice_codeunits(tile, 0, 2)
-        cidx = np.searchsorted(np.asarray(_CONTS),
-                               cont.to_numpy(zero_copy_only=False))
-        te = pc.cast(pc.utf8_slice_codeunits(tile, 4, 7), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        tn = pc.cast(pc.utf8_slice_codeunits(tile, 8, 11), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        gr = b.column("gr").to_numpy(zero_copy_only=False).astype(np.int64)
-        gc = b.column("gc").to_numpy(zero_copy_only=False).astype(np.int64)
-        return cidx, te, tn, gr, gc
+    parse = _parse_tile_cols
 
     def scatter(b: pa.Table) -> pa.Table:
         cidx, te, tn, gr, gc = parse(b)
@@ -370,3 +384,97 @@ def tile_clear_composite(ds, *, grid: int = 8, cloud_t: int = 200,
         },
         n_partitions=n_partitions,
     )
+
+
+def tile_gradient(mosaic, *, value: str = "v_max", grid: int = 8,
+                  n_partitions: int = 32):
+    """Central-difference gradient (the slope/roughness map-algebra
+    step) over the tile-mosaic composite, ACROSS tile boundaries via
+    the same +/-6 easting/northing halo rule as :func:`tile_focal_mean`:
+
+        gx = v(east neighbour) - v(west neighbour)
+        gy = v(south neighbour) - v(north neighbour)   (gr south-positive)
+        g1 = |gx| + |gy|   (exact L1 gradient magnitude)
+
+    Only cells with BOTH horizontal and BOTH vertical neighbours
+    present are emitted (the interior after halo exchange -- a
+    derivative needs both sides).  Shape: each cell scatters signed
+    contributions to its 4 neighbour centers as packed int64 keys
+    (metadata-only), one hash_aggregate folds (gx, gy, nx, ny), one
+    cogroup join back onto existing centers."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    mosaic = mosaic.materialize()  # bounded: |tiles| * grid^2
+
+    parse = _parse_tile_cols
+
+    def scatter(b: pa.Table) -> pa.Table:
+        cidx, te, tn, gr, gc = parse(b)
+        v = b.column(value).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, gx, gy, nx, ny = [], [], [], [], []
+        z = np.zeros(len(v), np.int64)
+        one = np.ones(len(v), np.int64)
+        # (dr, dc, sign, horizontal?): receiving center sits at
+        # (gr - dr, gc - dc) relative to this cell
+        for dr, dc, sgn, horiz in ((0, 1, -1, True), (0, -1, 1, True),
+                                   (1, 0, -1, False), (-1, 0, 1, False)):
+            tr, tc = gr - dr, gc - dc
+            sn = tn + np.where(tr < 0, 6, 0) - np.where(tr >= grid, 6, 0)
+            se = te + np.where(tc < 0, -6, 0) + np.where(tc >= grid, 6, 0)
+            keys.append(_packed_keys(cidx, se, sn, tr % grid,
+                                     tc % grid, grid))
+            gx.append(-sgn * v if horiz else z)
+            gy.append(-sgn * v if not horiz else z)
+            nx.append(one if horiz else z)
+            ny.append(one if not horiz else z)
+        return pa.table({
+            "fkey": pa.array(np.concatenate(keys), pa.int64()),
+            "gx_": pa.array(np.concatenate(gx), pa.int64()),
+            "gy_": pa.array(np.concatenate(gy), pa.int64()),
+            "nx_": pa.array(np.concatenate(nx), pa.int64()),
+            "ny_": pa.array(np.concatenate(ny), pa.int64()),
+        })
+
+    sums = hash_aggregate(
+        mosaic.map_batches(scatter, batch_format="pyarrow"),
+        keys=["fkey"],
+        aggs={"gx": ("gx_", "sum"), "gy": ("gy_", "sum"),
+              "nx": ("nx_", "sum"), "ny": ("ny_", "sum")},
+        n_partitions=n_partitions,
+    )
+
+    def centers(b: pa.Table) -> pa.Table:
+        cidx, te, tn, gr, gc = parse(b)
+        return pa.table({
+            "fkey": pa.array(_packed_keys(cidx, te, tn, gr, gc, grid),
+                             pa.int64()),
+            "tile": b.column("tile"),
+            "gr": b.column("gr"),
+            "gc": b.column("gc"),
+        })
+
+    joined = shuffle_hash_join(
+        mosaic.map_batches(centers, batch_format="pyarrow"), sums,
+        on="fkey", n_partitions=n_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nx = b.column("nx").to_numpy(zero_copy_only=False)
+        ny = b.column("ny").to_numpy(zero_copy_only=False)
+        gx = b.column("gx").to_numpy(zero_copy_only=False)
+        gy = b.column("gy").to_numpy(zero_copy_only=False)
+        keep = (nx == 2) & (ny == 2)
+        t = pa.table({
+            "tile": b.column("tile"),
+            "gr": b.column("gr"),
+            "gc": b.column("gc"),
+            "gx": pa.array(gx.astype(np.int64), pa.int64()),
+            "gy": pa.array(gy.astype(np.int64), pa.int64()),
+            "g1": pa.array((np.abs(gx) + np.abs(gy)).astype(np.int64),
+                           pa.int64()),
+        })
+        return t.filter(pa.array(keep))
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1049,3 +1049,67 @@ def test_shift_detect_matches_bruteforce(ray_session):
             if best is None or sad * best[1] < best[0] * cnt:
                 best = (sad, cnt, d)
         assert got[f"img{i:012d}"] == (best[2], best[0], best[1])
+
+
+def test_tile_gradient_halo_and_interior(ray_session):
+    """Central-difference gradient across a tile boundary: on the
+    linear field v = gr*8 + gc (+1000 in the east tile), interior
+    cells have gx = 2, gy = 16; edge cells bordering the neighbour
+    tile see its values; cells missing any of the 4 neighbours are
+    dropped."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import tile_gradient
+
+    rows = []
+    for tile, base in (("EU_E036N078T6", 10), ("EU_E042N078T6", 1000)):
+        for gr in range(8):
+            for gc in range(8):
+                rows.append((tile, gr, gc, base + gr * 8 + gc))
+    t = pa.table({
+        "tile": pa.array([r[0] for r in rows]),
+        "gr": pa.array([r[1] for r in rows], pa.int32()),
+        "gc": pa.array([r[2] for r in rows], pa.int32()),
+        "v_max": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = tile_gradient(rd.from_arrow(t)).to_pandas()
+    got = {(r.tile, r.gr, r.gc): (r.gx, r.gy, r.g1)
+           for r in out.itertuples()}
+    # rows 0 and 7 lack N/S neighbours -> only gr 1..6 survive; gc 0 of
+    # the west tile and gc 7 of the east tile lack E/W neighbours
+    assert len(got) == 6 * (7 + 7)
+    assert got[("EU_E036N078T6", 3, 3)] == (2, 16, 18)
+    # west tile's east edge reads the east tile: gx = v(E) - v(W) =
+    # (1000 + 3*8 + 0) - (10 + 3*8 + 6) = 984
+    assert got[("EU_E036N078T6", 3, 7)] == (984, 16, 1000)
+    # east tile's west edge: gx = (1000+3*8+1) - (10+3*8+7) = 984
+    assert got[("EU_E042N078T6", 3, 0)] == (984, 16, 1000)
+    assert ("EU_E036N078T6", 0, 3) not in got
+    assert ("EU_E042N078T6", 3, 7) not in got
+
+
+def test_mosaic_halo_distinguishes_hemispheres(ray_session):
+    """N006 and S006 tiles are DIFFERENT northings: a cell on the
+    north edge of S-hemisphere tile must not read values from the
+    N-hemisphere twin (regression for the unsigned-northing parse)."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import tile_focal_mean
+
+    rows = []
+    for tile, base in (("AS_E012N006T6", 0), ("AS_E012S006T6", 5000)):
+        for gr in range(8):
+            for gc in range(8):
+                rows.append((tile, gr, gc, base))
+    t = pa.table({
+        "tile": pa.array([r[0] for r in rows]),
+        "gr": pa.array([r[1] for r in rows], pa.int32()),
+        "gc": pa.array([r[2] for r in rows], pa.int32()),
+        "v_max": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = tile_focal_mean(rd.from_arrow(t)).to_pandas()
+    # tiles N006 and S006 are 2 tile-steps apart (N000 between them):
+    # every window stays within its own tile -> means are pure
+    for r in out.itertuples():
+        expect = 0 if "N006" in r.tile else 5000
+        assert r.focal == expect, (r.tile, r.gr, r.gc)
