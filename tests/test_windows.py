@@ -572,3 +572,18 @@ def test_user_retention_hand_case(ray_session):
     got = j.groupby(["cohort_week", "off"]).size().to_dict()
     assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
                    (1, 0): 1, (1, 1): 1, (3, 0): 1}
+
+
+def test_event_type_correlation_hand_case(ray_session):
+    import __ray_entry__ as e
+    import duckdb
+
+    out = e.q_event_type_correlation("/root/testdata/sf0.001") \
+        .to_pandas().sort_values(["type_a", "type_b"]) \
+        .reset_index(drop=True)
+    assert len(out) == 10  # C(5,2) type pairs
+    # numerators are the cleared Pearson forms: |corr| <= 1 exactly
+    # <=> cov_num^2 <= varx_num * vary_num (Cauchy-Schwarz, integers)
+    for r in out.itertuples():
+        assert r.cov_num * r.cov_num <= r.varx_num * r.vary_num
+        assert r.varx_num >= 0 and r.vary_num >= 0
