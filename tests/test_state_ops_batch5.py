@@ -376,3 +376,26 @@ def test_vocab_growth_hand_corpus(ray_session):
     assert out["bucket"].tolist() == [0, 1, 2]
     assert out["new_tokens"].tolist() == [3, 1, 2]
     assert out["cum_vocab"].tolist() == [3, 4, 6]
+
+
+def test_split_leakage_labels_match_assign_splits(ray_session):
+    """The pair-labeling shortcut (pure hash function of the id) must
+    agree with assign_splits' labels row for row."""
+    import ray
+
+    from equi7grid_ray.stages.dedup import _mix64
+    from equi7grid_ray.stages.sample import (SAMPLE_SALT, assign_splits,
+                                             rate_to_threshold)
+
+    ids = np.arange(1000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    ref = assign_splits(ds, {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .to_pandas().set_index("doc_id")["split"]
+    bounds = np.array([rate_to_threshold(0.8), rate_to_threshold(0.9)],
+                      np.uint64)
+    names = np.array(["train", "val", "test"])
+    h = _mix64(ids.view(np.uint64) ^ SAMPLE_SALT)
+    lab = names[np.searchsorted(bounds,
+                                h.view(np.uint64) % np.uint64(1 << 32),
+                                side="right")]
+    assert (ref.loc[ids].to_numpy() == lab).all()
