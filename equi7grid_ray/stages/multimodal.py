@@ -2152,3 +2152,63 @@ def shift_detect(ds, *, stride: int = 9, max_lag: int = 4,
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+class AudioDownsample:
+    """Anti-aliased integer decimation of s16le PCM payloads: each
+    block of ``factor`` consecutive samples collapses to its
+    TRUNCATED-toward-zero mean (DuckDB's ``//`` semantics, pinned by
+    test), the cheap box filter + decimate resampler.  Per clip emits
+    (n_out, sum_sq_ds, peak_ds) of the downsampled signal -- the
+    energy/peak contract a loudness pipeline checks after resampling.
+    A trailing partial block is dropped (both engines).  Per-row numpy
+    kernels; no per-sample Python."""
+
+    def __init__(self, factor: int = 4, id_col: str = "image_id"):
+        self.factor = factor
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist() \
+            if "fmt" in batch.column_names else ["raw"] * batch.num_rows
+        ws = batch.column("w").to_numpy() if "w" in batch.column_names \
+            else None
+        hs = batch.column("h").to_numpy() if "h" in batch.column_names \
+            else None
+        D = self.factor
+        n = batch.num_rows
+        n_out = np.zeros(n, np.int64)
+        ssq = np.zeros(n, np.int64)
+        peak = np.zeros(n, np.int64)
+        for j, f in enumerate(fmts):
+            raw = np.frombuffer(data, np.uint8,
+                                count=int(offs[j + 1] - offs[j]),
+                                offset=int(offs[j]))
+            if f in ("raw", "png") and ws is not None:
+                raw = decode_image(raw, f, int(ws[j]), int(hs[j]),
+                                   copy=False).reshape(-1)
+            elif f not in ("raw", "pcm"):
+                raise NotImplementedError(
+                    f"audio format {f!r}: codec libraries unavailable"
+                )
+            m = len(raw) // 2
+            k = m // D
+            if k == 0:
+                continue
+            pair = raw[: 2 * m].reshape(m, 2).astype(np.int64)
+            v = pair[:, 0] + 256 * pair[:, 1]
+            v -= (v >= 32768) * 65536
+            s = v[: k * D].reshape(k, D).sum(axis=1)
+            y = np.sign(s) * (np.abs(s) // D)  # trunc-toward-zero mean
+            n_out[j] = k
+            ssq[j] = int(np.dot(y, y))
+            peak[j] = int(np.abs(y).max())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_out": pa.array(n_out, pa.int64()),
+            "sum_sq_ds": pa.array(ssq, pa.int64()),
+            "peak_ds": pa.array(peak, pa.int64()),
+        })

@@ -1113,3 +1113,25 @@ def test_mosaic_halo_distinguishes_hemispheres(ray_session):
     for r in out.itertuples():
         expect = 0 if "N006" in r.tile else 5000
         assert r.focal == expect, (r.tile, r.gr, r.gc)
+
+
+def test_audio_downsample_trunc_rule_and_values():
+    from equi7grid_ray.codec import encode_image
+    from equi7grid_ray.stages.multimodal import AudioDownsample
+
+    # craft s16le samples incl. a NEGATIVE block mean that truncation
+    # and flooring disagree on: block (-1,-1,-1,-4) -> sum -7 ->
+    # trunc(-7/4) = -1 (floor would give -2)
+    samples = np.array([-1, -1, -1, -4, 100, 200, 300, 400, 7],
+                       dtype=np.int16)  # trailing partial dropped
+    raw = samples.astype('<i2').tobytes()
+    batch = pa.table({
+        "image_id": pa.array(["x"], pa.string()),
+        "bytes": pa.array([raw], pa.binary()),
+        "fmt": pa.array(["pcm"], pa.string()),
+    })
+    out = AudioDownsample(factor=4)(batch)
+    # block means: trunc(-7/4) = -1; trunc(1000/4) = 250
+    assert out["n_out"][0].as_py() == 2
+    assert out["sum_sq_ds"][0].as_py() == 1 + 250 * 250
+    assert out["peak_ds"][0].as_py() == 250
