@@ -39,7 +39,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["connected_components", "canonical_assignments",
-           "canonical_by_quality", "pagerank_int"]
+           "canonical_by_quality", "pagerank_int",
+           "degree_assortativity"]
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -680,3 +681,87 @@ def pagerank_int(edges, *, src: str = "src", dst: str = "dst",
 
         rank = joined.map_batches(remap, batch_format="pyarrow").materialize()
     return rank
+
+
+def degree_assortativity(pairs, *, id_a: str = "id_a",
+                         id_b: str = "id_b"):
+    """Degree assortativity of the undirected graph given as an edge
+    list, in EXACT cleared integers (Newman 2002, Pearson over the
+    directed edge list where both endpoints' degrees are the
+    variates; by symmetry Sx = Sy and Sxx = Syy, so two numerators
+    suffice):
+
+        cov_num = n_dir * Sxy - Sx^2
+        var_num = n_dir * Sxx - Sx^2      (r = cov_num / var_num)
+
+    Shape: edges dedupe through one keyed count (the near-dup graph's
+    pair set is bounded); degrees broadcast (node set = pair
+    endpoints, the small side by construction -- same pattern as
+    triangle_count); per-batch partial sums fold to ONE row."""
+    import ray
+
+    from equi7grid_ray.arrowutil import collect_tables
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column(id_b).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"u": pa.array(lo, pa.int64()),
+                         "v": pa.array(hi, pa.int64())})
+
+    edges = hash_aggregate(
+        pairs.map_batches(canon, batch_format="pyarrow"),
+        keys=["u", "v"], aggs={"__n": ("u", "count")},
+    ).select_columns(["u", "v"])
+
+    # degrees: bounded by the pair-endpoint set; fold driver-side and
+    # broadcast (the membership-probe shape shared with triangle_count)
+    et = collect_tables(edges, schema=pa.schema(
+        [("u", pa.int64()), ("v", pa.int64())]))
+    u = et.column("u").to_numpy().astype(np.int64)
+    v = et.column("v").to_numpy().astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    ref = ray.put((nodes, deg))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        snodes, sdeg = ray.get(ref)
+        a = batch.column("u").to_numpy(zero_copy_only=False)
+        b = batch.column("v").to_numpy(zero_copy_only=False)
+        da = sdeg[np.searchsorted(snodes, a)]
+        db = sdeg[np.searchsorted(snodes, b)]
+        # directed edge list = both orientations of every edge
+        return pa.table({
+            "__k": pa.array([0], pa.int64()),
+            "n_dir": pa.array([2 * len(a)], pa.int64()),
+            "sx": pa.array([int(da.sum() + db.sum())], pa.int64()),
+            "sxx": pa.array([int((da * da).sum() + (db * db).sum())],
+                            pa.int64()),
+            "sxy": pa.array([2 * int((da * db).sum())], pa.int64()),
+        })
+
+    sums = hash_aggregate(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        keys=["__k"],
+        aggs={"n_dir": ("n_dir", "sum"), "sx": ("sx", "sum"),
+              "sxx": ("sxx", "sum"), "sxy": ("sxy", "sum")},
+        n_partitions=1,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_dir").to_numpy(zero_copy_only=False)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sxy").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_dir": pa.array(nd.astype(np.int64), pa.int64()),
+            "cov_num": pa.array(nd * sxy - sx * sx, pa.int64()),
+            "var_num": pa.array(nd * sxx - sx * sx, pa.int64()),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -247,3 +247,29 @@ def test_canonical_by_quality_no_pairs(ray_session):
     out = canonical_by_quality(docs, comp).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out["canonical"].tolist() == [4, 8]
+
+
+def test_degree_assortativity_hand_graphs(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.graph import degree_assortativity
+
+    def run(edges):
+        ds = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([a for a, _ in edges], pa.int64()),
+            "id_b": pa.array([b for _, b in edges], pa.int64()),
+        }))
+        return degree_assortativity(ds).to_pandas().iloc[0]
+
+    # star K_{1,3}: perfectly disassortative (r = -1) -> cov = -var
+    r = run([(0, 1), (0, 2), (0, 3)])
+    assert r["n_dir"] == 6
+    assert r["cov_num"] == -r["var_num"] and r["var_num"] > 0
+
+    # triangle: all degrees equal -> var_num = 0 and cov_num = 0
+    r = run([(0, 1), (1, 2), (0, 2)])
+    assert (r["cov_num"], r["var_num"]) == (0, 0)
+
+    # duplicate + self-loop edges are cleaned before the sums
+    r = run([(0, 1), (1, 0), (2, 2), (0, 1)])
+    assert r["n_dir"] == 2
