@@ -399,3 +399,19 @@ def test_split_leakage_labels_match_assign_splits(ray_session):
                                 h.view(np.uint64) % np.uint64(1 << 32),
                                 side="right")]
     assert (ref.loc[ids].to_numpy() == lab).all()
+
+
+def test_customer_rfm_codes_tie_semantics(ray_session):
+    """Ties share a code (threshold rule), unlike ntile; total is
+    preserved and codes stay in 1..4."""
+    import __ray_entry__ as e
+    import duckdb
+
+    out = e.q_customer_rfm("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    n_cust = con.execute(
+        "SELECT count(DISTINCT o_custkey) FROM "
+        "'/root/testdata/sf0.001/orders.parquet'").fetchone()[0]
+    assert out["n_customers"].sum() == n_cust
+    for c in ("r_code", "f_code", "m_code"):
+        assert out[c].between(1, 4).all()
