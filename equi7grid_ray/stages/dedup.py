@@ -496,7 +496,8 @@ def verified_near_dup_pairs(ds, *, threshold: float = 0.8, n: int = 3,
     O(batch text bytes)."""
     import ray.data as rd
 
-    from equi7grid_ray.stages.join import shuffle_hash_join
+    from equi7grid_ray.stages.join import (shuffle_hash_join,
+                                       shuffle_join_schema)
 
     _empty = pa.table({"id_a": pa.array([], pa.int64()),
                        "id_b": pa.array([], pa.int64())})
@@ -517,10 +518,19 @@ def verified_near_dup_pairs(ds, *, threshold: float = 0.8, n: int = 3,
             })
         return ds.map_batches(fn, batch_format="pyarrow")
 
+    _pair_schema = pa.schema([("id_a", pa.int64()),
+                              ("id_b", pa.int64())])
+    _da = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
+    _db = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
+    # static schema hints: without them, join 2's plan build executes
+    # join 1 once just to learn its column names (see shuffle_hash_join)
+    _wa = shuffle_join_schema(_pair_schema, _da, on="id_a")
     with_a = shuffle_hash_join(pairs, _docs_as("id_a", "text_a"),
-                               on="id_a", n_partitions=n_partitions)
+                               on="id_a", n_partitions=n_partitions,
+                               left_schema=_pair_schema, right_schema=_da)
     with_ab = shuffle_hash_join(with_a, _docs_as("id_b", "text_b"),
-                                on="id_b", n_partitions=n_partitions)
+                                on="id_b", n_partitions=n_partitions,
+                                left_schema=_wa, right_schema=_db)
 
     def verify(batch: pa.Table) -> pa.Table:
         nrows = batch.num_rows

@@ -50,8 +50,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["broadcast_join", "native_join", "shuffle_hash_join", "asof_join",
-           "range_join"]
+__all__ = ["broadcast_join", "native_join", "shuffle_hash_join",
+           "shuffle_join_schema", "asof_join", "range_join"]
 
 
 def native_join(
@@ -229,6 +229,8 @@ def shuffle_hash_join(
     how: str = "inner",
     suffix: str = "_r",
     n_partitions: int = 64,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
 ):
     """Cogroup shuffle join: tag both sides, union, hash-partition by
     ``hash(key) % n_partitions``, ONE vectorized pandas merge per
@@ -242,12 +244,26 @@ def shuffle_hash_join(
     if how not in ("inner", "left"):
         raise ValueError("shuffle_hash_join supports how='inner'|'left'")
 
-    lkeep = list(left.schema().names)
-    rkeep = list(right.schema().names)
+    # Callers that know their side's schema statically should pass it:
+    # Dataset.schema() on a lazy side executes its upstream for one
+    # block, and when the side is an aggregate/join output that means
+    # running the whole AllToAll once during PLAN BUILD (then again for
+    # real) -- the same re-execution trap fixed in broadcast_join.
+    if left_schema is None:
+        left_schema = left.schema()
+        if hasattr(left_schema, "base_schema"):
+            left_schema = left_schema.base_schema
+    if right_schema is None:
+        right_schema = right.schema()
+        if hasattr(right_schema, "base_schema"):
+            right_schema = right_schema.base_schema
+    lkeep = list(left_schema.names)
+    rkeep = list(right_schema.names)
     lcols = [c for c in lkeep if c != on]
     rmap = {c: (c + suffix if c in lcols else c) for c in rkeep if c != on}
     rcols = [rmap[c] for c in rkeep if c != on]
-    unioned, super_fields = _tag_union(left, right, lkeep, rkeep, rmap)
+    unioned, super_fields = _tag_union(left, right, lkeep, rkeep, rmap,
+                                       left_schema, right_schema)
     parted = unioned.map_batches(
         _add_part_fn(on, n_partitions), batch_format="pyarrow"
     )
@@ -271,12 +287,40 @@ def shuffle_hash_join(
     return parted.groupby("__part").map_groups(merge, batch_format="pandas")
 
 
+def shuffle_join_schema(left_schema: pa.Schema, right_schema: pa.Schema,
+                        *, on: str, suffix: str = "_r") -> pa.Schema:
+    """The output schema shuffle_hash_join will produce for the given
+    input schemas -- lets callers CHAIN joins while passing static
+    schema hints (no plan-build execution of the inner join)."""
+    lkeep = list(left_schema.names)
+    rkeep = list(right_schema.names)
+    lcols = [c for c in lkeep if c != on]
+    rmap = {c: (c + suffix if c in lcols else c) for c in rkeep if c != on}
+    ltypes = dict(zip(left_schema.names, left_schema.types))
+    rtypes = dict(zip(right_schema.names, right_schema.types))
+    fields = [(c, ltypes[c]) for c in lkeep]
+    seen = set(lkeep)
+    for c in rkeep:
+        out = rmap.get(c, c)
+        if c != on and out not in seen:
+            fields.append((out, rtypes[c]))
+            seen.add(out)
+    return pa.schema(fields)
+
+
 def _tag_union(left, right, lkeep: list[str], rkeep: list[str],
-               rename: dict[str, str]):
+               rename: dict[str, str], lschema=None, rschema=None):
     """Project both sides into one superset schema (side tag + null
     fills) and union them -- the shared first half of every cogroup
     shuffle here.  ``rename`` maps right-side source -> output name."""
-    lschema, rschema = left.schema(), right.schema()
+    if lschema is None:
+        lschema = left.schema()
+    if rschema is None:
+        rschema = right.schema()
+    if hasattr(lschema, "base_schema"):
+        lschema = lschema.base_schema
+    if hasattr(rschema, "base_schema"):
+        rschema = rschema.base_schema
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
     super_fields = (

@@ -212,7 +212,12 @@ def tile_focal_mean(mosaic, *, value: str = "v_max", grid: int = 8,
 
     joined = shuffle_hash_join(
         mosaic.map_batches(centers, batch_format="pyarrow"), sums,
-        on="fkey", n_partitions=n_partitions)
+        on="fkey", n_partitions=n_partitions,
+        # static hint: sums is an aggregate output -- schema() on it
+        # would run the whole scatter+fold once during plan build
+        right_schema=pa.schema([("fkey", pa.int64()),
+                                ("wsum", pa.int64()),
+                                ("wn", pa.int64())]))
 
     def finish(b: pa.Table) -> pa.Table:
         ws = b.column("wsum").to_numpy(zero_copy_only=False)
@@ -458,7 +463,10 @@ def tile_gradient(mosaic, *, value: str = "v_max", grid: int = 8,
 
     joined = shuffle_hash_join(
         mosaic.map_batches(centers, batch_format="pyarrow"), sums,
-        on="fkey", n_partitions=n_partitions)
+        on="fkey", n_partitions=n_partitions,
+        right_schema=pa.schema([("fkey", pa.int64()),
+                                ("gx", pa.int64()), ("gy", pa.int64()),
+                                ("nx", pa.int64()), ("ny", pa.int64())]))
 
     def finish(b: pa.Table) -> pa.Table:
         nx = b.column("nx").to_numpy(zero_copy_only=False)

@@ -72,7 +72,8 @@ def jaccard_similarity_join(ds, *, threshold: float = 0.8, n: int = 8,
     from equi7grid_ray.arrowutil import collect_tables
     from equi7grid_ray.stages.aggregate import hash_aggregate
     from equi7grid_ray.stages.dedup import _ngram_set_per_row
-    from equi7grid_ray.stages.join import shuffle_hash_join
+    from equi7grid_ray.stages.join import (shuffle_hash_join,
+                                       shuffle_join_schema)
 
     import ray
 
@@ -191,10 +192,17 @@ def jaccard_similarity_join(ds, *, threshold: float = 0.8, n: int = 8,
             })
         return ds.map_batches(fn, batch_format="pyarrow")
 
+    _pair_schema = pa.schema([("id_a", pa.int64()),
+                              ("id_b", pa.int64())])
+    _da = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
+    _db = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
+    _wa = shuffle_join_schema(_pair_schema, _da, on="id_a")
     with_a = shuffle_hash_join(cand, _docs_as("id_a", "text_a"),
-                               on="id_a", n_partitions=join_partitions)
+                               on="id_a", n_partitions=join_partitions,
+                               left_schema=_pair_schema, right_schema=_da)
     with_ab = shuffle_hash_join(with_a, _docs_as("id_b", "text_b"),
-                                on="id_b", n_partitions=join_partitions)
+                                on="id_b", n_partitions=join_partitions,
+                                left_schema=_wa, right_schema=_db)
 
     def verify(batch: pa.Table) -> pa.Table:
         nrows = batch.num_rows
@@ -247,7 +255,8 @@ def containment_join(ds, *, threshold: float = 0.8, n: int = 8,
     from equi7grid_ray.arrowutil import collect_tables
     from equi7grid_ray.stages.aggregate import hash_aggregate
     from equi7grid_ray.stages.dedup import _ngram_set_per_row
-    from equi7grid_ray.stages.join import shuffle_hash_join
+    from equi7grid_ray.stages.join import (shuffle_hash_join,
+                                       shuffle_join_schema)
 
     frac = Fraction(threshold).limit_denominator(1_000)
     tn, td = frac.numerator, frac.denominator
@@ -359,10 +368,17 @@ def containment_join(ds, *, threshold: float = 0.8, n: int = 8,
             })
         return ds.map_batches(fn, batch_format="pyarrow")
 
+    _pair_schema = pa.schema([("id_a", pa.int64()),
+                              ("id_b", pa.int64())])
+    _da = pa.schema([("id_a", pa.int64()), ("text_a", pa.string())])
+    _db = pa.schema([("id_b", pa.int64()), ("text_b", pa.string())])
+    _wa = shuffle_join_schema(_pair_schema, _da, on="id_a")
     with_a = shuffle_hash_join(cand, _docs_as("id_a", "text_a"),
-                               on="id_a", n_partitions=join_partitions)
+                               on="id_a", n_partitions=join_partitions,
+                               left_schema=_pair_schema, right_schema=_da)
     with_ab = shuffle_hash_join(with_a, _docs_as("id_b", "text_b"),
-                                on="id_b", n_partitions=join_partitions)
+                                on="id_b", n_partitions=join_partitions,
+                                left_schema=_wa, right_schema=_db)
 
     def verify(batch: pa.Table) -> pa.Table:
         nrows = batch.num_rows
