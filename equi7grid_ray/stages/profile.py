@@ -28,7 +28,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["profile_columns", "zscore_outliers", "mad_outliers"]
+__all__ = ["profile_columns", "zscore_outliers", "mad_outliers",
+           "key_skew_report"]
 
 _I64MAX = np.iinfo(np.int64).max
 _I64MIN = np.iinfo(np.int64).min
@@ -300,3 +301,72 @@ def mad_outliers(ds, *, key_col: str, val_col: str, id_col: str,
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def key_skew_report(ds, *, key: str, qs: tuple[float, ...] = (0.5, 0.9)):
+    """Shuffle-skew diagnostic for a prospective partition key: ONE
+    row with the distinct-key count, total rows, the heaviest key and
+    its count (ties -> smallest key), disc-quantiles of the group-size
+    distribution, and the heaviest key's per-mille share -- the
+    numbers that decide between plain hash partitioning, salting and
+    broadcast before a groupby/join ships data.
+
+    Shape: one combiner-first keyed count (the only row-bearing
+    shuffle); every statistic then derives from the (key, n) table --
+    group SIZES have few distinct values, so the quantiles ride the
+    exact histogram operator, and the argmax folds from per-batch
+    1-row partials."""
+    import pandas as pd
+
+    from equi7grid_ray.arrowutil import collect_tables
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+    from equi7grid_ray.stages.quantiles import grouped_quantiles
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key]).group_by(key).aggregate([([], "count_all")])
+        return pa.table({key: t.column(key),
+                         "n": t.column("count_all")})
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[key], aggs={"n": ("n", "sum")},
+    ).materialize()  # bounded by the key domain; reused 3x below
+
+    qt = collect_tables(grouped_quantiles(counts, col="n", qs=qs))
+    qv = dict(zip(qt.column("q").to_pylist(),
+                  qt.column("v").to_pylist()))
+
+    def amax(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = batch.column(key).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((k, -n))
+        j = order[0]
+        return pa.table({
+            "n_keys": pa.array([len(n)], pa.int64()),
+            "n_rows": pa.array([int(n.sum())], pa.int64()),
+            "max_n": pa.array([int(n[j])], pa.int64()),
+            "heavy_key": pa.array([int(k[j])], pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["heavy_key"].to_numpy(),
+                            -g["max_n"].to_numpy()))
+        j = order[0]
+        n_rows = int(g["n_rows"].sum())
+        max_n = int(g["max_n"].iloc[j])
+        out = {
+            "n_keys": [int(g["n_keys"].sum())],
+            "n_rows": [n_rows],
+            "max_n": [max_n],
+            "heavy_key": [int(g["heavy_key"].iloc[j])],
+            "top1_pm": [max_n * 1000 // n_rows],
+        }
+        for q in qs:
+            out[f"p{int(q * 100)}_n"] = [int(qv[q])]
+        return pd.DataFrame(out)
+
+    return counts.map_batches(amax, batch_format="pyarrow") \
+        .repartition(1).map_batches(fold, batch_format="pandas",
+                                    batch_size=None)

@@ -415,3 +415,21 @@ def test_customer_rfm_codes_tie_semantics(ray_session):
     assert out["n_customers"].sum() == n_cust
     for c in ("r_code", "f_code", "m_code"):
         assert out[c].between(1, 4).all()
+
+
+def test_key_skew_report_hand_case(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.profile import key_skew_report
+
+    # keys: 1 x5, 2 x5 (tie -> heavy_key 1), 3 x2, 4..13 x1 each
+    keys = [1] * 5 + [2] * 5 + [3] * 2 + list(range(4, 14))
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64())}))
+    out = key_skew_report(ds, key="k").to_pandas().iloc[0]
+    assert out["n_keys"] == 13 and out["n_rows"] == 22
+    assert out["max_n"] == 5 and out["heavy_key"] == 1
+    assert out["top1_pm"] == 5 * 1000 // 22
+    # sizes sorted: [1x10, 2, 5, 5]; disc ranks ceil(.5*13)=7 -> 1,
+    # ceil(.9*13)=12 -> 5
+    assert out["p50_n"] == 1 and out["p90_n"] == 5
