@@ -2212,3 +2212,45 @@ class AudioDownsample:
             "sum_sq_ds": pa.array(ssq, pa.int64()),
             "peak_ds": pa.array(peak, pa.int64()),
         })
+
+
+class SpatialAutocorr:
+    """Per-image spatial autocorrelation pieces at lag 1 (vertical and
+    horizontal) in EXACT integers: (n_px, s, ss, lag_v, lag_h) with
+    lag_v = sum v(r,c)*v(r+1,c) over r < h-1 and lag_h the column
+    analogue -- the cleared numerators of the texture-directionality
+    Pearson (smooth gradients score high, noise scores low; the ratio
+    of lag_v to lag_h exposes banding).  One shifted-view dot product
+    per direction per frame; no per-pixel Python."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        npx = np.zeros(n, np.int64)
+        s = np.zeros(n, np.int64)
+        ss = np.zeros(n, np.int64)
+        lv = np.zeros(n, np.int64)
+        lh = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            npx[j] = v.size
+            s[j] = int(v.sum())
+            ss[j] = int((v * v).sum())
+            lv[j] = int((v[:-1] * v[1:]).sum())
+            lh[j] = int((v[:, :-1] * v[:, 1:]).sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_px": pa.array(npx, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "ss": pa.array(ss, pa.int64()),
+            "lag_v": pa.array(lv, pa.int64()),
+            "lag_h": pa.array(lh, pa.int64()),
+        })

@@ -1135,3 +1135,17 @@ def test_audio_downsample_trunc_rule_and_values():
     assert out["n_out"][0].as_py() == 2
     assert out["sum_sq_ds"][0].as_py() == 1 + 250 * 250
     assert out["peak_ds"][0].as_py() == 250
+
+
+def test_spatial_autocorr_matches_naive():
+    from equi7grid_ray.stages.multimodal import SpatialAutocorr
+
+    batch = make_batch(0, 9)
+    out = SpatialAutocorr()(batch)
+    for k in range(9):
+        v = _img_of(k).astype(np.int64)
+        assert out["n_px"][k].as_py() == v.size
+        assert out["s"][k].as_py() == int(v.sum())
+        assert out["ss"][k].as_py() == int((v * v).sum())
+        assert out["lag_v"][k].as_py() == int((v[:-1] * v[1:]).sum())
+        assert out["lag_h"][k].as_py() == int((v[:, :-1] * v[:, 1:]).sum())
