@@ -250,13 +250,9 @@ def shuffle_hash_join(
     # running the whole AllToAll once during PLAN BUILD (then again for
     # real) -- the same re-execution trap fixed in broadcast_join.
     if left_schema is None:
-        left_schema = left.schema()
-        if hasattr(left_schema, "base_schema"):
-            left_schema = left_schema.base_schema
+        left_schema = _as_arrow_schema(left.schema())
     if right_schema is None:
-        right_schema = right.schema()
-        if hasattr(right_schema, "base_schema"):
-            right_schema = right_schema.base_schema
+        right_schema = _as_arrow_schema(right.schema())
     lkeep = list(left_schema.names)
     rkeep = list(right_schema.names)
     lcols = [c for c in lkeep if c != on]
@@ -287,6 +283,20 @@ def shuffle_hash_join(
     return parted.groupby("__part").map_groups(merge, batch_format="pandas")
 
 
+def _as_arrow_schema(sch) -> pa.Schema:
+    """Normalize a Dataset.schema() result to a pyarrow.Schema.  The
+    Ray wrapper's base_schema is pa.Schema for Arrow blocks but a
+    PandasBlockSchema (numpy dtypes) for pandas blocks -- convert the
+    latter so downstream type logic always sees Arrow types."""
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base
+    names = list(base.names)
+    types = [pa.from_numpy_dtype(np.dtype(t)) if not isinstance(t, pa.DataType)
+             else t for t in base.types]
+    return pa.schema(list(zip(names, types)))
+
+
 def shuffle_join_schema(left_schema: pa.Schema, right_schema: pa.Schema,
                         *, on: str, suffix: str = "_r") -> pa.Schema:
     """The output schema shuffle_hash_join will produce for the given
@@ -314,13 +324,9 @@ def _tag_union(left, right, lkeep: list[str], rkeep: list[str],
     fills) and union them -- the shared first half of every cogroup
     shuffle here.  ``rename`` maps right-side source -> output name."""
     if lschema is None:
-        lschema = left.schema()
+        lschema = _as_arrow_schema(left.schema())
     if rschema is None:
-        rschema = right.schema()
-    if hasattr(lschema, "base_schema"):
-        lschema = lschema.base_schema
-    if hasattr(rschema, "base_schema"):
-        rschema = rschema.base_schema
+        rschema = _as_arrow_schema(right.schema())
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
     super_fields = (
