@@ -16,7 +16,7 @@ __all__ = ["token_stats", "bpe_token_count", "quality_score",
            "quality_buckets", "LangId", "fingerprint64", "BPE_SPLIT_RE",
            "STOPWORDS", "gopher_filter", "inverted_index",
            "collocations_pmi", "pii_scrub", "EMAIL_RE", "PHONE_RE",
-           "doc_chunks", "vocab_growth"]
+           "doc_chunks", "vocab_growth", "bm25_topk"]
 
 # interior-occurrence stopword probes (space-padded, so only
 # mid-document occurrences count -- identical semantics to the SQL
@@ -868,3 +868,90 @@ def vocab_growth(ds, *, bucket_docs: int = 50, id_col: str = "doc_id",
 
     return hist.repartition(1).map_batches(
         cum, batch_format="pandas", batch_size=None)
+
+
+def bm25_topk(ds, terms, *, k1: int = 2, scale: int = 4096, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Integer-quantized BM25 ranked retrieval for a fixed query term
+    set: per (doc, term) the tf saturates through
+
+        tf * (k1+1) * scale // (tf + k1)
+
+    (the BM25 tf curve with b = 0, quantized so Ray and the SQL oracle
+    stay bit-exact), weighted by the integer rarity ``N // df``; docs
+    matching no term never rank.  Returns the global top-``k`` by
+    (score desc, id asc) as ``(id_col, score)``.
+
+    Scale shape: per-doc tf vectors resolve within the batch (a doc
+    lives in one row, so one vectorized flatten+compare+offset-fold per
+    term); df/N is a |terms|-wide bounded fold; top-k via per-batch
+    partials merged on one final partition -- no global sort, nothing
+    proportional to the corpus ever shuffles.
+    """
+    from equi7grid_ray.arrowutil import collect_tables
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    terms = tuple(terms)
+
+    def tfs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        tt = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        lodt = np.int64 if pa.types.is_large_list(tt.type) else np.int32
+        lo = np.frombuffer(tt.buffers()[1], dtype=lodt)[
+            tt.offset : tt.offset + len(tt) + 1].astype(np.int64)
+        flat = pc.list_flatten(tt)
+        cols = {id_col: batch.column(id_col).cast(pa.int64())}
+        for t in terms:
+            hit = pc.equal(flat, t)
+            h = hit.combine_chunks().to_numpy(zero_copy_only=False) \
+                if isinstance(hit, pa.ChunkedArray) \
+                else hit.to_numpy(zero_copy_only=False)
+            cum = np.concatenate([[0], np.cumsum(h.astype(np.int64))])
+            cols[f"tf_{t}"] = pa.array(cum[lo[1:] - lo[0]]
+                                       - cum[lo[:-1] - lo[0]], pa.int64())
+        return pa.table(cols)
+
+    tf = ds.map_batches(tfs, batch_format="pyarrow").materialize()
+
+    def df_part(batch: pa.Table) -> pa.Table:
+        out = {"__k": pa.array([0], pa.int64()),
+               "n_docs": pa.array([batch.num_rows], pa.int64())}
+        for t in terms:
+            v = batch.column(f"tf_{t}").to_numpy(zero_copy_only=False)
+            out[f"df_{t}"] = pa.array([int((v > 0).sum())], pa.int64())
+        return pa.table(out)
+
+    dft = collect_tables(hash_aggregate(
+        tf.map_batches(df_part, batch_format="pyarrow"),
+        keys=["__k"],
+        aggs={**{f"df_{t}": (f"df_{t}", "sum") for t in terms},
+              "n_docs": ("n_docs", "sum")},
+        n_partitions=1,
+    ))
+    n_total = int(dft.column("n_docs")[0].as_py())
+    w = {t: n_total // max(int(dft.column(f"df_{t}")[0].as_py()), 1)
+         for t in terms}
+
+    def topk(ids: np.ndarray, sc: np.ndarray) -> pa.Table:
+        keep = sc > 0  # a doc matching no query term never ranks
+        ids, sc = ids[keep], sc[keep]
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "score": pa.array(sc[order], pa.int64())})
+
+    def score(batch: pa.Table) -> pa.Table:
+        sc = np.zeros(batch.num_rows, np.int64)
+        for t in terms:
+            tfv = batch.column(f"tf_{t}").to_numpy(zero_copy_only=False)
+            sc += w[t] * (tfv * (k1 + 1) * scale // (tfv + k1))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return topk(ids, sc)  # per-batch top-k partial
+
+    def final(batch: pa.Table) -> pa.Table:
+        return topk(batch.column(id_col).to_numpy(zero_copy_only=False),
+                    batch.column("score").to_numpy(zero_copy_only=False))
+
+    return tf.map_batches(score, batch_format="pyarrow") \
+        .repartition(1).map_batches(final, batch_format="pyarrow",
+                                    batch_size=None)

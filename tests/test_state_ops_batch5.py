@@ -433,3 +433,44 @@ def test_key_skew_report_hand_case(ray_session):
     # sizes sorted: [1x10, 2, 5, 5]; disc ranks ceil(.5*13)=7 -> 1,
     # ceil(.9*13)=12 -> 5
     assert out["p50_n"] == 1 and out["p90_n"] == 5
+
+
+def test_bm25_topk_hand_corpus(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.text import bm25_topk
+
+    # 4 docs; terms (a, b): doc0 tf=(2,0), doc1 tf=(1,1), doc2 tf=(0,3),
+    # doc3 matches nothing (must never rank).  N=4, df_a=2, df_b=2 ->
+    # w = 4 // 2 = 2 for both terms.
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a x a y", "a b x", "b b b", "x y z"]),
+    })
+    out = bm25_topk(ray.data.from_arrow(docs), ("a", "b"),
+                    k1=2, scale=4096, k=10).to_pandas()
+
+    def sat(tf):
+        return tf * 3 * 4096 // (tf + 2)
+
+    exp = {0: 2 * sat(2), 1: 2 * sat(1) + 2 * sat(1), 2: 2 * sat(3)}
+    got = dict(zip(out.doc_id, out.score))
+    assert got == exp
+    # ranked by (score desc, id asc): doc2 (9830) > doc0 (6144) =? ...
+    assert list(out.doc_id) == sorted(exp, key=lambda d: (-exp[d], d))
+    assert 3 not in set(out.doc_id)
+
+
+def test_bm25_topk_k_truncates_and_ties_break_by_id(ray_session):
+    import ray
+
+    from equi7grid_ray.stages.text import bm25_topk
+
+    # 5 identical docs -> identical scores; k=3 keeps smallest ids
+    docs = pa.table({
+        "doc_id": pa.array([10, 7, 3, 99, 42], pa.int64()),
+        "text": pa.array(["a"] * 5),
+    })
+    out = bm25_topk(ray.data.from_arrow(docs), ("a",), k=3).to_pandas()
+    assert list(out.doc_id) == [3, 7, 10]
+    assert out.score.nunique() == 1
