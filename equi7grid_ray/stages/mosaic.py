@@ -29,7 +29,7 @@ from equi7grid_ray.stages.multimodal import _decode_luma
 
 __all__ = ["MosaicGrid", "tile_mosaic", "tile_focal_mean",
            "tile_similarity", "MaskedMosaicGrid", "tile_clear_composite",
-           "tile_gradient"]
+           "tile_gradient", "tile_flow_d8"]
 
 
 class MosaicGrid:
@@ -484,5 +484,117 @@ def tile_gradient(mosaic, *, value: str = "v_max", grid: int = 8,
                            pa.int64()),
         })
         return t.filter(pa.array(keep))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+#: D8 direction table in PRIORITY order (ties pick the earliest):
+#: (dr, dc, ESRI code) with gr south-positive -- E, SE, S, SW, W, NW,
+#: N, NE; codes 1, 2, 4, ..., 128.
+_D8 = ((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+       (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
+
+
+def tile_flow_d8(mosaic, *, value: str = "v_max", grid: int = 8,
+                 n_partitions: int = 32):
+    """D8 flow routing over the tile-mosaic composite treated as a DEM
+    (the first step of every hydrology toolchain: flow direction +
+    steepest drop per cell), ACROSS tile boundaries via the same
+    +/-6 easting/northing halo rule as :func:`tile_focal_mean`.
+
+    Per cell with ALL 8 Moore neighbours present (the interior after
+    halo exchange):
+
+        drop_k = v(center) - v(neighbour_k)         (unit-distance D8)
+        dir    = ESRI code of the steepest positive drop, ties going
+                 to the first of E, SE, S, SW, W, NW, N, NE
+        dir = 0, drop = 0 when no neighbour is lower (pit / flat)
+
+    Composite values are 8-bit (block means of uint8 luma), so each
+    cell scatters its value to its 8 neighbour centers packed into an
+    8-bit FIELD of two int64 columns (4 directions each); one sum
+    reconstructs every neighbour value -- the halo exchange moves 3
+    ints per scatter row instead of 16 columns.  One hash_aggregate +
+    one cogroup join back onto centers, exactly the tile_gradient
+    shape."""
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    mosaic = mosaic.materialize()  # bounded: |tiles| * grid^2
+
+    parse = _parse_tile_cols
+
+    def scatter(b: pa.Table) -> pa.Table:
+        cidx, te, tn, gr, gc = parse(b)
+        v = b.column(value).to_numpy(zero_copy_only=False).astype(np.int64)
+        if v.size and (v.min() < 0 or v.max() > 255):
+            raise ValueError("tile_flow_d8 requires an 8-bit composite")
+        keys, pa_, pb_ = [], [], []
+        z = np.zeros(len(v), np.int64)
+        for k, (dr, dc, _code) in enumerate(_D8):
+            # receiving center sits at (gr - dr, gc - dc): this cell is
+            # ITS neighbour in direction k
+            tr, tc = gr - dr, gc - dc
+            sn = tn + np.where(tr < 0, 6, 0) - np.where(tr >= grid, 6, 0)
+            se = te + np.where(tc < 0, -6, 0) + np.where(tc >= grid, 6, 0)
+            keys.append(_packed_keys(cidx, se, sn, tr % grid,
+                                     tc % grid, grid))
+            pa_.append(v << (8 * k) if k < 4 else z)
+            pb_.append(v << (8 * (k - 4)) if k >= 4 else z)
+        n = len(v) * 8
+        return pa.table({
+            "fkey": pa.array(np.concatenate(keys), pa.int64()),
+            "pa_": pa.array(np.concatenate(pa_), pa.int64()),
+            "pb_": pa.array(np.concatenate(pb_), pa.int64()),
+            "n_": pa.array(np.ones(n, np.int64), pa.int64()),
+        })
+
+    sums = hash_aggregate(
+        mosaic.map_batches(scatter, batch_format="pyarrow"),
+        keys=["fkey"],
+        aggs={"pa8": ("pa_", "sum"), "pb8": ("pb_", "sum"),
+              "nn": ("n_", "sum")},
+        n_partitions=n_partitions,
+    )
+
+    def centers(b: pa.Table) -> pa.Table:
+        cidx, te, tn, gr, gc = parse(b)
+        return pa.table({
+            "fkey": pa.array(_packed_keys(cidx, te, tn, gr, gc, grid),
+                             pa.int64()),
+            "tile": b.column("tile"),
+            "gr": b.column("gr"),
+            "gc": b.column("gc"),
+            "v": b.column(value).cast(pa.int64()),
+        })
+
+    joined = shuffle_hash_join(
+        mosaic.map_batches(centers, batch_format="pyarrow"), sums,
+        on="fkey", n_partitions=n_partitions,
+        right_schema=pa.schema([("fkey", pa.int64()),
+                                ("pa8", pa.int64()), ("pb8", pa.int64()),
+                                ("nn", pa.int64())]))
+
+    codes = np.array([c for _, _, c in _D8], np.int64)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nn = b.column("nn").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        p8 = (b.column("pa8").to_numpy(zero_copy_only=False),
+              b.column("pb8").to_numpy(zero_copy_only=False))
+        drops = np.stack([
+            v - ((p8[k // 4] >> (8 * (k % 4))) & 255)
+            for k in range(8)
+        ])  # priority order along axis 0
+        best = drops.max(axis=0)
+        first = drops.argmax(axis=0)  # argmax takes the FIRST max
+        pos = best > 0
+        t = pa.table({
+            "tile": b.column("tile"),
+            "gr": b.column("gr"),
+            "gc": b.column("gc"),
+            "dir": pa.array(np.where(pos, codes[first], 0), pa.int64()),
+            "drop": pa.array(np.where(pos, best, 0), pa.int64()),
+        })
+        return t.filter(pa.array(nn == 8))
 
     return joined.map_batches(finish, batch_format="pyarrow")

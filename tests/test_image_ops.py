@@ -1149,3 +1149,64 @@ def test_spatial_autocorr_matches_naive():
         assert out["ss"][k].as_py() == int((v * v).sum())
         assert out["lag_v"][k].as_py() == int((v[:-1] * v[1:]).sum())
         assert out["lag_h"][k].as_py() == int((v[:, :-1] * v[:, 1:]).sum())
+
+
+def test_tile_flow_d8_parity_and_halo(ray_session):
+    """D8 flow direction across a two-tile stitched DEM matches a
+    brute-force scalar reference: steepest drop over the 8 Moore
+    neighbours, ties to the first of E,SE,S,SW,W,NW,N,NE, dir=0 on
+    pits/flats; cells missing any neighbour (stitched-array border)
+    are dropped."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import _D8, tile_flow_d8
+
+    # deterministic 8x16 DEM in [0, 255]; west tile cols 0-7, east 8-15
+    dem = (np.arange(8)[:, None] * 37 + np.arange(16)[None, :] * 91
+           + 13) % 256
+    dem[4, 4] = 0      # a pit among higher neighbours -> dir 0
+    dem[2, 2:5] = 50   # a flat run -> exercises the tie rule
+    rows = []
+    for tile, c0 in (("EU_E036N078T6", 0), ("EU_E042N078T6", 8)):
+        for gr in range(8):
+            for gc in range(8):
+                rows.append((tile, gr, gc, int(dem[gr, c0 + gc])))
+    t = pa.table({
+        "tile": pa.array([r[0] for r in rows]),
+        "gr": pa.array([r[1] for r in rows], pa.int32()),
+        "gc": pa.array([r[2] for r in rows], pa.int32()),
+        "v_max": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = tile_flow_d8(rd.from_arrow(t)).to_pandas()
+    got = {(r.tile, r.gr, r.gc): (r.dir, r.drop) for r in out.itertuples()}
+
+    exp = {}
+    for r in range(1, 7):
+        for c in range(1, 15):
+            drops = [int(dem[r, c]) - int(dem[r + dr, c + dc])
+                     for dr, dc, _ in _D8]
+            best = max(drops)
+            code = _D8[drops.index(best)][2] if best > 0 else 0
+            tile = "EU_E036N078T6" if c < 8 else "EU_E042N078T6"
+            exp[(tile, r, c % 8)] = (code, max(best, 0))
+    assert got == exp
+    assert got[("EU_E036N078T6", 4, 4)] == (0, 0)  # the planted pit
+    # border cells (no halo tile on the far side) must be absent
+    assert ("EU_E036N078T6", 0, 3) not in got
+    assert ("EU_E036N078T6", 3, 0) not in got
+    assert ("EU_E042N078T6", 3, 7) not in got
+
+
+def test_tile_flow_d8_rejects_wide_values(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import tile_flow_d8
+
+    t = pa.table({
+        "tile": pa.array(["EU_E036N078T6"]),
+        "gr": pa.array([0], pa.int32()),
+        "gc": pa.array([0], pa.int32()),
+        "v_max": pa.array([300], pa.int64()),
+    })
+    with pytest.raises(Exception, match="8-bit"):
+        tile_flow_d8(rd.from_arrow(t)).to_pandas()
