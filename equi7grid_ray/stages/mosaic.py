@@ -29,7 +29,7 @@ from equi7grid_ray.stages.multimodal import _decode_luma
 
 __all__ = ["MosaicGrid", "tile_mosaic", "tile_focal_mean",
            "tile_similarity", "MaskedMosaicGrid", "tile_clear_composite",
-           "tile_gradient", "tile_flow_d8"]
+           "tile_gradient", "tile_flow_d8", "tile_flow_accum"]
 
 
 class MosaicGrid:
@@ -495,28 +495,16 @@ _D8 = ((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
        (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
 
 
-def tile_flow_d8(mosaic, *, value: str = "v_max", grid: int = 8,
-                 n_partitions: int = 32):
-    """D8 flow routing over the tile-mosaic composite treated as a DEM
-    (the first step of every hydrology toolchain: flow direction +
-    steepest drop per cell), ACROSS tile boundaries via the same
-    +/-6 easting/northing halo rule as :func:`tile_focal_mean`.
+def _d8_neighbours(mosaic, *, value: str, grid: int, n_partitions: int):
+    """Shared D8 halo exchange: join every composite cell with its 8
+    Moore-neighbour values (packed into 8-bit fields of two int64
+    columns -- composite values are 8-bit block means, so one SUM
+    reconstructs all 8 and the exchange moves 3 ints per scatter row
+    instead of 16 columns).  Returns a Dataset of
 
-    Per cell with ALL 8 Moore neighbours present (the interior after
-    halo exchange):
+        (fkey, tile, gr, gc, v, pa8, pb8, nn)
 
-        drop_k = v(center) - v(neighbour_k)         (unit-distance D8)
-        dir    = ESRI code of the steepest positive drop, ties going
-                 to the first of E, SE, S, SW, W, NW, N, NE
-        dir = 0, drop = 0 when no neighbour is lower (pit / flat)
-
-    Composite values are 8-bit (block means of uint8 luma), so each
-    cell scatters its value to its 8 neighbour centers packed into an
-    8-bit FIELD of two int64 columns (4 directions each); one sum
-    reconstructs every neighbour value -- the halo exchange moves 3
-    ints per scatter row instead of 16 columns.  One hash_aggregate +
-    one cogroup join back onto centers, exactly the tile_gradient
-    shape."""
+    where nn is the number of neighbours present (interior = 8)."""
     from equi7grid_ray.stages.join import shuffle_hash_join
 
     mosaic = mosaic.materialize()  # bounded: |tiles| * grid^2
@@ -527,7 +515,7 @@ def tile_flow_d8(mosaic, *, value: str = "v_max", grid: int = 8,
         cidx, te, tn, gr, gc = parse(b)
         v = b.column(value).to_numpy(zero_copy_only=False).astype(np.int64)
         if v.size and (v.min() < 0 or v.max() > 255):
-            raise ValueError("tile_flow_d8 requires an 8-bit composite")
+            raise ValueError("D8 stages require an 8-bit composite")
         keys, pa_, pb_ = [], [], []
         z = np.zeros(len(v), np.int64)
         for k, (dr, dc, _code) in enumerate(_D8):
@@ -567,26 +555,51 @@ def tile_flow_d8(mosaic, *, value: str = "v_max", grid: int = 8,
             "v": b.column(value).cast(pa.int64()),
         })
 
-    joined = shuffle_hash_join(
+    return shuffle_hash_join(
         mosaic.map_batches(centers, batch_format="pyarrow"), sums,
         on="fkey", n_partitions=n_partitions,
         right_schema=pa.schema([("fkey", pa.int64()),
                                 ("pa8", pa.int64()), ("pb8", pa.int64()),
                                 ("nn", pa.int64())]))
 
+
+def _d8_steepest(b: pa.Table):
+    """(best drop, priority index of the first max) per row of a
+    _d8_neighbours batch."""
+    v = b.column("v").to_numpy(zero_copy_only=False)
+    p8 = (b.column("pa8").to_numpy(zero_copy_only=False),
+          b.column("pb8").to_numpy(zero_copy_only=False))
+    drops = np.stack([
+        v - ((p8[k // 4] >> (8 * (k % 4))) & 255)
+        for k in range(8)
+    ])  # priority order along axis 0
+    return drops.max(axis=0), drops.argmax(axis=0)  # argmax = FIRST max
+
+
+def tile_flow_d8(mosaic, *, value: str = "v_max", grid: int = 8,
+                 n_partitions: int = 32):
+    """D8 flow routing over the tile-mosaic composite treated as a DEM
+    (the first step of every hydrology toolchain: flow direction +
+    steepest drop per cell), ACROSS tile boundaries via the same
+    +/-6 easting/northing halo rule as :func:`tile_focal_mean`.
+
+    Per cell with ALL 8 Moore neighbours present (the interior after
+    halo exchange):
+
+        drop_k = v(center) - v(neighbour_k)         (unit-distance D8)
+        dir    = ESRI code of the steepest positive drop, ties going
+                 to the first of E, SE, S, SW, W, NW, N, NE
+        dir = 0, drop = 0 when no neighbour is lower (pit / flat)
+
+    Shape: the :func:`_d8_neighbours` packed halo exchange (one
+    hash_aggregate + one cogroup join), then a map-only finish."""
+    joined = _d8_neighbours(mosaic, value=value, grid=grid,
+                            n_partitions=n_partitions)
     codes = np.array([c for _, _, c in _D8], np.int64)
 
     def finish(b: pa.Table) -> pa.Table:
         nn = b.column("nn").to_numpy(zero_copy_only=False)
-        v = b.column("v").to_numpy(zero_copy_only=False)
-        p8 = (b.column("pa8").to_numpy(zero_copy_only=False),
-              b.column("pb8").to_numpy(zero_copy_only=False))
-        drops = np.stack([
-            v - ((p8[k // 4] >> (8 * (k % 4))) & 255)
-            for k in range(8)
-        ])  # priority order along axis 0
-        best = drops.max(axis=0)
-        first = drops.argmax(axis=0)  # argmax takes the FIRST max
+        best, first = _d8_steepest(b)
         pos = best > 0
         t = pa.table({
             "tile": b.column("tile"),
@@ -598,3 +611,138 @@ def tile_flow_d8(mosaic, *, value: str = "v_max", grid: int = 8,
         return t.filter(pa.array(nn == 8))
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def tile_flow_accum(mosaic, *, value: str = "v_max", grid: int = 8,
+                    n_partitions: int = 32, local_max_cells: int = 4_000_000):
+    """D8 flow ACCUMULATION over the tile composite: per interior cell
+    the count of interior cells (including itself) whose downstream
+    D8 path passes through it -- the drainage-area map, step two of
+    the hydrology toolchain.  Edges whose target is a pit/flat (dir 0)
+    or leaves the interior set are outlets.
+
+    The flow graph is acyclic with depth <= 255: elevation strictly
+    DECREASES along every D8 edge and composite values are 8-bit, so
+    a path can take at most 255 steps.  That bound picks the
+    algorithm: cells are processed in descending-elevation bands
+    (cells of equal elevation can never flow into each other), each
+    band pushing its finished accumulation downstream -- <= 256
+    exact vectorized passes, no fixpoint detection needed.
+
+    Scale shape: the (cell, down, v) edge list is METADATA (3 ints per
+    interior cell -- ~2.6 GB for the full planet at T6/G8, vs the
+    pixels it summarizes).  Under ``local_max_cells`` it folds in one
+    task (np.add.at per descending elevation band -- cells of equal
+    elevation can never flow into each other, so a band's accumulation
+    is final when its turn comes); above the cap (or with
+    ``local_max_cells=0``, as the parity test forces) the
+    depth-synchronous push runs distributed: per round one
+    hash_aggregate of contributions by downstream key + one cogroup
+    join back onto the cells, acc_k counting cells within k upstream
+    steps, fixpoint when the monotone total stops growing (<= depth
+    <= 255 rounds).  Contributions to non-interior keys vanish in the
+    join -- outlets by construction."""
+    import ray.data as rd
+
+    from equi7grid_ray.arrowutil import collect_tables
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    joined = _d8_neighbours(mosaic, value=value, grid=grid,
+                            n_partitions=n_partitions)
+
+    def edges(b: pa.Table) -> pa.Table:
+        nn = b.column("nn").to_numpy(zero_copy_only=False)
+        best, first = _d8_steepest(b)
+        cidx, te, tn, gr, gc = _parse_tile_cols(b)
+        dr = np.array([d[0] for d in _D8], np.int64)[first]
+        dc = np.array([d[1] for d in _D8], np.int64)[first]
+        tr, tc = gr + dr, gc + dc
+        sn = tn + np.where(tr < 0, 6, 0) - np.where(tr >= grid, 6, 0)
+        se = te + np.where(tc < 0, -6, 0) + np.where(tc >= grid, 6, 0)
+        down = _packed_keys(cidx, se, sn, tr % grid, tc % grid, grid)
+        t = pa.table({
+            "tile": b.column("tile"),
+            "gr": b.column("gr"),
+            "gc": b.column("gc"),
+            "fkey": b.column("fkey"),
+            "down": pa.array(np.where(best > 0, down, -1), pa.int64()),
+            "v": b.column("v"),
+        })
+        return t.filter(pa.array(nn == 8))
+
+    base = joined.map_batches(edges, batch_format="pyarrow").materialize()
+    n_cells = base.count()
+
+    if 0 < n_cells <= local_max_cells:
+        et = collect_tables(base)
+        keys = et.column("fkey").to_numpy(zero_copy_only=False)
+        down = et.column("down").to_numpy(zero_copy_only=False)
+        v = et.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        pos = np.searchsorted(keys[order], down)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        tgt = order[pos_c]
+        has = (down >= 0) & (keys[tgt] == down)  # downstream is interior
+        acc = np.ones(len(keys), np.int64)
+        for lvl in np.unique(v)[::-1]:  # descending elevation bands
+            band = np.flatnonzero((v == lvl) & has)
+            if len(band):
+                np.add.at(acc, tgt[band], acc[band])
+        out = pa.table({
+            "tile": et.column("tile"),
+            "gr": et.column("gr"),
+            "gc": et.column("gc"),
+            "acc": pa.array(acc, pa.int64()),
+        })
+        return rd.from_arrow(out)
+
+    # distributed depth-synchronous rounds
+    base_schema = pa.schema([
+        ("tile", pa.string()), ("gr", pa.int32()), ("gc", pa.int32()),
+        ("fkey", pa.int64()), ("down", pa.int64()), ("v", pa.int64()),
+    ])
+    acc_ds = base.map_batches(
+        lambda b: b.append_column(
+            "acc", pa.array(np.ones(b.num_rows, np.int64), pa.int64())),
+        batch_format="pyarrow").materialize()
+    prev_total = -1
+    for _round in range(256):  # depth bound: elevation is 8-bit strict-drop
+        total = acc_ds.sum("acc")
+        if total == prev_total:
+            break
+        prev_total = total
+
+        def push(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = b.filter(pc.greater_equal(b.column("down"), 0))
+            return pa.table({"fkey": t.column("down"),
+                             "acc_in": t.column("acc")})
+
+        contrib = hash_aggregate(
+            acc_ds.map_batches(push, batch_format="pyarrow"),
+            keys=["fkey"], aggs={"s": ("acc_in", "sum")},
+            n_partitions=n_partitions)
+        joined2 = shuffle_hash_join(
+            base, contrib, on="fkey", how="left",
+            n_partitions=n_partitions,
+            left_schema=base_schema,
+            right_schema=pa.schema([("fkey", pa.int64()),
+                                    ("s", pa.int64())]))
+
+        def fold(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            s = pc.fill_null(b.column("s").cast(pa.int64()), 0)
+            return pa.table({
+                "tile": b.column("tile"), "gr": b.column("gr"),
+                "gc": b.column("gc"), "fkey": b.column("fkey"),
+                "down": b.column("down"), "v": b.column("v"),
+                "acc": pc.add(s, 1),
+            })
+
+        acc_ds = joined2.map_batches(fold, batch_format="pyarrow") \
+            .materialize()
+    return acc_ds.map_batches(
+        lambda b: b.select(["tile", "gr", "gc", "acc"]),
+        batch_format="pyarrow")

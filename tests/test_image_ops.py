@@ -1210,3 +1210,76 @@ def test_tile_flow_d8_rejects_wide_values(ray_session):
     })
     with pytest.raises(Exception, match="8-bit"):
         tile_flow_d8(rd.from_arrow(t)).to_pandas()
+
+
+def _flow_accum_reference(dem):
+    """Scalar D8 accumulation over a stitched DEM (interior only)."""
+    from equi7grid_ray.stages.mosaic import _D8
+
+    h, w = dem.shape
+    interior = [(r, c) for r in range(1, h - 1) for c in range(1, w - 1)]
+    downs = {}
+    for r, c in interior:
+        drops = [int(dem[r, c]) - int(dem[r + dr, c + dc])
+                 for dr, dc, _ in _D8]
+        best = max(drops)
+        if best > 0:
+            dr, dc, _ = _D8[drops.index(best)]
+            if (r + dr, c + dc) in set(interior):
+                downs[(r, c)] = (r + dr, c + dc)
+    acc = {cell: 1 for cell in interior}
+    for cell in sorted(interior, key=lambda rc: -dem[rc]):
+        if cell in downs:
+            acc[downs[cell]] += acc[cell]
+    return acc
+
+
+def _two_tile_mosaic(dem):
+    rows = []
+    for tile, c0 in (("EU_E036N078T6", 0), ("EU_E042N078T6", 8)):
+        for gr in range(8):
+            for gc in range(8):
+                rows.append((tile, gr, gc, int(dem[gr, c0 + gc])))
+    return pa.table({
+        "tile": pa.array([r[0] for r in rows]),
+        "gr": pa.array([r[1] for r in rows], pa.int32()),
+        "gc": pa.array([r[2] for r in rows], pa.int32()),
+        "v_max": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def test_tile_flow_accum_matches_reference(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import tile_flow_accum
+
+    dem = (np.arange(8)[:, None] * 53 + np.arange(16)[None, :] * 97
+           + 29) % 256
+    dem[4, 4] = 0  # pit collecting its neighbourhood
+    out = tile_flow_accum(rd.from_arrow(_two_tile_mosaic(dem))) \
+        .to_pandas()
+    got = {(r.tile, r.gr, r.gc): r.acc for r in out.itertuples()}
+    ref = _flow_accum_reference(dem)
+    exp = {("EU_E036N078T6" if c < 8 else "EU_E042N078T6", r, c % 8): a
+           for (r, c), a in ref.items()}
+    assert got == exp
+    assert sum(got.values()) >= len(got)  # every cell counts itself
+
+
+def test_tile_flow_accum_distributed_parity(ray_session):
+    """local_max_cells=0 forces the depth-synchronous distributed
+    rounds; output must match the local elevation-band path."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import tile_flow_accum
+
+    dem = (np.arange(8)[:, None] * 31 + np.arange(16)[None, :] * 73
+           + 7) % 256
+    t = _two_tile_mosaic(dem)
+    local = tile_flow_accum(rd.from_arrow(t)).to_pandas()
+    dist = tile_flow_accum(rd.from_arrow(t), local_max_cells=0) \
+        .to_pandas()
+    key = ["tile", "gr", "gc"]
+    local = local.sort_values(key).reset_index(drop=True)
+    dist = dist.sort_values(key).reset_index(drop=True)
+    assert local.equals(dist[local.columns])
