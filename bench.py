@@ -306,6 +306,9 @@ def _driver_queries() -> dict[str, float]:
         "tile_focal_mean",
         "image_blobs",
         "blob_bbox",
+        "blob_perimeter",
+        "image_seam",
+        "image_dither",
         "image_rle",
         "image_hist_match",
         "image_morph",

@@ -25,6 +25,7 @@ __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "MorphStats", "GLCMStats", "QualityGate", "HOGStats",
            "VideoCuts", "AutocorrAudio",
            "OtsuThreshold", "BandAlgebra", "BlobStats", "BlobBoxes",
+           "BlobPerimeter", "SeamStats", "DitherStats",
            "RleStats",
            "label_runs", "label_run_boxes", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
@@ -1601,14 +1602,23 @@ def label_runs(mask: np.ndarray) -> tuple[int, int, int]:
     return len(sizes), max(sizes.values()), fg
 
 
-def label_run_boxes(mask: np.ndarray):
+def label_run_boxes(mask: np.ndarray, return_perim: bool = False):
     """Like :func:`label_runs` but emits PER-COMPONENT geometry: for
     each 4-connected blob of ``mask``, its canonical label pixel (the
     topmost-then-leftmost run start — the root of the by-min
     union-find, since every union links the larger run id under the
     smaller), bounding box, and area.  Returns int64 arrays
     ``(lbl_r, lbl_c, min_r, max_r, min_c, max_c, area)``; empty masks
-    return empty arrays."""
+    return empty arrays.  With ``return_perim`` an eighth array is
+    appended: the 4-connected boundary perimeter
+
+        perim = 4 * area - 2 * (horizontal + vertical adjacencies)
+
+    (exposed unit edges of the component's pixel union) — the
+    adjacency masses fall out of the same run sweep: horizontal
+    adjacencies are ``run_len - 1`` per run, vertical adjacencies the
+    overlap length of each row-adjacent run pair the two-pointer sweep
+    already visits exactly once."""
     h, w = mask.shape
     padded = np.zeros((h, w + 1), dtype=bool)
     padded[:, :w] = mask
@@ -1618,7 +1628,7 @@ def label_run_boxes(mask: np.ndarray):
     ends = np.flatnonzero(d == -1)
     z = np.zeros(0, np.int64)
     if len(starts) == 0:
-        return z, z, z, z, z, z, z
+        return (z,) * (8 if return_perim else 7)
     row = starts // (w + 1)
     c0 = starts % (w + 1)
     c1 = c0 + (ends - starts)
@@ -1633,11 +1643,17 @@ def label_run_boxes(mask: np.ndarray):
 
     c0l, c1l = c0.tolist(), c1.tolist()
     starts_by_row = np.searchsorted(row, np.arange(h + 1))
+    ov_run: list[int] = []
+    ov_len: list[int] = []
     for r in range(1, h):
         a, a_end = int(starts_by_row[r - 1]), int(starts_by_row[r])
         b, b_end = int(starts_by_row[r]), int(starts_by_row[r + 1])
         while a < a_end and b < b_end:
             if c0l[a] < c1l[b] and c0l[b] < c1l[a]:
+                if return_perim:
+                    ov_run.append(a)
+                    ov_len.append(min(c1l[a], c1l[b])
+                                  - max(c0l[a], c0l[b]))
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
@@ -1658,7 +1674,16 @@ def label_run_boxes(mask: np.ndarray):
     np.maximum.at(max_r, inv, row)
     np.minimum.at(min_c, inv, c0)
     np.maximum.at(max_c, inv, c1 - 1)
-    return (row[uniq], c0[uniq], min_r, max_r, min_c, max_c, area)
+    if not return_perim:
+        return (row[uniq], c0[uniq], min_r, max_r, min_c, max_c, area)
+    hadj = np.bincount(inv, weights=(c1 - c0 - 1).astype(np.float64),
+                       minlength=m).astype(np.int64)
+    vadj = np.zeros(m, np.int64)
+    if ov_run:
+        ov_inv = inv[np.asarray(ov_run, np.int64)]
+        np.add.at(vadj, ov_inv, np.asarray(ov_len, np.int64))
+    perim = 4 * area - 2 * (hadj + vadj)
+    return (row[uniq], c0[uniq], min_r, max_r, min_c, max_c, area, perim)
 
 
 class BlobBoxes:
@@ -1696,6 +1721,50 @@ class BlobBoxes:
                 parts[t].append(res[t])
         names = ["lbl_r", "lbl_c", "min_r", "max_r", "min_c", "max_c",
                  "area"]
+        merged = [np.concatenate(p) if p else np.zeros(0, np.int64)
+                  for p in parts]
+        return pa.table(
+            {self.id_col: pa.array(out_id, ids.type),
+             **{nm: pa.array(v, pa.int64())
+                for nm, v in zip(names, merged)}})
+
+
+class BlobPerimeter:
+    """Per-blob boundary geometry: one output row per 4-connected
+    component of the ``v >= thresh`` mask with its canonical label
+    pixel, area and 4-connected perimeter (exposed unit edges) — the
+    shape-compactness step downstream of segmentation (isoperimetric
+    screening: perim^2 / area separates compact blobs from filaments;
+    reference-domain analogue: boundary length of polygonized raster
+    masks).  perim = 4*area - 2*adjacencies, all masses accumulated in
+    the same O(runs) union-find sweep as BlobBoxes; the SQL mirror
+    extends the image_blobs recursive-CTE closure with per-root
+    adjacency sums."""
+
+    def __init__(self, thresh: int = 128, id_col: str = "image_id"):
+        self.thresh = thresh
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        ids = batch.column(self.id_col)
+        out_id: list = []
+        parts: list[list[np.ndarray]] = [[] for _ in range(4)]
+        for j in range(batch.num_rows):
+            img = _decode_luma(data, offs, fmts, ws, hs, j)
+            res = label_run_boxes(img >= self.thresh, return_perim=True)
+            k = len(res[0])
+            if k == 0:
+                continue
+            out_id.extend([ids[j].as_py()] * k)
+            for t, src in enumerate((res[0], res[1], res[6], res[7])):
+                parts[t].append(src)
+        names = ["lbl_r", "lbl_c", "area", "perim"]
         merged = [np.concatenate(p) if p else np.zeros(0, np.int64)
                   for p in parts]
         return pa.table(
@@ -2211,6 +2280,102 @@ class AudioDownsample:
             "n_out": pa.array(n_out, pa.int64()),
             "sum_sq_ds": pa.array(ssq, pa.int64()),
             "peak_ds": pa.array(peak, pa.int64()),
+        })
+
+
+class SeamStats:
+    """Per-image minimum vertical-seam cost (the seam-carving /
+    content-aware-retargeting DP; also the min-cost corridor primitive
+    of least-cost-path raster analysis over the reference's tiled
+    grids): with energy = the pixel value itself,
+
+        M(0, c) = v(0, c)
+        M(r, c) = v(r, c) + min(M(r-1, c-1), M(r-1, c), M(r-1, c+1))
+
+    all in EXACT integers.  Emits per frame the minimum bottom-row
+    cost, the smallest column achieving it, and how many columns tie.
+    One vectorized row sweep per frame (h numpy steps over w-length
+    vectors, no per-pixel Python); the SQL mirror chains one CTE per
+    row with three scalar self-joins (least of the clamped trio)."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        cost = np.empty(n, np.int64)
+        col = np.empty(n, np.int64)
+        ties = np.empty(n, np.int64)
+        big = np.int64(1) << 40
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            m = v[0].copy()
+            for r in range(1, v.shape[0]):
+                left = np.concatenate(([big], m[:-1]))
+                right = np.concatenate((m[1:], [big]))
+                m = v[r] + np.minimum(np.minimum(left, m), right)
+            best = int(m.min())
+            hits = np.flatnonzero(m == best)
+            cost[j] = best
+            col[j] = int(hits[0])
+            ties[j] = len(hits)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "seam_cost": pa.array(cost, pa.int64()),
+            "seam_col": pa.array(col, pa.int64()),
+            "n_ties": pa.array(ties, pa.int64()),
+        })
+
+
+_BAYER4 = np.array([[0, 8, 2, 10],
+                    [12, 4, 14, 6],
+                    [3, 11, 1, 9],
+                    [15, 7, 13, 5]], dtype=np.int64)
+
+
+class DitherStats:
+    """Per-image ordered (Bayer 4x4) dithering -- the classic 1-bit
+    halftone used for mask thumbnails and cheap binary previews of
+    tiled rasters: pixel (r, c) is ON iff
+
+        v > bayer(r % 4, c % 4) * 16 + 8
+
+    (thresholds 8..248, exact integers).  Emits the ON count and the
+    position checksum sum(r * w + c over ON pixels), which pins the
+    exact ON set, not just its size.  One tiled compare per frame; SQL
+    mirrors the threshold matrix as a 16-way CASE."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        n_on = np.empty(n, np.int64)
+        pos = np.empty(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            h, w = v.shape
+            thr = np.tile(_BAYER4 * 16 + 8, (h // 4, w // 4))
+            on = v > thr
+            idx = np.flatnonzero(on)
+            n_on[j] = len(idx)
+            pos[j] = int(idx.sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_on": pa.array(n_on, pa.int64()),
+            "pos_sum": pa.array(pos, pa.int64()),
         })
 
 

@@ -1283,3 +1283,94 @@ def test_tile_flow_accum_distributed_parity(ray_session):
     local = local.sort_values(key).reset_index(drop=True)
     dist = dist.sort_values(key).reset_index(drop=True)
     assert local.equals(dist[local.columns])
+
+
+def _raw_one(img: np.ndarray) -> pa.Table:
+    h, w = img.shape
+    return pa.table({
+        "image_id": pa.array(["t"]),
+        "bytes": pa.array([encode_image(img.astype(np.uint8), "raw")],
+                          pa.binary()),
+        "w": pa.array([w], pa.int32()), "h": pa.array([h], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+
+
+def test_seam_matches_scalar_dp():
+    """SeamStats vectorized row sweep vs a per-pixel scalar DP."""
+    from equi7grid_ray.stages.multimodal import SeamStats
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        h, w = int(rng.integers(2, 12)), int(rng.integers(2, 14))
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        m = [[0] * w for _ in range(h)]
+        for c in range(w):
+            m[0][c] = int(img[0, c])
+        for r in range(1, h):
+            for c in range(w):
+                best = m[r - 1][c]
+                if c > 0:
+                    best = min(best, m[r - 1][c - 1])
+                if c < w - 1:
+                    best = min(best, m[r - 1][c + 1])
+                m[r][c] = int(img[r, c]) + best
+        mn = min(m[h - 1])
+        cols = [c for c in range(w) if m[h - 1][c] == mn]
+        out = SeamStats()(_raw_one(img))
+        assert out["seam_cost"][0].as_py() == mn
+        assert out["seam_col"][0].as_py() == cols[0]
+        assert out["n_ties"][0].as_py() == len(cols)
+
+
+def test_dither_known_tiny_case():
+    """Bayer thresholds pinned on a hand-checkable gradient frame."""
+    from equi7grid_ray.stages.multimodal import DitherStats, _BAYER4
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4) * 17  # 0..255
+    out = DitherStats()(_raw_one(img))
+    thr = _BAYER4 * 16 + 8
+    on = img.astype(int) > thr
+    assert out["n_on"][0].as_py() == int(on.sum())
+    assert out["pos_sum"][0].as_py() == int(np.flatnonzero(on).sum())
+
+
+def test_blob_perimeter_matches_bfs():
+    """Per-component perimeter vs pixel-level exposed-edge counting."""
+    from collections import deque
+
+    from equi7grid_ray.stages.multimodal import label_run_boxes
+
+    rng = np.random.default_rng(23)
+    for _ in range(25):
+        m = rng.random((10, 13)) < 0.45
+        seen = np.zeros_like(m)
+        expect = []
+        for r0 in range(m.shape[0]):
+            for c0 in range(m.shape[1]):
+                if m[r0, c0] and not seen[r0, c0]:
+                    q = deque([(r0, c0)])
+                    seen[r0, c0] = True
+                    pix = []
+                    while q:
+                        r, c = q.popleft()
+                        pix.append((r, c))
+                        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            rr, cc = r + dr, c + dc
+                            if 0 <= rr < m.shape[0] \
+                                    and 0 <= cc < m.shape[1] \
+                                    and m[rr, cc] and not seen[rr, cc]:
+                                seen[rr, cc] = True
+                                q.append((rr, cc))
+                    per = 0
+                    for r, c in pix:
+                        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            rr, cc = r + dr, c + dc
+                            if not (0 <= rr < m.shape[0]
+                                    and 0 <= cc < m.shape[1]) \
+                                    or not m[rr, cc]:
+                                per += 1
+                    expect.append((len(pix), per))
+        res = label_run_boxes(m, return_perim=True)
+        got = sorted(zip(res[6].tolist(), res[7].tolist()))
+        assert got == sorted(expect)
