@@ -322,6 +322,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_coverage",
         "tile_clusters",
         "tile_kring",
+        "tile_cost_distance",
         "tile_erosion",
         "best_scene_topk",
         "source_checksums",
@@ -332,6 +333,7 @@ def _driver_queries() -> dict[str, float]:
         "od_matrix",
         "embedding_pq",
         "tile_trend",
+        "tile_mk_trend",
         "tile_anomaly",
         "cell_provenance",
         "cell_quadkey",

@@ -32,7 +32,8 @@ from equi7grid_ray.stages.aggregate import hash_aggregate
 from equi7grid_ray.stages.multimodal import _decode_luma
 
 __all__ = ["SceneCellMeans", "tile_temporal_median", "tile_change_detect",
-           "tile_trend", "tile_anomaly", "tile_best_scene_cell"]
+           "tile_trend", "tile_anomaly", "tile_best_scene_cell",
+           "tile_mk_trend"]
 
 
 class SceneCellMeans:
@@ -127,6 +128,78 @@ def tile_temporal_median(cells, *, n_partitions: int = 32):
         cells.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(medians, batch_format="pandas")
+    )
+
+
+def tile_mk_trend(cells, *, n_partitions: int = 32):
+    """Per-(tile, cell) Mann-Kendall trend statistic over the scene
+    stack -- the NONPARAMETRIC counterpart of :func:`tile_trend`'s
+    least-squares slope and the standard EO monotonic-trend test
+    (robust to outliers, no distribution assumption):
+
+        S = sum over scene pairs i < j of sign(v_j - v_i)
+
+    ordered by scene index, all exact integers.  Emits
+    (tile, gr, gc, n_sc, mk_s, n_pairs) with n_pairs = n*(n-1)/2 (the
+    tie-free variance denominator's pair mass).
+
+    Shape: one hash partition on the cell key, one lexsort per
+    partition, then max-group-size LAG SWEEPS -- for each lag d the
+    comparison v[k+d] vs v[k] is one vectorized pass over the whole
+    partition masked to same-group rows, so Python cost is O(max
+    stack depth), never O(groups) or O(pairs)."""
+    from equi7grid_ray.stages.aggregate import _key_parts
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "tile": pc.cast(batch.column("tile"), pa.string()),
+            "gr": batch.column("gr"),
+            "gc": batch.column("gc"),
+            "i": batch.column("i"),
+            "m": batch.column("m"),
+        })
+        return t.append_column(
+            "__part",
+            pa.array(_key_parts(t, ["tile", "gr", "gc"], n_partitions)))
+
+    def mk(g: pd.DataFrame) -> pd.DataFrame:
+        tcode, _ = pd.factorize(g["tile"], sort=False)
+        gr = g["gr"].to_numpy(np.int64)
+        gc = g["gc"].to_numpy(np.int64)
+        span = max(int(gr.max()), int(gc.max())) + 1 if len(g) else 1
+        _, code = np.unique(
+            (tcode.astype(np.int64) * span + gr) * span + gc,
+            return_inverse=True)
+        i = g["i"].to_numpy(np.int64)
+        v = g["m"].to_numpy(np.int64)
+        order = np.lexsort((i, code))
+        code, v = code[order], v[order]
+        n_grp = int(code.max()) + 1
+        n = np.bincount(code, minlength=n_grp).astype(np.int64)
+        s = np.zeros(n_grp, np.int64)
+        for d in range(1, int(n.max())):
+            same = code[d:] == code[:-d]
+            if not same.any():
+                break
+            sgn = np.sign(v[d:] - v[:-d]).astype(np.int64)
+            np.add.at(s, code[:-d][same], sgn[same])
+        # groups are contiguous after the lexsort and every code value
+        # 0..n_grp-1 occurs, so starts[g] is group g's first row
+        starts = np.flatnonzero(np.diff(code, prepend=-1))
+        rows = g.iloc[order[starts]]
+        return pd.DataFrame({
+            "tile": rows["tile"].to_numpy(),
+            "gr": rows["gr"].to_numpy(),
+            "gc": rows["gc"].to_numpy(),
+            "n_sc": n,
+            "mk_s": s,
+            "n_pairs": n * (n - 1) // 2,
+        })
+
+    return (
+        cells.map_batches(prep, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(mk, batch_format="pandas")
     )
 
 

@@ -21,7 +21,7 @@ import pyarrow as pa
 from equi7grid_ray.stages.aggregate import hash_aggregate
 
 __all__ = ["tile_moran", "tile_revisit", "tile_clusters", "tile_kring",
-           "tile_erosion_depth"]
+           "tile_erosion_depth", "tile_cost_distance"]
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -294,6 +294,81 @@ def tile_kring(assigned, *, radius_steps: int = 2, step: int = 6,
         "tile": pa.array(par["tile"].to_numpy(), pa.string()),
         "n_nbrs": pa.array(n_nbrs, pa.int64()),
         "nbr_scenes": pa.array(nbr_sc, pa.int64()),
+    }))
+
+
+_COST_BIG = 1 << 40
+
+
+def tile_cost_distance(assigned, *, rounds: int = 8, step: int = 6,
+                       n_partitions: int = 32):
+    """Least-cost distance over the observed T6 lattice (bounded
+    Bellman-Ford -- the cost-distance / accessibility surface of
+    raster GIS, run on tile granularity): seeds are each continent's
+    busiest tiles (scene count == the continent max, dist 0); stepping
+    INTO tile t over a rook edge costs
+
+        w(t) = 1 + scene_count(t) % 4
+
+    and dist relaxes for ``rounds`` synchronous rounds:
+
+        d_k(t) = min(d_{k-1}(t), min over rook nbrs n of
+                     d_{k-1}(n) + w(t))
+
+    Tiles not reached within ``rounds`` report dist = -1.  All exact
+    integers.
+
+    Shape: the per-tile COUNT is the only row shuffle; the relaxation
+    runs over the bounded observed-tile table with the 4 neighbor
+    index maps precomputed once (merge -> gather), so each round is
+    four numpy gathers.  The SQL mirror unrolls the same rounds as
+    chained materialized CTEs with four LEFT JOINs each.  Emits
+    (tile, w, dist)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile": pc.cast(batch.column("tile"), pa.string()),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    counts = hash_aggregate(
+        assigned.map_batches(ones, batch_format="pyarrow"),
+        keys=["tile"], aggs={"x": ("one", "sum")},
+        n_partitions=n_partitions,
+    )
+    df = counts.to_pandas()  # bounded: observed tiles
+    par = _parse_names(df["tile"].astype(str))
+    x = df["x"].to_numpy(np.int64)
+    w = 1 + x % 4
+    cont_max = par.assign(x=x).groupby("cont")["x"].transform("max") \
+        .to_numpy(np.int64)
+    dist = np.where(x == cont_max, 0, _COST_BIG).astype(np.int64)
+    # neighbor index maps: nbr[d][k] = row index of tile k's neighbor
+    # in direction d, or -1
+    key = pd.DataFrame({"cont": par["cont"], "te": par["te"],
+                        "tn": par["tn"], "idx": np.arange(len(par))})
+    nbrs = []
+    for dx, dy in ((step, 0), (-step, 0), (0, step), (0, -step)):
+        sh = key.copy()
+        sh["te"] = sh["te"] + dx
+        sh["tn"] = sh["tn"] + dy
+        m = key.merge(sh, on=["cont", "te", "tn"], how="left",
+                      suffixes=("", "_b"))
+        nbrs.append(m["idx_b"].fillna(-1).to_numpy(np.int64))
+    for _ in range(rounds):
+        nd = dist.copy()
+        for nb in nbrs:
+            cand = np.where(nb >= 0, dist[nb] + w, _COST_BIG)
+            nd = np.minimum(nd, cand)
+        dist = nd
+    out = np.where(dist >= _COST_BIG, -1, dist)
+    return rd.from_arrow(pa.table({
+        "tile": pa.array(df["tile"].to_numpy(), pa.string()),
+        "w": pa.array(w, pa.int64()),
+        "dist": pa.array(out, pa.int64()),
     }))
 
 

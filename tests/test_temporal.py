@@ -313,3 +313,34 @@ def test_tile_similarity_crafted(ray_session):
     }
     tight = tile_similarity(rd.from_arrow(t), max_d2=1599).to_pandas()
     assert len(tight) == 1
+
+
+def test_mk_trend_matches_brute_pairs(ray_session):
+    """tile_mk_trend's lag sweep vs a per-group O(n^2) pair loop."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.temporal import tile_mk_trend
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    tiles = np.array(["EU_E048N012T6", "EU_E054N012T6", "AS_E066N030T6"])
+    df = pd.DataFrame({
+        "tile": tiles[rng.integers(0, 3, n)],
+        "gr": rng.integers(0, 3, n).astype(np.int32),
+        "gc": rng.integers(0, 3, n).astype(np.int32),
+        "i": rng.permutation(n).astype(np.int64),
+        "m": rng.integers(0, 5, n).astype(np.int64),  # many ties
+    })
+    out = tile_mk_trend(
+        rd.from_arrow(pa.Table.from_pandas(df)), n_partitions=4
+    ).to_pandas()
+    got = {(r.tile, r.gr, r.gc): (r.n_sc, r.mk_s, r.n_pairs)
+           for r in out.itertuples()}
+    exp = {}
+    for key, g in df.groupby(["tile", "gr", "gc"]):
+        g = g.sort_values("i")
+        v = g["m"].to_numpy()
+        s = sum(int(np.sign(v[j] - v[i]))
+                for i in range(len(v)) for j in range(i + 1, len(v)))
+        exp[key] = (len(v), s, len(v) * (len(v) - 1) // 2)
+    assert got == exp

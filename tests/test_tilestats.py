@@ -214,3 +214,43 @@ def test_doc_chunks_rejects_bad_params():
         doc_chunks(batch, window=4, stride=4)
     with pytest.raises(ValueError):
         doc_chunks(batch, window=4, stride=0)
+
+
+def test_cost_distance_hand_lattice(ray_session):
+    """3x1 strip + detached tile: hand-checked Bellman-Ford."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.tilestats import tile_cost_distance
+
+    # scene counts: A=4 (seed, w=1), B=1 (w=2), C=2 (w=3); D detached
+    rows = (["EU_E036N012T6"] * 4 + ["EU_E042N012T6"] * 1
+            + ["EU_E048N012T6"] * 2 + ["EU_E090N090T6"] * 1
+            + ["AS_E066N030T6"] * 3)
+    t = pa.table({"tile": pa.array(rows, pa.string())})
+    out = tile_cost_distance(rd.from_arrow(t), rounds=8,
+                             n_partitions=2).to_pandas()
+    got = {r.tile: (r.w, r.dist) for r in out.itertuples()}
+    assert got == {
+        "EU_E036N012T6": (1, 0),     # continent max -> seed
+        "EU_E042N012T6": (2, 2),     # seed + enter w=2
+        "EU_E048N012T6": (3, 5),     # 2 + enter w=3
+        "EU_E090N090T6": (2, -1),    # detached, unreached
+        "AS_E066N030T6": (4, 0),     # AS continent max -> its own seed
+    }
+
+
+def test_cost_distance_round_cap(ray_session):
+    """rounds bounds the reachable horizon: with rounds=1 the two-step
+    tile stays unreached."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.tilestats import tile_cost_distance
+
+    rows = (["EU_E036N012T6"] * 4 + ["EU_E042N012T6"] * 1
+            + ["EU_E048N012T6"] * 2)
+    t = pa.table({"tile": pa.array(rows, pa.string())})
+    out = tile_cost_distance(rd.from_arrow(t), rounds=1,
+                             n_partitions=2).to_pandas()
+    got = {r.tile: r.dist for r in out.itertuples()}
+    assert got == {"EU_E036N012T6": 0, "EU_E042N012T6": 2,
+                   "EU_E048N012T6": -1}
