@@ -323,6 +323,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_clusters",
         "tile_kring",
         "tile_cost_distance",
+        "tile_basins",
         "tile_erosion",
         "best_scene_topk",
         "source_checksums",

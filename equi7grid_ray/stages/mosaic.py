@@ -29,7 +29,8 @@ from equi7grid_ray.stages.multimodal import _decode_luma
 
 __all__ = ["MosaicGrid", "tile_mosaic", "tile_focal_mean",
            "tile_similarity", "MaskedMosaicGrid", "tile_clear_composite",
-           "tile_gradient", "tile_flow_d8", "tile_flow_accum"]
+           "tile_gradient", "tile_flow_d8", "tile_flow_accum",
+           "tile_basins"]
 
 
 class MosaicGrid:
@@ -613,6 +614,38 @@ def tile_flow_d8(mosaic, *, value: str = "v_max", grid: int = 8,
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _d8_edge_base(mosaic, *, value: str, grid: int, n_partitions: int):
+    """Materialized D8 edge list over the interior cells: one row per
+    cell with all 8 Moore neighbours, columns (tile, gr, gc, fkey,
+    down, v) where ``down`` is the packed key of the steepest-drop
+    neighbour (-1 on pits/flats).  METADATA only -- 3 ints per cell."""
+
+    joined = _d8_neighbours(mosaic, value=value, grid=grid,
+                            n_partitions=n_partitions)
+
+    def edges(b: pa.Table) -> pa.Table:
+        nn = b.column("nn").to_numpy(zero_copy_only=False)
+        best, first = _d8_steepest(b)
+        cidx, te, tn, gr, gc = _parse_tile_cols(b)
+        dr = np.array([d[0] for d in _D8], np.int64)[first]
+        dc = np.array([d[1] for d in _D8], np.int64)[first]
+        tr, tc = gr + dr, gc + dc
+        sn = tn + np.where(tr < 0, 6, 0) - np.where(tr >= grid, 6, 0)
+        se = te + np.where(tc < 0, -6, 0) + np.where(tc >= grid, 6, 0)
+        down = _packed_keys(cidx, se, sn, tr % grid, tc % grid, grid)
+        t = pa.table({
+            "tile": b.column("tile"),
+            "gr": b.column("gr"),
+            "gc": b.column("gc"),
+            "fkey": b.column("fkey"),
+            "down": pa.array(np.where(best > 0, down, -1), pa.int64()),
+            "v": b.column("v"),
+        })
+        return t.filter(pa.array(nn == 8))
+
+    return joined.map_batches(edges, batch_format="pyarrow").materialize()
+
+
 def tile_flow_accum(mosaic, *, value: str = "v_max", grid: int = 8,
                     n_partitions: int = 32, local_max_cells: int = 4_000_000):
     """D8 flow ACCUMULATION over the tile composite: per interior cell
@@ -647,30 +680,8 @@ def tile_flow_accum(mosaic, *, value: str = "v_max", grid: int = 8,
     from equi7grid_ray.arrowutil import collect_tables
     from equi7grid_ray.stages.join import shuffle_hash_join
 
-    joined = _d8_neighbours(mosaic, value=value, grid=grid,
-                            n_partitions=n_partitions)
-
-    def edges(b: pa.Table) -> pa.Table:
-        nn = b.column("nn").to_numpy(zero_copy_only=False)
-        best, first = _d8_steepest(b)
-        cidx, te, tn, gr, gc = _parse_tile_cols(b)
-        dr = np.array([d[0] for d in _D8], np.int64)[first]
-        dc = np.array([d[1] for d in _D8], np.int64)[first]
-        tr, tc = gr + dr, gc + dc
-        sn = tn + np.where(tr < 0, 6, 0) - np.where(tr >= grid, 6, 0)
-        se = te + np.where(tc < 0, -6, 0) + np.where(tc >= grid, 6, 0)
-        down = _packed_keys(cidx, se, sn, tr % grid, tc % grid, grid)
-        t = pa.table({
-            "tile": b.column("tile"),
-            "gr": b.column("gr"),
-            "gc": b.column("gc"),
-            "fkey": b.column("fkey"),
-            "down": pa.array(np.where(best > 0, down, -1), pa.int64()),
-            "v": b.column("v"),
-        })
-        return t.filter(pa.array(nn == 8))
-
-    base = joined.map_batches(edges, batch_format="pyarrow").materialize()
+    base = _d8_edge_base(mosaic, value=value, grid=grid,
+                         n_partitions=n_partitions)
     n_cells = base.count()
 
     if 0 < n_cells <= local_max_cells:
@@ -745,4 +756,167 @@ def tile_flow_accum(mosaic, *, value: str = "v_max", grid: int = 8,
             .materialize()
     return acc_ds.map_batches(
         lambda b: b.select(["tile", "gr", "gc", "acc"]),
+        batch_format="pyarrow")
+
+
+def tile_basins(mosaic, *, value: str = "v_max", grid: int = 8,
+                n_partitions: int = 32, local_max_cells: int = 4_000_000):
+    """Watershed BASIN delineation over the tile composite treated as
+    a DEM -- hydrology step three after :func:`tile_flow_d8`
+    (direction) and :func:`tile_flow_accum` (drainage area): label
+    every interior cell with its terminal sink (the cell its D8 path
+    ends at: a pit/flat, or an outlet whose steepest neighbour left
+    the interior set) and report each basin.
+
+    Emits one row per basin: the sink's (tile, gr, gc), its elevation
+    ``v_sink``, the member count ``n_cells`` and the exact sum of
+    member elevations ``sum_v`` (the sink is a member of its own
+    basin), so the full cell->basin partition is pinned by mass.
+
+    The flow graph is functional and acyclic with depth <= 255
+    (elevation strictly drops along every edge, 8-bit values), so
+    POINTER DOUBLING reaches every sink in <= 8 rounds -- no fixpoint
+    detection.  Under ``local_max_cells`` the doubling runs as one
+    numpy task over the bounded (cell, down) table; above it each
+    round is ONE partition-cogroup self-join shipping (fkey, ptr)
+    pairs -- 16 bytes per cell per round, never pixels.  The final
+    per-basin fold is one hash_aggregate + one join back onto the
+    sink rows."""
+    import ray.data as rd
+
+    from equi7grid_ray.arrowutil import collect_tables
+    from equi7grid_ray.stages.join import shuffle_hash_join
+
+    base = _d8_edge_base(mosaic, value=value, grid=grid,
+                         n_partitions=n_partitions)
+    n_cells = base.count()
+
+    def _finish_local(tile, gr, gc, v, root):
+        # root: index into the arrays of each cell's sink
+        n_grp = len(tile)
+        cnt = np.bincount(root, minlength=n_grp).astype(np.int64)
+        sv = np.zeros(n_grp, np.int64)
+        np.add.at(sv, root, v)
+        sink = np.flatnonzero(cnt > 0)
+        return pa.table({
+            "tile": pa.array(np.asarray(tile)[sink]),
+            "gr": pa.array(np.asarray(gr)[sink]),
+            "gc": pa.array(np.asarray(gc)[sink]),
+            "v_sink": pa.array(v[sink], pa.int64()),
+            "n_cells": pa.array(cnt[sink], pa.int64()),
+            "sum_v": pa.array(sv[sink], pa.int64()),
+        })
+
+    if 0 < n_cells <= local_max_cells:
+        et = collect_tables(base)
+        keys = et.column("fkey").to_numpy(zero_copy_only=False)
+        down = et.column("down").to_numpy(zero_copy_only=False)
+        v = et.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        pos = np.searchsorted(keys[order], down)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        tgt = order[pos_c]
+        has = (down >= 0) & (keys[tgt] == down)  # downstream is interior
+        ptr = np.where(has, tgt, np.arange(len(keys)))
+        for _ in range(8):  # 2^8 >= max path depth 255
+            ptr = ptr[ptr]
+        out = _finish_local(
+            et.column("tile").to_numpy(zero_copy_only=False),
+            et.column("gr").to_numpy(zero_copy_only=False),
+            et.column("gc").to_numpy(zero_copy_only=False), v, ptr)
+        return rd.from_arrow(out)
+
+    # distributed pointer doubling: ptr starts at the interior
+    # downstream (or self); each round resolves ptr -> ptr(ptr) via one
+    # cogroup self-join keyed on the CURRENT pointer ("at")
+    base_schema = pa.schema([
+        ("tile", pa.string()), ("gr", pa.int32()), ("gc", pa.int32()),
+        ("fkey", pa.int64()), ("down", pa.int64()), ("v", pa.int64()),
+    ])
+
+    # seed ptr = downstream IF that cell is interior (down >= 0 alone
+    # is not enough: a steepest neighbour can sit outside the interior
+    # set -- an outlet -- in which case the cell is its own sink), so
+    # resolve membership with one left join against the cell keys
+    def cand(b: pa.Table) -> pa.Table:
+        down = b.column("down").to_numpy(zero_copy_only=False)
+        fkey = b.column("fkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fkey": b.column("fkey"),
+            "at": pa.array(np.where(down >= 0, down, fkey), pa.int64()),
+        })
+
+    members = base.map_batches(
+        lambda b: pa.table({"at": b.column("fkey"),
+                            "hit": pa.array(
+                                np.ones(b.num_rows, np.int8), pa.int8())}),
+        batch_format="pyarrow")
+    seeded = shuffle_hash_join(
+        base.map_batches(cand, batch_format="pyarrow"), members,
+        on="at", how="left", n_partitions=n_partitions,
+        left_schema=pa.schema([("fkey", pa.int64()), ("at", pa.int64())]),
+        right_schema=pa.schema([("at", pa.int64()), ("hit", pa.int8())]))
+
+    def pick(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hit = pc.is_valid(b.column("hit"))
+        return pa.table({
+            "fkey": b.column("fkey"),
+            "ptr": pc.if_else(hit, b.column("at"), b.column("fkey")),
+        })
+
+    ptr_ds = seeded.map_batches(pick, batch_format="pyarrow").materialize()
+    for _ in range(8):
+        probe = ptr_ds.map_batches(
+            lambda b: pa.table({"cell": b.column("fkey"),
+                                "at": b.column("ptr")}),
+            batch_format="pyarrow")
+        lookup = ptr_ds.map_batches(
+            lambda b: pa.table({"at": b.column("fkey"),
+                                "nxt": b.column("ptr")}),
+            batch_format="pyarrow")
+        j = shuffle_hash_join(
+            probe, lookup, on="at", how="inner",
+            n_partitions=n_partitions,
+            left_schema=pa.schema([("cell", pa.int64()),
+                                   ("at", pa.int64())]),
+            right_schema=pa.schema([("at", pa.int64()),
+                                    ("nxt", pa.int64())]))
+        # inner is total: every ptr value is an interior key (sinks
+        # point at themselves), so each cell matches exactly one row
+        ptr_ds = j.map_batches(
+            lambda b: pa.table({"fkey": b.column("cell"),
+                                "ptr": b.column("nxt")}),
+            batch_format="pyarrow").materialize()
+
+    # per-sink fold: member count + elevation mass (v rides the seed
+    # table via one join back onto base), then sink coordinates
+    vj = shuffle_hash_join(
+        ptr_ds, base, on="fkey", n_partitions=n_partitions,
+        left_schema=pa.schema([("fkey", pa.int64()),
+                               ("ptr", pa.int64())]),
+        right_schema=base_schema)
+    folded = hash_aggregate(
+        vj.map_batches(
+            lambda b: pa.table({"fkey": b.column("ptr"),
+                                "v": b.column("v")}),
+            batch_format="pyarrow"),
+        keys=["fkey"],
+        aggs={"n_cells": ("v", "count"), "sum_v": ("v", "sum")},
+        n_partitions=n_partitions)
+    out = shuffle_hash_join(
+        folded, base, on="fkey", n_partitions=n_partitions,
+        left_schema=pa.schema([("fkey", pa.int64()),
+                               ("n_cells", pa.int64()),
+                               ("sum_v", pa.int64())]),
+        right_schema=base_schema)
+    return out.map_batches(
+        lambda b: pa.table({
+            "tile": b.column("tile"), "gr": b.column("gr"),
+            "gc": b.column("gc"),
+            "v_sink": b.column("v").cast(pa.int64()),
+            "n_cells": b.column("n_cells").cast(pa.int64()),
+            "sum_v": b.column("sum_v").cast(pa.int64()),
+        }),
         batch_format="pyarrow")

@@ -1374,3 +1374,72 @@ def test_blob_perimeter_matches_bfs():
         res = label_run_boxes(m, return_perim=True)
         got = sorted(zip(res[6].tolist(), res[7].tolist()))
         assert got == sorted(expect)
+
+
+def _basins_reference(dem):
+    """Scalar D8 basin delineation over a stitched DEM: follow the
+    steepest-drop pointer until a pit/flat or an exit from the
+    interior; aggregate members per sink."""
+    from equi7grid_ray.stages.mosaic import _D8
+
+    h, w = dem.shape
+    interior = {(r, c) for r in range(1, h - 1) for c in range(1, w - 1)}
+    downs = {}
+    for r, c in interior:
+        drops = [int(dem[r, c]) - int(dem[r + dr, c + dc])
+                 for dr, dc, _ in _D8]
+        best = max(drops)
+        if best > 0:
+            dr, dc, _ = _D8[drops.index(best)]
+            if (r + dr, c + dc) in interior:
+                downs[(r, c)] = (r + dr, c + dc)
+    basins = {}
+    for cell in interior:
+        cur = cell
+        while cur in downs:
+            cur = downs[cur]
+        n, sv = basins.get(cur, (0, 0))
+        basins[cur] = (n + 1, sv + int(dem[cell]))
+    return basins
+
+
+def test_tile_basins_matches_reference(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import tile_basins
+
+    dem = (np.arange(8)[:, None] * 53 + np.arange(16)[None, :] * 97
+           + 29) % 256
+    dem[4, 4] = 0   # pit: becomes a sink collecting its neighbourhood
+    dem[2, 9] = 0   # second pit on the east tile
+    out = tile_basins(rd.from_arrow(_two_tile_mosaic(dem))).to_pandas()
+    got = {(r.tile, r.gr, r.gc): (r.v_sink, r.n_cells, r.sum_v)
+           for r in out.itertuples()}
+    ref = _basins_reference(dem)
+    exp = {}
+    for (r, c), (n, sv) in ref.items():
+        tile = "EU_E036N078T6" if c < 8 else "EU_E042N078T6"
+        exp[(tile, r, c % 8)] = (int(dem[r, c]), n, sv)
+    assert got == exp
+    # basins partition the interior: member counts sum to |interior|
+    assert out["n_cells"].sum() == 6 * 14
+
+
+def test_tile_basins_distributed_parity(ray_session):
+    """local_max_cells=0 forces the pointer-doubling join rounds; the
+    output must match the local numpy path."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import tile_basins
+
+    dem = (np.arange(8)[:, None] * 31 + np.arange(16)[None, :] * 73
+           + 7) % 256
+    dem[5, 3] = 0
+    t = _two_tile_mosaic(dem)
+    local = tile_basins(rd.from_arrow(t)).to_pandas()
+    dist = tile_basins(rd.from_arrow(t), local_max_cells=0,
+                       n_partitions=4).to_pandas()
+    key = ["tile", "gr", "gc"]
+    local = local.sort_values(key).reset_index(drop=True)
+    dist = dist.sort_values(key).reset_index(drop=True)
+    assert local.equals(dist[local.columns])
