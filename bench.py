@@ -324,6 +324,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_kring",
         "tile_cost_distance",
         "tile_basins",
+        "coverage_gini",
         "tile_erosion",
         "best_scene_topk",
         "source_checksums",

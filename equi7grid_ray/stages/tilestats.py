@@ -21,7 +21,7 @@ import pyarrow as pa
 from equi7grid_ray.stages.aggregate import hash_aggregate
 
 __all__ = ["tile_moran", "tile_revisit", "tile_clusters", "tile_kring",
-           "tile_erosion_depth", "tile_cost_distance"]
+           "tile_erosion_depth", "tile_cost_distance", "coverage_gini"]
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -410,3 +410,60 @@ def tile_erosion_depth(tiles, *, step: int = 6, max_depth: int = 3):
         cols[f"n{d}"] = pa.array(counts[d], pa.int64())
     cols["depth"] = pa.array(depth, pa.int64())
     return rd.from_arrow(pa.table(cols))
+
+
+def coverage_gini(assigned, *, n_partitions: int = 32):
+    """Per-continent GINI COEFFICIENT of the per-tile scene counts --
+    the coverage-equity statistic (0 = every observed tile revisited
+    equally, ->1 = acquisitions piled on few tiles) that drives
+    tasking/rebalancing decisions in EO mission planning.
+
+    Exact integers, ascending-rank closed form over counts x_1<=...<=x_n:
+
+        gini_num = 2 * sum(r * x_r) - (n + 1) * sum(x)
+        gini_den = n * sum(x)
+        gini_pm  = 1000 * gini_num // gini_den     (per mille, trunc)
+
+    Equal counts may take any rank order: their contribution to
+    sum(r * x_r) is permutation-invariant, so the statistic is
+    deterministic without a tie rule.
+
+    Shape: the ONLY shuffle is the per-tile COUNT (metadata);
+    the fold runs per continent over the bounded tile table."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    counts = hash_aggregate(
+        assigned.map_batches(
+            lambda b: pa.table(
+                {"tile": pc.cast(b.column("tile"), pa.string())}),
+            batch_format="pyarrow"),
+        keys=["tile"], aggs={"c": ("tile", "count")},
+        n_partitions=n_partitions)
+
+    def with_cont(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "cont", pc.utf8_slice_codeunits(b.column("tile"), 0, 2))
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(g["c"].to_numpy(np.int64))
+        n = len(c)
+        tot = int(c.sum())
+        r = np.arange(1, n + 1, dtype=np.int64)
+        num = int(2 * (r * c).sum()) - (n + 1) * tot
+        den = n * tot
+        return pd.DataFrame({
+            "cont": [g["cont"].iloc[0]],
+            "n_tiles": np.array([n], np.int64),
+            "total": np.array([tot], np.int64),
+            "gini_num": np.array([num], np.int64),
+            "gini_den": np.array([den], np.int64),
+            "gini_pm": np.array([_tdiv(1000 * num, den)], np.int64),
+        })
+
+    return (
+        counts.map_batches(with_cont, batch_format="pyarrow")
+        .groupby("cont")
+        .map_groups(gini, batch_format="pandas")
+    )

@@ -254,3 +254,44 @@ def test_cost_distance_round_cap(ray_session):
     got = {r.tile: r.dist for r in out.itertuples()}
     assert got == {"EU_E036N012T6": 0, "EU_E042N012T6": 2,
                    "EU_E048N012T6": -1}
+
+
+def test_coverage_gini_hand_values(ray_session):
+    """Gini closed form pinned on hand-computed continents: equal
+    counts -> 0; EU counts (1, 3) -> num 2, den 8, pm 250."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.tilestats import coverage_gini
+
+    rows = (["AF_E036N012T6"] * 2 + ["AF_E042N012T6"] * 2
+            + ["EU_E048N012T6"] * 1 + ["EU_E054N012T6"] * 3)
+    t = pa.table({"tile": pa.array(rows, pa.string())})
+    out = coverage_gini(rd.from_arrow(t)).to_pandas() \
+        .set_index("cont").sort_index()
+    af, eu = out.loc["AF"], out.loc["EU"]
+    assert (af.n_tiles, af.total, af.gini_num, af.gini_den,
+            af.gini_pm) == (2, 4, 0, 8, 0)
+    assert (eu.n_tiles, eu.total, eu.gini_num, eu.gini_den,
+            eu.gini_pm) == (2, 4, 2, 8, 250)
+
+
+def test_coverage_gini_permutation_invariant(ray_session):
+    """Equal counts under any tie order give the same statistic; a
+    random multiset matches the scalar closed form."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.tilestats import coverage_gini
+
+    rng = np.random.default_rng(3)
+    counts = rng.integers(1, 9, 12)
+    rows = []
+    for k, c in enumerate(counts):
+        rows += [f"AS_E{k * 6:03d}N012T6"] * int(c)
+    t = pa.table({"tile": pa.array(rows, pa.string())})
+    out = coverage_gini(rd.from_arrow(t)).to_pandas().iloc[0]
+    c = np.sort(counts.astype(np.int64))
+    n, tot = len(c), int(c.sum())
+    num = int(2 * (np.arange(1, n + 1) * c).sum()) - (n + 1) * tot
+    assert (out.n_tiles, out.total, out.gini_num, out.gini_den,
+            out.gini_pm) == (n, tot, num, n * tot,
+                             1000 * num // (n * tot))
