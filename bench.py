@@ -325,6 +325,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_cost_distance",
         "tile_basins",
         "coverage_gini",
+        "audio_vad",
         "tile_erosion",
         "best_scene_topk",
         "source_checksums",

@@ -1138,3 +1138,50 @@ SELECT printf('img%012d', a.i) AS image_id, a.n_loud,
             THEN 'silent' ELSE 'ok' END AS reason
 FROM agg a LEFT JOIN qr ON qr.i = a.i
 """
+
+
+def audio_vad_sql(n_images: int = 500, frame: int = 64,
+                  msq_thresh: int = 400_000_000) -> str:
+    """Mirror of stages/multimodal.py:AudioVAD: s16le samples from the
+    synthetic payload bytes, non-overlapping frames of ``frame``
+    samples (trailing partial dropped), active when the frame energy
+    exceeds frame * msq_thresh, gaps-and-islands segments."""
+    return f"""
+WITH img AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END AS h
+  FROM range({n_images}) t(i)),
+s AS (
+  SELECT i, CAST(k.k AS BIGINT) AS k,
+    (((2 * k.k) // w) * h + ((2 * k.k) % w) * w + i) % 256
+      + 256 * ((((2 * k.k + 1) // w) * h + ((2 * k.k + 1) % w) * w + i) % 256)
+      AS u
+  FROM img, UNNEST(range({frame} * (((w * h) // 2) // {frame}))) AS k(k)),
+sv AS (SELECT i, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+       FROM s),
+fr AS (
+  SELECT i, k // {frame} AS f, sum(v * v)::BIGINT AS e
+  FROM sv GROUP BY i, k // {frame}),
+act AS (
+  SELECT i, f, CASE WHEN e > {frame} * {msq_thresh}::BIGINT
+                    THEN 1 ELSE 0 END AS a
+  FROM fr),
+runs AS (
+  SELECT i, f, a,
+         sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY i ORDER BY f) AS g
+  FROM act),
+seg AS (
+  SELECT i, g, count(*) AS len FROM runs WHERE a = 1 GROUP BY i, g),
+per_seg AS (
+  SELECT i, count(*)::BIGINT AS n_segments, max(len)::BIGINT AS longest
+  FROM seg GROUP BY i),
+per_clip AS (
+  SELECT i, count(*)::BIGINT AS n_frames, sum(a)::BIGINT AS n_active
+  FROM act GROUP BY i)
+SELECT printf('img%012d', c.i) AS image_id, c.n_frames, c.n_active,
+       COALESCE(s.n_segments, 0)::BIGINT AS n_segments,
+       COALESCE(s.longest, 0)::BIGINT AS longest
+FROM per_clip c LEFT JOIN per_seg s ON s.i = c.i
+"""

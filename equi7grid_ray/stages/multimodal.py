@@ -29,7 +29,8 @@ __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "RleStats",
            "label_runs", "label_run_boxes", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
-           "AudioFeatures", "PCMAudioFeatures", "AudioGate", "FrameSampler",
+           "AudioFeatures", "PCMAudioFeatures", "AudioGate", "AudioVAD",
+           "FrameSampler",
            "fake_decode"]
 
 
@@ -1990,6 +1991,74 @@ class AudioGate:
             "n_loud": pa.array(n_loud, pa.int64()),
             "max_quiet": pa.array(max_q, pa.int64()),
             "reason": pa.array(reason.tolist(), pa.string()),
+        })
+
+
+class AudioVAD:
+    """Energy-based voice-activity segmentation over PCM payloads --
+    the framing/segmentation step of every speech-data pipeline
+    (VAD-gated ASR corpora), in EXACT integers.
+
+    The clip's s16le samples are cut into non-overlapping frames of
+    ``frame`` samples (the trailing partial frame is dropped); a frame
+    is ACTIVE when its energy exceeds the mean-square threshold:
+
+        sum(v^2) > frame * msq_thresh
+
+    Consecutive active frames form segments (gaps-and-islands).  Emits
+    (image_id, n_frames, n_active, n_segments, longest) -- longest in
+    frames, 0 when silent throughout.
+
+    One reshape + row-sum per clip; no per-sample Python."""
+
+    def __init__(self, frame: int = 64, msq_thresh: int = 400_000_000,
+                 id_col: str = "image_id"):
+        self.frame = frame
+        self.msq = msq_thresh
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        F = self.frame
+        n_frames = np.zeros(n, np.int64)
+        n_active = np.zeros(n, np.int64)
+        n_seg = np.zeros(n, np.int64)
+        longest = np.zeros(n, np.int64)
+        for j in range(n):
+            raw = np.frombuffer(data, np.uint8,
+                                count=int(offs[j + 1] - offs[j]),
+                                offset=int(offs[j]))
+            raw = decode_image(raw, fmts[j], int(ws[j]), int(hs[j]),
+                               copy=False).reshape(-1)
+            m = len(raw) // 2
+            pair = raw[: 2 * m].reshape(m, 2).astype(np.int64)
+            v = pair[:, 0] + 256 * pair[:, 1]
+            v -= (v >= 32768) * 65536
+            nf = m // F
+            n_frames[j] = nf
+            if nf == 0:
+                continue
+            e = (v[: nf * F] ** 2).reshape(nf, F).sum(axis=1)
+            act = e > F * self.msq
+            n_active[j] = int(act.sum())
+            if act.any():
+                padded = np.concatenate([[False], act, [False]])
+                d = np.diff(padded.astype(np.int8))
+                lens = np.flatnonzero(d == -1) - np.flatnonzero(d == 1)
+                n_seg[j] = len(lens)
+                longest[j] = int(lens.max())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_frames": pa.array(n_frames, pa.int64()),
+            "n_active": pa.array(n_active, pa.int64()),
+            "n_segments": pa.array(n_seg, pa.int64()),
+            "longest": pa.array(longest, pa.int64()),
         })
 
 

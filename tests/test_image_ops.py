@@ -1443,3 +1443,51 @@ def test_tile_basins_distributed_parity(ray_session):
     local = local.sort_values(key).reset_index(drop=True)
     dist = dist.sort_values(key).reset_index(drop=True)
     assert local.equals(dist[local.columns])
+
+
+def test_audio_vad_crafted_segments():
+    """Planted active/silent frame pattern: frame=4 samples, activity
+    when sum(v^2) > 4 * msq.  Clip layout (6 frames):
+    active, active, silent, active, silent, silent -> 2 segments,
+    longest 2; the trailing partial frame is dropped."""
+    from equi7grid_ray.stages.multimodal import AudioVAD
+
+    def clip_bytes(samples):
+        v = np.asarray(samples, np.int64)
+        u = np.where(v < 0, v + 65536, v)
+        out = np.empty(2 * len(v), np.uint8)
+        out[0::2] = u % 256
+        out[1::2] = u // 256
+        return bytes(out)
+
+    LOUD, SOFT = 25_000, 10
+    frames = [[LOUD] * 4, [-LOUD] * 4, [SOFT] * 4,
+              [LOUD, -LOUD, LOUD, -LOUD], [SOFT] * 4, [-SOFT] * 4]
+    samples = [s for f in frames for s in f] + [LOUD]  # partial tail
+    silent = [SOFT] * 8
+    batch = pa.table({
+        "image_id": pa.array(["mix", "silent"]),
+        "bytes": pa.array([clip_bytes(samples), clip_bytes(silent)],
+                          pa.binary()),
+        "w": pa.array([2 * len(samples), 16], pa.int32()),
+        "h": pa.array([1, 1], pa.int32()),
+        "fmt": pa.array(["raw", "raw"]),
+    })
+    out = AudioVAD(frame=4, msq_thresh=400_000_000)(batch)
+    got = {out["image_id"][k].as_py():
+           (out["n_frames"][k].as_py(), out["n_active"][k].as_py(),
+            out["n_segments"][k].as_py(), out["longest"][k].as_py())
+           for k in range(out.num_rows)}
+    assert got["mix"] == (6, 3, 2, 2)
+    assert got["silent"] == (2, 0, 0, 0)
+    # threshold is strict: a frame exactly AT the mean-square bound is
+    # inactive (25000^2 = 625e6 > 400e6 -> active; verify boundary)
+    at = clip_bytes([20_000, -20_000, 20_000, -20_000])  # msq = 4e8
+    b2 = pa.table({
+        "image_id": pa.array(["boundary"]),
+        "bytes": pa.array([at], pa.binary()),
+        "w": pa.array([8], pa.int32()), "h": pa.array([1], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    o2 = AudioVAD(frame=4, msq_thresh=400_000_000)(b2)
+    assert o2["n_active"][0].as_py() == 0  # == threshold, not >
