@@ -326,6 +326,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_basins",
         "coverage_gini",
         "audio_vad",
+        "image_hough4",
         "tile_erosion",
         "best_scene_topk",
         "source_checksums",

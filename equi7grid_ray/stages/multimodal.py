@@ -30,6 +30,7 @@ __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "label_runs", "label_run_boxes", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
            "AudioFeatures", "PCMAudioFeatures", "AudioGate", "AudioVAD",
+           "HoughLines4",
            "FrameSampler",
            "fake_decode"]
 
@@ -1991,6 +1992,73 @@ class AudioGate:
             "n_loud": pa.array(n_loud, pa.int64()),
             "max_quiet": pa.array(max_q, pa.int64()),
             "reason": pa.array(reason.tolist(), pa.string()),
+        })
+
+
+class HoughLines4:
+    """Dominant-line detection by EXACT integer Hough voting at the
+    four axis/diagonal orientations (the deskew / horizon / road-grid
+    primitive; general-angle Hough needs trig, these four are the
+    integer-exact subset):
+
+        orient 0 (vertical   lines): rho = c
+        orient 1 (45-degree  lines): rho = r + c
+        orient 2 (horizontal lines): rho = r
+        orient 3 (135-degree lines): rho = r - c
+
+    Votes come from interior Sobel edge pixels (|Gx| + |Gy| >=
+    ``edge_t``, same gradient as :class:`SobelStats`).  Emits
+    (image_id, n_edges, best_orient, best_rho, best_votes) where best
+    maximizes votes with ties to the smallest orient then smallest
+    rho; frames with no edge pixel emit (-1, 0, 0).
+
+    Four bincounts per frame over the edge-pixel index arrays -- no
+    per-pixel Python."""
+
+    def __init__(self, edge_t: int = 256, id_col: str = "image_id"):
+        self.edge_t = edge_t
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        n_edges = np.zeros(n, np.int64)
+        b_or = np.full(n, -1, np.int64)
+        b_rho = np.zeros(n, np.int64)
+        b_votes = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            if v.shape[0] < 3 or v.shape[1] < 3:
+                continue
+            gx = (v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:]) \
+                - (v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2])
+            gy = (v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:]) \
+                - (v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:])
+            rr, cc = np.nonzero(np.abs(gx) + np.abs(gy) >= self.edge_t)
+            if len(rr) == 0:
+                continue
+            rr = rr + 1  # interior offset: gradient grids start at 1
+            cc = cc + 1
+            n_edges[j] = len(rr)
+            for o, rho in enumerate((cc, rr + cc, rr, rr - cc)):
+                lo = int(rho.min())
+                counts = np.bincount(rho - lo)
+                m = int(counts.max())
+                if m > b_votes[j]:
+                    b_votes[j] = m
+                    b_or[j] = o
+                    b_rho[j] = int(np.argmax(counts)) + lo
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_edges": pa.array(n_edges, pa.int64()),
+            "best_orient": pa.array(b_or, pa.int64()),
+            "best_rho": pa.array(b_rho, pa.int64()),
+            "best_votes": pa.array(b_votes, pa.int64()),
         })
 
 

@@ -1491,3 +1491,76 @@ def test_audio_vad_crafted_segments():
     })
     o2 = AudioVAD(frame=4, msq_thresh=400_000_000)(b2)
     assert o2["n_active"][0].as_py() == 0  # == threshold, not >
+
+
+def test_hough4_planted_line():
+    """A bright vertical line on a flat frame wins orientation 0 at
+    the line's column; a diagonal-stripe frame wins an r+c rho."""
+    from equi7grid_ray.stages.multimodal import HoughLines4
+
+    flat = np.zeros((16, 16), np.uint8)
+    flat[:, 7] = 255  # vertical line at c=7
+    diag = np.zeros((16, 16), np.uint8)
+    for k in range(-1, 2):
+        idx = np.arange(16)
+        r, c = idx, (14 - idx + k)
+        ok = (c >= 0) & (c < 16)
+        diag[r[ok], c[ok]] = 255  # anti-diagonal band r + c ~ 14
+    batch = pa.table({
+        "image_id": pa.array(["vline", "diag"]),
+        "bytes": pa.array([encode_image(flat, "raw"),
+                           encode_image(diag, "raw")], pa.binary()),
+        "w": pa.array([16, 16], pa.int32()),
+        "h": pa.array([16, 16], pa.int32()),
+        "fmt": pa.array(["raw", "raw"]),
+    })
+    out = HoughLines4()(batch)
+    got = {out["image_id"][k].as_py():
+           (out["best_orient"][k].as_py(), out["best_rho"][k].as_py())
+           for k in range(out.num_rows)}
+    # Sobel responds on BOTH sides of the line: columns 6 and 8 each
+    # collect every interior row; ties go to the smaller rho
+    assert got["vline"] == (0, 6)
+    assert got["diag"][0] == 1  # 45-degree family wins the stripes
+    # zero-edge frame: constant image emits the (-1, 0, 0) default
+    const = np.full((8, 8), 9, np.uint8)
+    b2 = pa.table({
+        "image_id": pa.array(["const"]),
+        "bytes": pa.array([encode_image(const, "raw")], pa.binary()),
+        "w": pa.array([8], pa.int32()), "h": pa.array([8], pa.int32()),
+        "fmt": pa.array(["raw"]),
+    })
+    o2 = HoughLines4()(b2)
+    assert (o2["n_edges"][0].as_py(), o2["best_orient"][0].as_py(),
+            o2["best_votes"][0].as_py()) == (0, -1, 0)
+
+
+def test_hough4_matches_bruteforce():
+    """Vote table + tie rule vs a scalar reference on synthetic
+    frames."""
+    from equi7grid_ray.stages.multimodal import HoughLines4
+
+    batch = make_batch(40, 6)
+    out = HoughLines4()(batch)
+    for k in range(6):
+        v = _img_of(40 + k).astype(np.int64)
+        gx = (v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:]) \
+            - (v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2])
+        gy = (v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:]) \
+            - (v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:])
+        rr, cc = np.nonzero(np.abs(gx) + np.abs(gy) >= 256)
+        rr, cc = rr + 1, cc + 1
+        assert out["n_edges"][k].as_py() == len(rr)
+        if len(rr) == 0:
+            assert out["best_orient"][k].as_py() == -1
+            assert out["best_votes"][k].as_py() == 0
+            continue
+        votes = {}
+        for o, rho in ((0, cc), (1, rr + cc), (2, rr), (3, rr - cc)):
+            for x in rho:
+                votes[(o, int(x))] = votes.get((o, int(x)), 0) + 1
+        bo, brho = min(votes,
+                       key=lambda orho: (-votes[orho],) + orho)
+        assert out["best_orient"][k].as_py() == bo
+        assert out["best_rho"][k].as_py() == brho
+        assert out["best_votes"][k].as_py() == votes[(bo, brho)]
