@@ -338,6 +338,7 @@ def _driver_queries() -> dict[str, float]:
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",
+        "tile_iqr",
         "tile_anomaly",
         "cell_provenance",
         "cell_quadkey",

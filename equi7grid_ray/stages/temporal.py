@@ -33,7 +33,7 @@ from equi7grid_ray.stages.multimodal import _decode_luma
 
 __all__ = ["SceneCellMeans", "tile_temporal_median", "tile_change_detect",
            "tile_trend", "tile_anomaly", "tile_best_scene_cell",
-           "tile_mk_trend"]
+           "tile_mk_trend", "tile_iqr_composite"]
 
 
 class SceneCellMeans:
@@ -421,4 +421,60 @@ def tile_best_scene_cell(cells, *, n_partitions: int = 32):
         cells.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(argmax, batch_format="pandas")
+    )
+
+
+def tile_iqr_composite(cells, *, n_partitions: int = 32):
+    """Per (tile, gr, gc): exact QUARTILE composite over the scene
+    stack -- the robust-compositing counterpart of
+    :func:`tile_temporal_median` (Q1/Q3 band composites and their
+    spread are the standard cloud/outlier-robust EO products; the IQR
+    doubles as the per-cell variability map).
+
+    Quartiles use DuckDB's ``quantile_disc`` rank rule: the element at
+    1-based rank ``max(1, ceil(q * n))`` of the sorted stack, so the
+    SQL mirror is bit-exact.  Emits
+    (tile, gr, gc, n_sc, v_q1, v_q3, iqr).
+
+    Same shape as the median composite: one hash partition on tile,
+    ONE lexsort + group-boundary pass per partition."""
+    from equi7grid_ray.stages.aggregate import _key_parts
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", pa.array(_key_parts(batch, ["tile"], n_partitions)))
+
+    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
+        tcode, tuniq = pd.factorize(g["tile"], sort=False)
+        gr = g["gr"].to_numpy()
+        gc = g["gc"].to_numpy()
+        m = g["m"].to_numpy()
+        order = np.lexsort((m, gc, gr, tcode))
+        tc, gr, gc, m = tcode[order], gr[order], gc[order], m[order]
+        new = np.empty(len(m), bool)
+        new[0] = True
+        new[1:] = (tc[1:] != tc[:-1]) | (gr[1:] != gr[:-1]) \
+            | (gc[1:] != gc[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(m)))
+        # 1-based rank ceil(q*n) in IEEE doubles (the quantile_disc
+        # rule; see stages/quantiles.py for the determinism argument)
+        r1 = np.maximum(1, np.ceil(0.25 * counts)).astype(np.int64)
+        r3 = np.maximum(1, np.ceil(0.75 * counts)).astype(np.int64)
+        q1 = m[starts + r1 - 1].astype(np.int64)
+        q3 = m[starts + r3 - 1].astype(np.int64)
+        return pd.DataFrame({
+            "tile": tuniq.take(tc[starts]),
+            "gr": gr[starts],
+            "gc": gc[starts],
+            "n_sc": counts.astype(np.int64),
+            "v_q1": q1,
+            "v_q3": q3,
+            "iqr": q3 - q1,
+        })
+
+    return (
+        cells.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(quartiles, batch_format="pandas")
     )

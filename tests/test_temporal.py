@@ -344,3 +344,41 @@ def test_mk_trend_matches_brute_pairs(ray_session):
                 for i in range(len(v)) for j in range(i + 1, len(v)))
         exp[key] = (len(v), s, len(v) * (len(v) - 1) // 2)
     assert got == exp
+
+
+def test_tile_iqr_rank_rule(ray_session):
+    """quantile_disc rank rule pinned across stack depths 1..6 against
+    a scalar ceil-rank reference."""
+    import math
+
+    import ray.data as rd
+
+    from equi7grid_ray.stages.temporal import tile_iqr_composite
+
+    rng = np.random.default_rng(11)
+    rows = {"tile": [], "gr": [], "gc": [], "i": [], "m": []}
+    stacks = {}
+    for cell in range(12):
+        n = cell % 6 + 1
+        vals = rng.integers(0, 256, n)
+        stacks[(cell // 8, cell % 8)] = np.sort(vals)
+        for k, v in enumerate(vals):
+            rows["tile"].append("EU_E048N012T6")
+            rows["gr"].append(cell // 8)
+            rows["gc"].append(cell % 8)
+            rows["i"].append(k)
+            rows["m"].append(int(v))
+    t = pa.table({
+        "tile": pa.array(rows["tile"], pa.string()),
+        "gr": pa.array(rows["gr"], pa.int32()),
+        "gc": pa.array(rows["gc"], pa.int32()),
+        "i": pa.array(rows["i"], pa.int64()),
+        "m": pa.array(rows["m"], pa.int64()),
+    })
+    out = tile_iqr_composite(rd.from_arrow(t)).to_pandas()
+    for r in out.itertuples():
+        s = stacks[(r.gr, r.gc)]
+        n = len(s)
+        q1 = int(s[max(1, math.ceil(0.25 * n)) - 1])
+        q3 = int(s[max(1, math.ceil(0.75 * n)) - 1])
+        assert (r.n_sc, r.v_q1, r.v_q3, r.iqr) == (n, q1, q3, q3 - q1)
