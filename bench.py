@@ -327,6 +327,7 @@ def _driver_queries() -> dict[str, float]:
         "coverage_gini",
         "audio_vad",
         "image_hough4",
+        "benford_audit",
         "tile_erosion",
         "best_scene_topk",
         "source_checksums",

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["check_table"]
+__all__ = ["check_table", "benford_audit", "BENFORD_PM"]
 
 
 def check_table(ds, *, not_null: list[str] | None = None,
@@ -112,3 +112,57 @@ def check_table(ds, *, not_null: list[str] | None = None,
 
     return pa.table({"check": pa.array(names, pa.string()),
                      "n_violations": pa.array(viols, pa.int64())})
+
+
+#: rounded Benford per-mille expectation for first digits 1..9 (the
+#: standard table; log10(1 + 1/d) to 3 decimals, both engines share it)
+BENFORD_PM = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+def benford_audit(ds, *, column: str, n_partitions: int = 8):
+    """First-significant-digit BENFORD audit of a currency column --
+    the classic synthetic/fabricated-data screen (real transaction
+    amounts follow Benford's law; generated or tampered ones rarely
+    do).  Values go to exact cents (rint(x * 100), the repo currency
+    idiom); the first digit is extracted by integer powers-of-ten
+    searchsorted (float log10 would misbin near 10^k).
+
+    Emits one row per digit 1..9: observed count ``n``, observed
+    per-mille share (trunc), the rounded Benford expectation and the
+    absolute per-mille deviation.
+
+    Shape: per-batch 9-bin bincount partials (combiner-first); only
+    the 9-row partial table ever shuffles."""
+    from equi7grid_ray.arrowutil import collect_tables
+
+    pow10 = 10 ** np.arange(19, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(column).to_numpy(zero_copy_only=False)
+        cents = np.rint(x * 100.0).astype(np.int64)
+        cents = cents[cents > 0]
+        p = np.searchsorted(pow10, cents, side="right") - 1
+        d = cents // pow10[p]
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table({
+            "d": pa.array(np.arange(1, 10), pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    parts = collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow"))
+    d = parts.column("d").to_numpy(zero_copy_only=False)
+    n = parts.column("n").to_numpy(zero_copy_only=False)
+    tot_d = np.zeros(10, np.int64)
+    np.add.at(tot_d, d, n)
+    counts = tot_d[1:10]
+    total = int(counts.sum())
+    exp = np.array(BENFORD_PM, np.int64)
+    share = 1000 * counts // max(total, 1)
+    return pa.table({
+        "d": pa.array(np.arange(1, 10), pa.int64()),
+        "n": pa.array(counts, pa.int64()),
+        "share_pm": pa.array(share, pa.int64()),
+        "exp_pm": pa.array(exp, pa.int64()),
+        "dev_pm": pa.array(np.abs(share - exp), pa.int64()),
+    })

@@ -474,3 +474,23 @@ def test_bm25_topk_k_truncates_and_ties_break_by_id(ray_session):
     out = bm25_topk(ray.data.from_arrow(docs), ("a",), k=3).to_pandas()
     assert list(out.doc_id) == [3, 7, 10]
     assert out.score.nunique() == 1
+
+
+def test_benford_digit_extraction_near_pow10(ray_session):
+    """Digit extraction is integer-exact at powers of ten where float
+    log10 misbins (e.g. 1000.00 -> digit 1, 999.99 -> 9)."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.validate import benford_audit
+
+    vals = [10.00, 9.99, 1000.00, 999.99, 0.01, 100000.0, 99999.99,
+            1.00, 0.10]
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    out = benford_audit(rd.from_arrow(t), column="x").to_pandas()
+    got = dict(zip(out["d"], out["n"]))
+    # cents: 1000, 999, 100000, 99999, 1, 10000000, 9999999, 100, 10
+    assert got[1] == 6 and got[9] == 3
+    assert out["n"].sum() == len(vals)
+    # share per mille truncates: 6/9 -> 666, 3/9 -> 333
+    assert dict(zip(out["d"], out["share_pm"]))[1] == 666
+    assert dict(zip(out["d"], out["dev_pm"]))[1] == 666 - 301
