@@ -343,6 +343,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_anomaly",
         "cell_provenance",
         "cell_quadkey",
+        "cell_geohash",
         "csv_orders_rollup",
         "compact_docs",
         "mosaic_manifest",

@@ -311,3 +311,26 @@ def test_hilbert_bijection_and_adjacency():
     xo, yo = xs.ravel()[order], ys.ravel()[order]
     steps = np.abs(np.diff(xo)) + np.abs(np.diff(yo))
     assert (steps == 1).all()
+
+
+def test_geohash_reference_values():
+    """4-char prefixes of textbook geohashes: the engine's integer bit
+    build reproduces the canonical encoder (57.64911,10.40744 ->
+    'u4pr...'; -25.382708,-49.265506 -> '6gkz...')."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def encode4(lon_deg, lat_deg):
+        lon_u = int(round(lon_deg * 1e6))
+        lat_u = int(round(lat_deg * 1e6))
+        ix = (lon_u + 180_000_000) * 1024 // 360_000_000
+        iy = (lat_u + 90_000_000) * 1024 // 180_000_000
+        z = 0
+        for k in range(10):
+            z |= ((ix >> (9 - k)) & 1) << (19 - 2 * k)
+            z |= ((iy >> (9 - k)) & 1) << (18 - 2 * k)
+        return "".join(alpha[(z >> (15 - 5 * j)) & 31] for j in range(4))
+
+    assert encode4(10.40744, 57.64911) == "u4pr"
+    assert encode4(-49.265506, -25.382708) == "6gkz"
+    assert encode4(-5.6, 42.6) == "ezs4"[:4]
+    assert encode4(0.0, 0.0) == "s000"
