@@ -324,6 +324,8 @@ def _driver_queries() -> dict[str, float]:
         "tile_kring",
         "tile_cost_distance",
         "tile_basins",
+        "tile_tri",
+        "tile_aspect",
         "coverage_gini",
         "audio_vad",
         "image_hough4",

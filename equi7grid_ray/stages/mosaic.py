@@ -30,7 +30,7 @@ from equi7grid_ray.stages.multimodal import _decode_luma
 __all__ = ["MosaicGrid", "tile_mosaic", "tile_focal_mean",
            "tile_similarity", "MaskedMosaicGrid", "tile_clear_composite",
            "tile_gradient", "tile_flow_d8", "tile_flow_accum",
-           "tile_basins"]
+           "tile_basins", "tile_tri", "tile_aspect"]
 
 
 class MosaicGrid:
@@ -920,3 +920,88 @@ def tile_basins(mosaic, *, value: str = "v_max", grid: int = 8,
             "sum_v": b.column("sum_v").cast(pa.int64()),
         }),
         batch_format="pyarrow")
+
+
+def tile_tri(mosaic, *, value: str = "v_max", grid: int = 8,
+             n_partitions: int = 32):
+    """Terrain Ruggedness Index (Riley et al. 1999, the sqrt-free
+    integer form) over the tile composite with cross-tile halo
+    exchange: per interior cell the sum of absolute differences to its
+    8 Moore neighbours
+
+        tri = sum_k |v(center) - v(neighbour_k)|
+
+    -- the roughness screen that complements slope (tile_gradient) and
+    flow (tile_flow_*).  Reuses the packed D8 halo exchange; cells
+    missing any neighbour are dropped."""
+    joined = _d8_neighbours(mosaic, value=value, grid=grid,
+                            n_partitions=n_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nn = b.column("nn").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        p8 = (b.column("pa8").to_numpy(zero_copy_only=False),
+              b.column("pb8").to_numpy(zero_copy_only=False))
+        tri = np.zeros(len(v), np.int64)
+        for k in range(8):
+            tri += np.abs(v - ((p8[k // 4] >> (8 * (k % 4))) & 255))
+        t = pa.table({
+            "tile": b.column("tile"),
+            "gr": b.column("gr"),
+            "gc": b.column("gc"),
+            "tri": pa.array(tri, pa.int64()),
+        })
+        return t.filter(pa.array(nn == 8))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def tile_aspect(mosaic, *, value: str = "v_max", grid: int = 8,
+                n_partitions: int = 32):
+    """Aspect (downslope compass facing) HISTOGRAM per continent over
+    the tile composite -- the terrain-exposure rollup next to
+    tile_gradient's slope map.  Central differences with the same halo
+    exchange; the downslope vector (u, w) = (-gx, -gy) classifies into
+    8 sectors with EXACT integer tests (45-degree boundaries land on
+    |u| == |w|):
+
+        flat (0)  u = w = 0
+        E/W       |u| > |w|  ->  1 (u > 0) / 5 (u < 0)
+        S/N       |w| > |u|  ->  3 (w > 0) / 7 (w < 0)
+        diagonals |u| = |w|  ->  SE 2, SW 4, NW 6, NE 8
+
+    (gr is south-positive, so w > 0 faces south).  Output: one row per
+    (continent, aspect) with the cell count -- bounded 7 x 9."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    grad = tile_gradient(mosaic, value=value, grid=grid,
+                         n_partitions=n_partitions)
+
+    def classify(b: pa.Table) -> pa.Table:
+        gx = b.column("gx").to_numpy(zero_copy_only=False)
+        gy = b.column("gy").to_numpy(zero_copy_only=False)
+        u, w = -gx, -gy
+        au, aw = np.abs(u), np.abs(w)
+        code = np.zeros(len(u), np.int64)
+        card = au > aw
+        code = np.where(card & (u > 0), 1, code)
+        code = np.where(card & (u < 0), 5, code)
+        vert = aw > au
+        code = np.where(vert & (w > 0), 3, code)
+        code = np.where(vert & (w < 0), 7, code)
+        diag = (au == aw) & (au > 0)
+        code = np.where(diag & (u > 0) & (w > 0), 2, code)
+        code = np.where(diag & (u < 0) & (w > 0), 4, code)
+        code = np.where(diag & (u < 0) & (w < 0), 6, code)
+        code = np.where(diag & (u > 0) & (w < 0), 8, code)
+        return pa.table({
+            "continent": pc.utf8_slice_codeunits(b.column("tile"), 0, 2),
+            "aspect": pa.array(code, pa.int64()),
+        })
+
+    return hash_aggregate(
+        grad.map_batches(classify, batch_format="pyarrow"),
+        keys=["continent", "aspect"],
+        aggs={"n": ("aspect", "count")}, n_partitions=8)

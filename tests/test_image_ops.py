@@ -1564,3 +1564,46 @@ def test_hough4_matches_bruteforce():
         assert out["best_orient"][k].as_py() == bo
         assert out["best_rho"][k].as_py() == brho
         assert out["best_votes"][k].as_py() == votes[(bo, brho)]
+
+
+def test_tile_tri_matches_scalar(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import _D8, tile_tri
+
+    dem = (np.arange(8)[:, None] * 41 + np.arange(16)[None, :] * 67
+           + 3) % 256
+    out = tile_tri(rd.from_arrow(_two_tile_mosaic(dem))).to_pandas()
+    got = {(r.tile, r.gr, r.gc): r.tri for r in out.itertuples()}
+    exp = {}
+    for r in range(1, 7):
+        for c in range(1, 15):
+            tri = sum(abs(int(dem[r, c]) - int(dem[r + dr, c + dc]))
+                      for dr, dc, _ in _D8)
+            tile = "EU_E036N078T6" if c < 8 else "EU_E042N078T6"
+            exp[(tile, r, c % 8)] = tri
+    assert got == exp
+
+
+def test_tile_aspect_sector_rule(ray_session):
+    """Crafted planes pin the 8-sector rule: a pure west-up ramp faces
+    east (1); a diagonal plane with |u| == |w| lands on the diagonal
+    codes; a flat plane is 0."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.mosaic import tile_aspect
+
+    # east-facing: v increases to the WEST -> u = vw - ve > 0, w = 0
+    east = np.repeat((np.arange(16)[::-1] * 3)[None, :], 8, axis=0) % 256
+    out = tile_aspect(rd.from_arrow(_two_tile_mosaic(east))).to_pandas()
+    assert set(out["aspect"]) == {1}
+    # flat
+    flat = np.full((8, 16), 77)
+    out = tile_aspect(rd.from_arrow(_two_tile_mosaic(flat))).to_pandas()
+    assert set(out["aspect"]) == {0}
+    # SE-facing diagonal: v = 200 - 3r - 3c -> u = vw - ve = 6 = w
+    rr, cc = np.meshgrid(np.arange(8), np.arange(16), indexing="ij")
+    se = (200 - 3 * rr - 3 * cc) % 256
+    out = tile_aspect(rd.from_arrow(_two_tile_mosaic(se))).to_pandas()
+    got = dict(zip(out["aspect"], out["n"]))
+    assert max(got, key=got.get) == 2
