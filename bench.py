@@ -336,6 +336,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_gaps",
         "cell_pyramid",
         "late_events",
+        "event_seasonal_anomaly",
         "stay_segments",
         "od_matrix",
         "embedding_pq",

@@ -16,7 +16,7 @@ import pyarrow as pa
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize",
            "cumulative_over", "funnel_stages", "merge_intervals",
-           "scd2_intervals", "cusum_alarms"]
+           "scd2_intervals", "cusum_alarms", "seasonal_anomaly"]
 
 _US = 1_000_000
 
@@ -403,3 +403,65 @@ def cusum_alarms(ds, *, ts_col: str = "ts", key: str = "event_type",
 
     # keys are few; resolve each key's (bounded) series in one pass
     return counts.groupby(key).map_groups(resolve, batch_format="pandas")
+
+
+def seasonal_anomaly(ds, *, ts_col: str = "ts", key: str = "event_type",
+                     t: int = 2, min_n: int = 3, n_partitions: int = 16):
+    """Seasonal-baseline residual screen over an event stream -- the
+    time-series sibling of stages/temporal.py:tile_anomaly.  Each
+    observed (key, day, hour-of-day) cell's event count x is compared
+    against its (key, hour) seasonal baseline across days with the
+    cross-multiplied exact z-test (no division, no sqrt):
+
+        z^2 > t^2   <=>   (x*n - s)^2 > t^2 * (n*ss - s^2)
+
+    over n = observed days for that (key, hour), s = sum x, ss = sum
+    x^2.  Zero-count cells are NOT instances (the day domain is the
+    observed one); (key, hour) groups with fewer than ``min_n`` days
+    are skipped.  Emits one bounded row per (key, hour):
+    (key, h, n_days, n_outl, outl_x_sum)."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = batch.column(ts_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: batch.column(key),
+            "d": pa.array(us // 86_400_000_000, pa.int64()),
+            "h": pa.array((us // 3_600_000_000) % 24, pa.int64()),
+        })
+
+    inst = hash_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        keys=[key, "d", "h"], aggs={"x": ("h", "count")},
+        n_partitions=n_partitions)
+
+    t2 = t * t
+
+    def screen(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["x"].to_numpy(np.int64)
+        n = np.int64(len(x))
+        if n < min_n:
+            return pd.DataFrame({
+                key: pd.Series([], dtype=g[key].dtype),
+                "h": pd.Series([], dtype=np.int64),
+                "n_days": pd.Series([], dtype=np.int64),
+                "n_outl": pd.Series([], dtype=np.int64),
+                "outl_x_sum": pd.Series([], dtype=np.int64),
+            })
+        s = np.int64(x.sum())
+        ss = np.int64((x * x).sum())
+        dev = x * n - s
+        flag = dev * dev > t2 * (n * ss - s * s)
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "h": np.array([g["h"].iloc[0]], np.int64),
+            "n_days": np.array([n], np.int64),
+            "n_outl": np.array([int(flag.sum())], np.int64),
+            "outl_x_sum": np.array([int(x[flag].sum())], np.int64),
+        })
+
+    return inst.groupby([key, "h"]).map_groups(
+        screen, batch_format="pandas")

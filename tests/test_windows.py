@@ -587,3 +587,29 @@ def test_event_type_correlation_hand_case(ray_session):
     for r in out.itertuples():
         assert r.cov_num * r.cov_num <= r.varx_num * r.vary_num
         assert r.varx_num >= 0 and r.vary_num >= 0
+
+
+def test_seasonal_anomaly_planted_spike(ray_session):
+    """A planted 10x spike on one (type, day, hour) cell is flagged;
+    uniform cells are not; groups under min_n days are skipped."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.windows import seasonal_anomaly
+
+    US_H, US_D = 3_600_000_000, 86_400_000_000
+    rows = []
+    # type 'a', hour 5: 6 days x 3 events, day 3 gets 30 (spike)
+    for d in range(6):
+        k = 30 if d == 3 else 3
+        rows += [("a", d * US_D + 5 * US_H + j) for j in range(k)]
+    # type 'b', hour 2: only 2 days -> under min_n, skipped
+    rows += [("b", 0 * US_D + 2 * US_H), ("b", 1 * US_D + 2 * US_H)]
+    t = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = seasonal_anomaly(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.event_type, r.h, r.n_days, r.n_outl, r.outl_x_sum) \
+        == ("a", 5, 6, 1, 30)
