@@ -348,6 +348,7 @@ def _driver_queries() -> dict[str, float]:
         "cell_quadkey",
         "cell_geohash",
         "csv_orders_rollup",
+        "ipc_lineitem_rollup",
         "compact_docs",
         "mosaic_manifest",
         "doc_chunks",

@@ -218,3 +218,20 @@ def test_checkpointed_empty_fragment(ray_session, tmp_path):
     assert c["rows_out"] >= 99
     files = sorted((out / "_manifest").glob("*.json"))
     assert len(files) == 2
+
+
+def test_ipc_roundtrip_exact(ray_session, tmp_path):
+    """Arrow IPC export -> read_binary_files + ipc decode round-trips
+    every Arrow type exactly (timestamps and doubles included)."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.sources.text_formats import export_ipc, read_ipc_table
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["l_orderkey", "l_extendedprice", "l_shipdate"]
+    path = export_ipc(sf, "lineitem", cols)
+    got = read_ipc_table(path).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    exp = pq.read_table(f"{sf}/lineitem.parquet", columns=cols) \
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    assert got.equals(exp[got.columns])
