@@ -329,6 +329,7 @@ def _driver_queries() -> dict[str, float]:
         "coverage_gini",
         "audio_vad",
         "image_hough4",
+        "image_dt",
         "benford_audit",
         "tile_erosion",
         "best_scene_topk",

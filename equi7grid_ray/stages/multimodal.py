@@ -30,7 +30,7 @@ __all__ = ["DecodeImages", "DHashImages", "AHashImages", "PHashImages",
            "label_runs", "label_run_boxes", "phash_basis", "dhash_near_dup",
            "image_canonical_ids", "image_ensemble_canonical_ids",
            "AudioFeatures", "PCMAudioFeatures", "AudioGate", "AudioVAD",
-           "HoughLines4",
+           "HoughLines4", "DistanceTransform",
            "FrameSampler",
            "fake_decode"]
 
@@ -1992,6 +1992,60 @@ class AudioGate:
             "n_loud": pa.array(n_loud, pa.int64()),
             "max_quiet": pa.array(max_q, pa.int64()),
             "reason": pa.array(reason.tolist(), pa.string()),
+        })
+
+
+class DistanceTransform:
+    """Capped Chebyshev DISTANCE TRANSFORM histogram per frame -- the
+    proximity-analysis primitive (buffer zones, edge distance,
+    morphology by threshold) in exact integers.  Foreground = pixels
+    >= ``fg_t``; every pixel's distance to the nearest foreground
+    pixel is capped at 2 and binned:
+
+        n_d0   foreground pixels
+        n_d1   background with foreground in the 3x3 neighbourhood
+        n_d2   background reached only by the 5x5 neighbourhood
+        n_far  background beyond Chebyshev distance 2
+
+    Computed by two rounds of 3x3 binary dilation (shifted-view max,
+    frame-clipped -- nothing wraps); no per-pixel Python."""
+
+    def __init__(self, fg_t: int = 200, id_col: str = "image_id"):
+        self.fg_t = fg_t
+        self.id_col = id_col
+
+    @staticmethod
+    def _dilate(m: np.ndarray) -> np.ndarray:
+        p = np.zeros((m.shape[0] + 2, m.shape[1] + 2), bool)
+        p[1:-1, 1:-1] = m
+        out = np.zeros_like(m)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                out |= p[dr:dr + m.shape[0], dc:dc + m.shape[1]]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        cols = {k: np.zeros(n, np.int64)
+                for k in ("n_d0", "n_d1", "n_d2", "n_far")}
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j)
+            fg = v >= self.fg_t
+            r1 = self._dilate(fg)
+            r2 = self._dilate(r1)
+            cols["n_d0"][j] = int(fg.sum())
+            cols["n_d1"][j] = int((r1 & ~fg).sum())
+            cols["n_d2"][j] = int((r2 & ~r1).sum())
+            cols["n_far"][j] = int((~r2).sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            **{k: pa.array(a, pa.int64()) for k, a in cols.items()},
         })
 
 

@@ -1607,3 +1607,23 @@ def test_tile_aspect_sector_rule(ray_session):
     out = tile_aspect(rd.from_arrow(_two_tile_mosaic(se))).to_pandas()
     got = dict(zip(out["aspect"], out["n"]))
     assert max(got, key=got.get) == 2
+
+
+def test_distance_transform_crafted():
+    """Single fg pixel in a 7x7 frame: ring counts are exactly the
+    Chebyshev shells (8 at d=1, 16 at d=2, rest far)."""
+    from equi7grid_ray.stages.multimodal import DistanceTransform
+
+    img = np.zeros((7, 7), np.uint8)
+    img[3, 3] = 255
+    out = DistanceTransform()(_raw_one(img))
+    assert (out["n_d0"][0].as_py(), out["n_d1"][0].as_py(),
+            out["n_d2"][0].as_py(), out["n_far"][0].as_py()) \
+        == (1, 8, 16, 49 - 25)
+    # corner fg: shells clip at the frame edge, nothing wraps
+    img2 = np.zeros((5, 5), np.uint8)
+    img2[0, 0] = 255
+    o2 = DistanceTransform()(_raw_one(img2))
+    assert (o2["n_d0"][0].as_py(), o2["n_d1"][0].as_py(),
+            o2["n_d2"][0].as_py(), o2["n_far"][0].as_py()) \
+        == (1, 3, 5, 25 - 9)
