@@ -340,6 +340,7 @@ def _driver_queries() -> dict[str, float]:
         "event_seasonal_anomaly",
         "stay_segments",
         "od_matrix",
+        "covisit_pairs",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",

@@ -35,7 +35,7 @@ import pyarrow as pa
 from equi7grid_ray.stages.aggregate import hash_aggregate
 from equi7grid_ray.stages.join import _add_part_fn
 
-__all__ = ["stay_segments", "od_matrix"]
+__all__ = ["stay_segments", "od_matrix", "covisit_pairs"]
 
 
 def stay_segments(ds, *, key_col: str = "user_id", ts_col: str = "ts_us",
@@ -141,3 +141,66 @@ def od_matrix(ds, *, key_col: str = "user_id", ts_col: str = "ts_us",
         aggs={"n_trips": ("o_cx", "count")},
         n_partitions=max(8, n_partitions // 4),
     )
+
+
+def covisit_pairs(ds, *, key_col: str = "user_id", ts_col: str = "ts_us",
+                  x_col: str = "x", y_col: str = "y",
+                  cell_shift: int = 13, hour_us: int = 3_600_000_000,
+                  max_group: int = 64, min_co: int = 2,
+                  n_partitions: int = 32):
+    """Spatiotemporal CO-VISIT join: pairs of keys present in the same
+    coarse cell during the same hour, counted across co-hours -- the
+    contact-graph / companion-detection primitive of movement
+    analytics.
+
+    Semantics (exact, SQL-mirrorable):
+
+      presence  = DISTINCT (key, x >> s, y >> s, ts // hour)
+      per (cell, hour) group all keys pair up (k1 < k2) -- groups
+      larger than ``max_group`` keys are DROPPED (the deterministic
+      skew guard: a transit-hub cell would otherwise emit O(k^2)
+      pairs; the cap is part of the operator contract, mirrored in
+      SQL via a window count)
+      pairs kept when they co-occur in >= ``min_co`` (cell, hour)s
+
+    Shape: one distinct-presence aggregate (metadata only), one
+    cogroup per (cell, hour) emitting triu pairs (bounded by
+    max_group^2 per group), one pair-count aggregate.  Coordinates
+    must be non-negative (>> s == floor division)."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def presence(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": batch.column(key_col),
+            "cx": pa.array(x >> cell_shift, pa.int64()),
+            "cy": pa.array(y >> cell_shift, pa.int64()),
+            "h": pa.array(ts // hour_us, pa.int64()),
+        })
+
+    pres = hash_aggregate(
+        ds.map_batches(presence, batch_format="pyarrow"),
+        keys=["k", "cx", "cy", "h"], aggs={"n": ("k", "count")},
+        n_partitions=n_partitions)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(g["k"].to_numpy(np.int64))
+        if len(k) < 2 or len(k) > max_group:
+            return pd.DataFrame({"k1": pd.Series([], dtype=np.int64),
+                                 "k2": pd.Series([], dtype=np.int64)})
+        i1, i2 = np.triu_indices(len(k), 1)
+        return pd.DataFrame({"k1": k[i1], "k2": k[i2]})
+
+    pair_stream = pres.groupby(["cx", "cy", "h"]).map_groups(
+        pairs, batch_format="pandas")
+    counted = hash_aggregate(
+        pair_stream, keys=["k1", "k2"],
+        aggs={"n_cohours": ("k1", "count")}, n_partitions=n_partitions)
+    return counted.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_cohours"),
+                                            min_co)),
+        batch_format="pyarrow")

@@ -113,3 +113,35 @@ def test_od_matrix_negative_coords_floor(ray_session):
     got = od_matrix(rd.from_arrow(t), cell_shift=5).to_pandas()
     assert got.iloc[0].to_dict() == {
         "o_cx": -1, "o_cy": -1, "d_cx": -2, "d_cy": 0, "n_trips": 1}
+
+
+def test_covisit_pairs_semantics(ray_session):
+    """Planted presences pin pairing, the min_co filter and the
+    max_group skew drop."""
+    import ray.data as rd
+
+    from equi7grid_ray.stages.trajectory import covisit_pairs
+
+    H = 3_600_000_000
+    rows = []
+    # users 1,2 share cell (0,0) hours 0 and 1 -> pair (1,2) n=2
+    for h in (0, 1):
+        rows += [(1, 10, 10, h * H), (2, 20, 20, h * H)]
+    # users 3,4 share only hour 0 -> below min_co, dropped
+    rows += [(3, 30, 30, 0), (4, 40, 40, 0)]
+    # crowded cell hour 5: 5 users with max_group=4 -> dropped entirely
+    rows += [(k, 5, 5, 5 * H) for k in range(100, 105)]
+    # duplicates within one hour must not double-count (DISTINCT)
+    rows += [(1, 11, 11, 0), (2, 21, 21, 0)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "x": pa.array([r[1] for r in rows], pa.int64()),
+        "y": pa.array([r[2] for r in rows], pa.int64()),
+        "ts_us": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = covisit_pairs(
+        rd.from_arrow(t), cell_shift=6, max_group=4, min_co=2
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.k1, r.k2, r.n_cohours) == (1, 2, 2)
