@@ -298,6 +298,7 @@ def _driver_queries() -> dict[str, float]:
         "tile_mosaic_delta",
         "tile_similarity",
         "rasterize_polys",
+        "aoi_point_report",
         "poly_stats",
         "poly_zonal",
         "poly_majority",
