@@ -342,6 +342,11 @@ def _driver_queries() -> dict[str, float]:
         "stay_segments",
         "od_matrix",
         "covisit_pairs",
+        "events_peak_concurrency",
+        "link_prediction",
+        "target_encoding",
+        "fk_audit",
+        "returned_revenue",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",

@@ -40,7 +40,7 @@ import pyarrow as pa
 
 __all__ = ["connected_components", "canonical_assignments",
            "canonical_by_quality", "pagerank_int",
-           "degree_assortativity"]
+           "degree_assortativity", "common_neighbor_pairs"]
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -765,3 +765,136 @@ def degree_assortativity(pairs, *, id_a: str = "id_a",
         })
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def common_neighbor_pairs(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
+                          min_common: int = 2, n_partitions: int = 32):
+    """Link prediction by common-neighbour count: for every NON-adjacent
+    node pair of the undirected graph, the number of shared neighbours
+    (the classic link-prediction baseline; Liben-Nowell & Kleinberg's
+    common-neighbours score), keeping pairs with ``cn >= min_common``.
+
+    Shape mirrors :func:`triangle_count`'s wedge machinery, but wedges
+    must enumerate at their APEX over its FULL neighbour list (both
+    orientations) -- the score of (u, w) is the number of apexes v with
+    u-v and v-w edges, so degree-orienting would undercount.  Cost is
+    therefore Theta(sum deg(v)^2), which IS the candidate-set size the
+    operator exists to compute; on hub-skewed graphs cap the apex
+    degree upstream (drop or sample hub adjacency) exactly as
+    covisit_pairs does with max_group.  Stages:
+
+    1. edge dedupe (keyed count) -> bounded (u < v) edge set;
+    2. wedges: both orientations hash-partitioned by apex, ONE
+       pandas self-merge per partition, per-partition (u, w) count
+       combiner;
+    3. global count: hash_aggregate sum on the pair;
+    4. non-adjacency: the tagged partition-cogroup anti-probe used by
+       triangle_count's closure (edges re-enter as kind=1, candidate
+       pairs with a left-anti merge survive).
+
+    Returns ``(id_a, id_b, cn)`` with id_a < id_b.
+    """
+    import pandas as pd
+
+    from equi7grid_ray.arrowutil import hash_partition
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column(id_b).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        order = np.lexsort((v, u))
+        su, sv = u[order], v[order]
+        first = np.empty(len(su), dtype=bool)
+        if len(su):
+            first[0] = True
+            first[1:] = (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])
+        return pa.table({"u": pa.array(su[first], pa.int64()),
+                         "v": pa.array(sv[first], pa.int64())})
+
+    edges = (
+        hash_aggregate(pairs.map_batches(canon, batch_format="pyarrow"),
+                       keys=["u", "v"], aggs={"__c": ("u", "count")})
+        .select_columns(["u", "v"])
+        .materialize()  # bounded pair set, reused by wedges + anti-probe
+    )
+
+    def dirs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        s = np.concatenate([u, v]).astype(np.int64)
+        t = np.concatenate([v, u]).astype(np.int64)
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "t": pa.array(t, pa.int64()),
+                         "part": pa.array(hash_partition(s, n_partitions),
+                                          pa.int32())})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        j = g[["s", "t"]].merge(g[["s", "t"]], on="s", suffixes=("_1", "_2"))
+        t1 = j["t_1"].to_numpy(np.int64)
+        t2 = j["t_2"].to_numpy(np.int64)
+        lt = t1 < t2
+        out = pd.DataFrame({"u": t1[lt], "v": t2[lt]})
+        # per-partition combiner before the pair shuffle
+        return out.groupby(["u", "v"], as_index=False).size() \
+            .rename(columns={"size": "c"}).astype({"c": np.int64})
+
+    cand = hash_aggregate(
+        edges.map_batches(dirs, batch_format="pyarrow")
+        .groupby("part").map_groups(wedges, batch_format="pandas"),
+        keys=["u", "v"], aggs={"cn": ("c", "sum")})
+
+    def _pair_part(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            mixed = lo.view(np.uint64) * _GOLD ^ hi.view(np.uint64)
+        return hash_partition(mixed.view(np.int64), n_partitions)
+
+    def tag_cand(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cn = batch.column("cn").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = cn >= min_common
+        u, v, cn = u[keep], v[keep], cn[keep]
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "cn": pa.array(cn, pa.int64()),
+                         "kind": pa.array(np.zeros(len(u), np.int8)),
+                         "part": pa.array(_pair_part(u, v), pa.int32())})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "cn": pa.array(np.zeros(len(u), np.int64)),
+                         "kind": pa.array(np.ones(len(u), np.int8)),
+                         "part": pa.array(_pair_part(u, v), pa.int32())})
+
+    tagged = cand.map_batches(tag_cand, batch_format="pyarrow") \
+        .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        c = g.loc[kind == 0, ["u", "v", "cn"]]
+        e = g.loc[kind == 1, ["u", "v"]].drop_duplicates()
+        if not len(c):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "cn": pd.Series([], dtype=np.int64)})
+        m = c.merge(e, on=["u", "v"], how="left", indicator=True)
+        m = m.loc[m["_merge"] == "left_only"]
+        return pd.DataFrame({"id_a": m["u"].to_numpy(np.int64),
+                             "id_b": m["v"].to_numpy(np.int64),
+                             "cn": m["cn"].to_numpy(np.int64)})
+
+    return tagged.groupby("part").map_groups(anti, batch_format="pandas")

@@ -22,7 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["check_table", "benford_audit", "BENFORD_PM"]
+__all__ = ["check_table", "benford_audit", "BENFORD_PM",
+           "fk_orphan_audit"]
 
 
 def check_table(ds, *, not_null: list[str] | None = None,
@@ -166,3 +167,82 @@ def benford_audit(ds, *, column: str, n_partitions: int = 8):
         "exp_pm": pa.array(exp, pa.int64()),
         "dev_pm": pa.array(np.abs(share - exp), pa.int64()),
     })
+
+
+def fk_orphan_audit(child, parent, *, child_key: str, parent_key: str,
+                    relation: str, n_partitions: int = 32):
+    """Referential-integrity audit of one foreign-key edge: counts of
+    child rows whose key has no parent (orphans) and of parent keys
+    with no child (childless) -- the two numbers every ingestion gate
+    checks before a join-heavy pipeline is allowed to run.
+
+    Scale shape: both sides collapse to (key, row-count) partials via
+    keyed aggregates FIRST (the shuffle moves one row per distinct
+    key, not the fact table), then one partition-cogroup outer merge
+    emits per-partition tallies that fold to a single row.  Works for
+    big-big edges (lineitem -> orders) -- nothing is broadcast.
+
+    Output (1 row): ``relation, child_rows, distinct_child_keys,
+    orphan_rows, distinct_orphan_keys, childless_parents``.
+    """
+    import pandas as pd
+
+    from equi7grid_ray.arrowutil import hash_partition, single_group
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    ckeys = hash_aggregate(
+        child.map_batches(
+            lambda b, c=child_key: pa.table(
+                {"k": b.column(c).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["k"], aggs={"rows": ("k", "count")})
+    pkeys = hash_aggregate(
+        parent.map_batches(
+            lambda b, c=parent_key: pa.table(
+                {"k": b.column(c).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["k"], aggs={"__c": ("k", "count")})
+
+    def tag(kind: int):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch.column("k").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            rows = (batch.column("rows").to_numpy(zero_copy_only=False)
+                    .astype(np.int64) if kind == 0
+                    else np.zeros(len(k), np.int64))
+            return pa.table({
+                "k": pa.array(k, pa.int64()),
+                "rows": pa.array(rows, pa.int64()),
+                "kind": pa.array(np.full(len(k), kind, np.int8)),
+                "part": pa.array(hash_partition(k, n_partitions),
+                                 pa.int32())})
+        return f
+
+    tagged = ckeys.map_batches(tag(0), batch_format="pyarrow") \
+        .union(pkeys.map_batches(tag(1), batch_format="pyarrow"))
+
+    def tally(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].to_numpy()
+        c = g.loc[kind == 0, ["k", "rows"]]
+        p = g.loc[kind == 1, ["k"]]
+        m = c.merge(p, on="k", how="left", indicator=True)
+        orphan = m["_merge"].to_numpy() == "left_only"
+        childless = int((~p["k"].isin(c["k"])).sum()) if len(p) else 0
+        return pd.DataFrame({
+            "child_rows": [np.int64(c["rows"].sum())],
+            "distinct_child_keys": [np.int64(len(c))],
+            "orphan_rows": [np.int64(m.loc[orphan, "rows"].sum())],
+            "distinct_orphan_keys": [np.int64(orphan.sum())],
+            "childless_parents": [np.int64(childless)],
+        })
+
+    parts = tagged.groupby("part").map_groups(tally, batch_format="pandas")
+    cols = ["child_rows", "distinct_child_keys", "orphan_rows",
+            "distinct_orphan_keys", "childless_parents"]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: [np.int64(g[c].sum())] for c in cols})
+        out.insert(0, "relation", [relation])
+        return out
+
+    return single_group(parts, fold, ["relation"] + cols)

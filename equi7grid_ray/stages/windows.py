@@ -16,7 +16,8 @@ import pyarrow as pa
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize",
            "cumulative_over", "funnel_stages", "merge_intervals",
-           "scd2_intervals", "cusum_alarms", "seasonal_anomaly"]
+           "scd2_intervals", "cusum_alarms", "seasonal_anomaly",
+           "peak_concurrency"]
 
 _US = 1_000_000
 
@@ -465,3 +466,85 @@ def seasonal_anomaly(ds, *, ts_col: str = "ts", key: str = "event_type",
 
     return inst.groupby([key, "h"]).map_groups(
         screen, batch_format="pandas")
+
+
+def peak_concurrency(ds, *, key: str, start_col: str, end_col: str,
+                     chunk_us: int = 3600 * _US, n_partitions: int = 32):
+    """Sweep-line peak-overlap: for every ``key``, the maximum number
+    of simultaneously-open half-open intervals ``[start, end)`` and
+    the earliest boundary instant at which that peak is reached.
+
+    A running prefix sum over time-ordered +1/-1 boundary events is
+    inherently sequential, so the distributed shape is the textbook
+    two-level scan: boundaries are bucketed by ``chunk_us`` time
+    chunks, every (key, chunk) group is resolved with ONE vectorized
+    lexsort + segmented cumsum into a three-number summary
+    ``(total_delta, max_prefix, min_t_at_max)``, and the bounded
+    summary series (|keys| x |chunks| rows) folds with an exclusive
+    cumsum of chunk totals.  Equality ``peak == offset + max_prefix``
+    can only hold at a chunk's own max (anything below it would
+    contradict peak's maximality), so the chunk argmin-t is exact.
+
+    Half-open semantics: an interval ending at t does not overlap one
+    starting at t -- boundary order is (t, delta) ascending, i.e. -1
+    before +1 at the same instant, matching the SQL-window mirror's
+    ``ORDER BY t, d ROWS UNBOUNDED PRECEDING`` (within a run of equal
+    (t, d) the prefix multiset is order-invariant).  Output:
+    ``(key, peak_concurrency, peak_ts_us)``.
+    """
+    from equi7grid_ray.arrowutil import single_group
+    from equi7grid_ray.stages.aggregate import _key_parts
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        s = batch.column(start_col).cast(pa.int64()).to_numpy()
+        e = batch.column(end_col).cast(pa.int64()).to_numpy()
+        k = batch.column(key)
+        t = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), np.int64),
+                            -np.ones(len(e), np.int64)])
+        kk = pa.concat_arrays([k.combine_chunks()
+                               if isinstance(k, pa.ChunkedArray) else k] * 2)
+        out = pa.table({key: kk,
+                        "chunk": pa.array(t // chunk_us, pa.int64()),
+                        "t": pa.array(t, pa.int64()),
+                        "d": pa.array(d, pa.int64())})
+        part = _key_parts(out, [key, "chunk"], n_partitions)
+        return out.append_column("__part", pa.array(part, pa.int32()))
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "chunk", "t", "d"], kind="stable")
+        cs = g.groupby([key, "chunk"], sort=False)["d"].cumsum() \
+            .to_numpy(np.int64)
+        g = g.assign(__cs=cs)
+        grp = g.groupby([key, "chunk"], sort=False)
+        maxp = grp["__cs"].transform("max").to_numpy(np.int64)
+        at_max = g.loc[cs == maxp]
+        out = at_max.groupby([key, "chunk"], as_index=False).agg(
+            min_t_at_max=("t", "min"))
+        agg = grp.agg(total=("d", "sum"), max_prefix=("__cs", "max")) \
+            .reset_index()
+        out = agg.merge(out, on=[key, "chunk"])
+        return out.astype({"chunk": np.int64, "total": np.int64,
+                           "max_prefix": np.int64, "min_t_at_max": np.int64})
+
+    partials = (ds.map_batches(boundaries, batch_format="pyarrow")
+                .groupby("__part")
+                .map_groups(summarize, batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "chunk"], kind="stable")
+        tot = g.groupby(key, sort=False)["total"]
+        off = tot.cumsum().to_numpy(np.int64) - g["total"].to_numpy(np.int64)
+        reach = off + g["max_prefix"].to_numpy(np.int64)
+        g = g.assign(__reach=reach)
+        peak = g.groupby(key, sort=False)["__reach"].transform("max") \
+            .to_numpy(np.int64)
+        hit = g.loc[reach == peak]
+        out = hit.groupby(key, as_index=False).agg(
+            peak_concurrency=("__reach", "max"),
+            peak_ts_us=("min_t_at_max", "min"))
+        return out.astype({"peak_concurrency": np.int64,
+                           "peak_ts_us": np.int64})
+
+    return single_group(partials, fold,
+                        [key, "peak_concurrency", "peak_ts_us"])

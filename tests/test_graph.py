@@ -273,3 +273,59 @@ def test_degree_assortativity_hand_graphs(ray_session):
     # duplicate + self-loop edges are cleaned before the sums
     r = run([(0, 1), (1, 0), (2, 2), (0, 1)])
     assert r["n_dir"] == 2
+
+
+def test_common_neighbor_pairs_square_and_path(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.graph import common_neighbor_pairs
+
+    # square 1-2-3-4-1: (1,3) share {2,4}, (2,4) share {1,3}; both
+    # non-adjacent -> cn=2.  Appended path 4-5-6: (3,5)/(1,5) share 4/
+    # nothing; (4,6) share 5 -> cn=1.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6)]
+    tbl = pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64()),
+    })
+    got = common_neighbor_pairs(rd.from_arrow(tbl), min_common=1) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    exp = {(1, 3): 2, (2, 4): 2, (1, 5): 1, (3, 5): 1, (2, 5): None,
+           (4, 6): 1}
+    want = sorted([(a, b, c) for (a, b), c in exp.items() if c])
+    assert list(map(tuple, got[["id_a", "id_b", "cn"]].to_numpy())) == want
+
+
+def test_common_neighbor_pairs_matches_naive(ray_session):
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from equi7grid_ray.stages.graph import common_neighbor_pairs
+
+    rng = np.random.default_rng(11)
+    m = 300
+    a = rng.integers(0, 60, m).astype(np.int64)
+    b = rng.integers(0, 60, m).astype(np.int64)
+    tbl = pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    got = common_neighbor_pairs(
+        rd.from_arrow(tbl), min_common=2, n_partitions=8
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    adj = {}
+    eset = set()
+    for u, v in zip(a, b):
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+        eset.add((min(u, v), max(u, v)))
+    exp = []
+    for u, v in combinations(sorted(adj), 2):
+        if (u, v) in eset:
+            continue
+        cn = len(adj[u] & adj[v])
+        if cn >= 2:
+            exp.append((u, v, cn))
+    assert list(map(tuple, got[["id_a", "id_b", "cn"]].to_numpy())) \
+        == sorted(exp)

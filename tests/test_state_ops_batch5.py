@@ -494,3 +494,25 @@ def test_benford_digit_extraction_near_pow10(ray_session):
     # share per mille truncates: 6/9 -> 666, 3/9 -> 333
     assert dict(zip(out["d"], out["share_pm"]))[1] == 666
     assert dict(zip(out["d"], out["dev_pm"]))[1] == 666 - 301
+
+
+def test_fk_orphan_audit_crafted(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.validate import fk_orphan_audit
+
+    child = pa.table({"fk": pa.array([1, 1, 2, 3, 99, 99, 99], pa.int64())})
+    parent = pa.table({"pk": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    got = fk_orphan_audit(
+        rd.from_arrow(child), rd.from_arrow(parent),
+        child_key="fk", parent_key="pk", relation="t",
+        n_partitions=4,
+    ).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["relation"] == "t"
+    assert r["child_rows"] == 7
+    assert r["distinct_child_keys"] == 4
+    assert r["orphan_rows"] == 3          # the three fk=99 rows
+    assert r["distinct_orphan_keys"] == 1
+    assert r["childless_parents"] == 2    # pk 4 and 5

@@ -613,3 +613,52 @@ def test_seasonal_anomaly_planted_spike(ray_session):
     r = out.iloc[0]
     assert (r.event_type, r.h, r.n_days, r.n_outl, r.outl_x_sum) \
         == ("a", 5, 6, 1, 30)
+
+
+def test_peak_concurrency_crafted(ray_session):
+    from equi7grid_ray.stages.windows import peak_concurrency
+
+    # key "a": [0,10) [5,15) [8,20)  -> peak 3 at t=8
+    # key "b": [0,10) [10,20)        -> half-open: peak 1 (never 2)
+    tbl = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b"]),
+        "s": pa.array([0, 5, 8, 0, 10], pa.int64()),
+        "e": pa.array([10, 15, 20, 10, 20], pa.int64()),
+    })
+    got = peak_concurrency(
+        rd.from_arrow(tbl), key="k", start_col="s", end_col="e",
+        chunk_us=7,  # tiny chunks force the cross-chunk offset fold
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["peak_concurrency"].tolist() == [3, 1]
+    assert got.loc[0, "peak_ts_us"] == 8
+    assert got.loc[1, "peak_ts_us"] == 0
+
+
+def test_peak_concurrency_matches_window_oracle(ray_session):
+    from equi7grid_ray.stages.windows import peak_concurrency
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    k = rng.choice(["x", "y", "z"], n)
+    s = rng.integers(0, 100_000, n)
+    e = s + rng.integers(1, 5_000, n)
+    tbl = pa.table({"k": pa.array(k), "s": pa.array(s, pa.int64()),
+                    "e": pa.array(e, pa.int64())})
+    got = peak_concurrency(
+        rd.from_arrow(tbl), key="k", start_col="s", end_col="e",
+        chunk_us=1000,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+
+    # sequential sweep oracle
+    b = pd.DataFrame({
+        "k": np.concatenate([k, k]),
+        "t": np.concatenate([s, e]),
+        "d": np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)]),
+    }).sort_values(["k", "t", "d"], kind="stable")
+    b["conc"] = b.groupby("k")["d"].cumsum()
+    exp = []
+    for key, g in b.groupby("k"):
+        peak = g["conc"].max()
+        exp.append((key, peak, g.loc[g["conc"] == peak, "t"].min()))
+    exp = pd.DataFrame(exp, columns=["k", "peak_concurrency", "peak_ts_us"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
