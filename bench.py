@@ -347,6 +347,10 @@ def _driver_queries() -> dict[str, float]:
         "target_encoding",
         "fk_audit",
         "returned_revenue",
+        "poly_self_intersect",
+        "trajectory_raster",
+        "image_boxsum",
+        "zone_shape",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",

@@ -2610,3 +2610,56 @@ class SpatialAutocorr:
             "lag_v": pa.array(lv, pa.int64()),
             "lag_h": pa.array(lh, pa.int64()),
         })
+
+
+class BoxSumStats:
+    """Per-image 5x5 SLIDING box-sum statistics via an integral image
+    (summed-area table) -- the overlapping-window cousin of the
+    non-overlapping pyramid/block-mean ops, and the O(1)-per-window
+    technique every local-contrast / density filter builds on.  Exact
+    integers throughout; per frame over all (h-4) x (w-4) windows:
+
+        n_win     window count
+        box_max / box_min   extreme window sums
+        bright_win          windows with sum >= 25 * 128
+        box_total           sum of all window sums
+
+    One 2-D cumsum per frame, O(pixels) regardless of window size; the
+    SQL mirror decomposes the 25-tap sum into a 5-tap horizontal pass
+    then a 5-tap vertical pass over the synthetic pixel formula."""
+
+    K = 5
+    BRIGHT_T = 25 * 128
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        k = self.K
+        out = {c: np.zeros(n, np.int64) for c in
+               ("n_win", "box_max", "box_min", "bright_win", "box_total")}
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            h, w = v.shape
+            if h < k or w < k:
+                continue
+            s = np.zeros((h + 1, w + 1), np.int64)
+            np.cumsum(v, axis=0, out=s[1:, 1:])
+            np.cumsum(s[1:, 1:], axis=1, out=s[1:, 1:])
+            box = (s[k:, k:] - s[:-k, k:] - s[k:, :-k] + s[:-k, :-k])
+            out["n_win"][j] = box.size
+            out["box_max"][j] = box.max()
+            out["box_min"][j] = box.min()
+            out["bright_win"][j] = int((box >= self.BRIGHT_T).sum())
+            out["box_total"][j] = int(box.sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            **{c: pa.array(a, pa.int64()) for c, a in out.items()},
+        })

@@ -33,7 +33,8 @@ import pyarrow as pa
 from equi7grid_ray.stages.aggregate import hash_aggregate
 
 __all__ = ["point_in_polygon_mask", "rasterize_polygons",
-           "rasterize_majority", "poly_stats", "poly_simplify"]
+           "rasterize_majority", "poly_stats", "poly_simplify",
+           "poly_self_intersections"]
 
 
 def rasterize_majority(cells, polys: pa.Table, *, px_col: str = "px",
@@ -298,3 +299,63 @@ def poly_simplify(ds, *, tol2: int, id_col: str = "poly_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def poly_self_intersections(ds, *, id_col: str = "poly_id",
+                            x_col: str = "vx", y_col: str = "vy"):
+    """Ring validity audit: per ring, the number of PROPERLY-crossing
+    non-adjacent segment pairs (OGC simple-feature validity's main
+    clause; 0 = simple).  The predicate is the exact-integer two-sided
+    orientation test -- cross products of cleared ccw determinants --
+    so it stays hash-oracle-able: segments (p1p2, p3p4) properly cross
+    iff ccw(p1,p2,p3)*ccw(p1,p2,p4) < 0 AND ccw(p3,p4,p1)*ccw(p3,p4,p2)
+    < 0 (touching / collinear overlap does NOT count).  Coordinates
+    must satisfy |coord| < 2^14 so the ccw product fits int64.
+
+    Vectorization: segment pairs enumerate per OFFSET d (pair (k, k+d),
+    d = 2 .. max_nv-1) -- max(nv) vectorized rounds over the flat
+    vertex buffer, the poly_simplify pattern; the wrap-adjacent pair
+    (0, nv-1) is masked.  Map-only, one output row per ring."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        xs = batch.column(x_col).combine_chunks()
+        ys = batch.column(y_col).combine_chunks()
+        if isinstance(xs, pa.ChunkedArray):
+            xs, ys = xs.chunk(0), ys.chunk(0)
+        offs = xs.offsets.to_numpy().astype(np.int64)
+        x = xs.values.to_numpy().astype(np.int64)[offs[0]:offs[-1]]
+        y = ys.values.to_numpy().astype(np.int64)[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        first, last = offs[:-1], offs[1:] - 1
+        nv = offs[1:] - offs[:-1]
+        nxt = np.arange(1, len(x) + 1, dtype=np.int64)
+        nxt[last] = first
+        x2, y2 = x[nxt], y[nxt]          # segment k: (x,y)[k] -> (x2,y2)[k]
+        i = np.arange(len(x), dtype=np.int64) - np.repeat(first, nv)
+        s_rep = np.repeat(nv, nv)
+        ring = np.repeat(np.arange(len(nv), dtype=np.int64), nv)
+        n_cross = np.zeros(len(nv), np.int64)
+
+        def ccw(ax, ay, bx, by, cx, cy):
+            return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+        for d in range(2, int(nv.max()) if len(nv) else 2):
+            valid = (i + d < s_rep) & ~((i == 0) & (d == s_rep - 1))
+            a = np.flatnonzero(valid)
+            if not len(a):
+                continue
+            b = a + d
+            d1 = ccw(x[a], y[a], x2[a], y2[a], x[b], y[b])
+            d2 = ccw(x[a], y[a], x2[a], y2[a], x2[b], y2[b])
+            d3 = ccw(x[b], y[b], x2[b], y2[b], x[a], y[a])
+            d4 = ccw(x[b], y[b], x2[b], y2[b], x2[a], y2[a])
+            hit = (d1 * d2 < 0) & (d3 * d4 < 0)
+            if hit.any():
+                n_cross += np.bincount(ring[a][hit], minlength=len(nv))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "nv": pa.array(nv, pa.int64()),
+            "n_cross": pa.array(n_cross, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")

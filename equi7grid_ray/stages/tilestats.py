@@ -467,3 +467,43 @@ def coverage_gini(assigned, *, n_partitions: int = 32):
         .groupby("cont")
         .map_groups(gini, batch_format="pandas")
     )
+
+
+def zone_shape_metrics(tiles):
+    """Lattice shape metrics of each continent's T6 projection zone:
+    area (tile count), perimeter (count of tile edges facing non-zone
+    -- ``sum(4 - n4)`` over the 4-neighborhood), and interior count
+    (tiles with all four rook neighbours in-zone).  The discrete
+    isoperimetric inputs a partitioner uses to predict halo-exchange
+    cost per continent (perimeter/area = fraction of stencil work
+    needing edge handling).
+
+    ``tiles``: the bounded zone inventory (export.tiles_table); four
+    shifted merges, one rollup -- the tile_erosion_depth fold pattern.
+    SQL mirrors with a rook-neighbour self-join on tile-name
+    arithmetic over the pinned tiles_t6 golden."""
+    import ray.data as rd
+
+    df = tiles.to_pandas()  # bounded: the zone inventory
+    par = _parse_names(df["tile"].astype(str))
+    n4 = np.zeros(len(par), np.int64)
+    base = par[["cont", "te", "tn"]].copy()
+    for dx, dy in ((6, 0), (-6, 0), (0, 6), (0, -6)):
+        sh = base.copy()
+        sh["te"] = sh["te"] + dx
+        sh["tn"] = sh["tn"] + dy
+        m = par.reset_index().merge(sh, on=["cont", "te", "tn"])
+        n4[m["index"].to_numpy()] += 1
+    g = par.assign(n4=n4).groupby("cont", as_index=False).agg(
+        n_tiles=("tile", "size"),
+        perimeter_edges=("n4", lambda s: int((4 - s).sum())),
+        n_interior=("n4", lambda s: int((s == 4).sum())),
+    )
+    return rd.from_arrow(pa.table({
+        "continent": pa.array(g["cont"].astype(str), pa.string()),
+        "n_tiles": pa.array(g["n_tiles"].to_numpy(np.int64), pa.int64()),
+        "perimeter_edges": pa.array(
+            g["perimeter_edges"].to_numpy(np.int64), pa.int64()),
+        "n_interior": pa.array(
+            g["n_interior"].to_numpy(np.int64), pa.int64()),
+    }))

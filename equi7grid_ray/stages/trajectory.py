@@ -35,7 +35,8 @@ import pyarrow as pa
 from equi7grid_ray.stages.aggregate import hash_aggregate
 from equi7grid_ray.stages.join import _add_part_fn
 
-__all__ = ["stay_segments", "od_matrix", "covisit_pairs"]
+__all__ = ["stay_segments", "od_matrix", "covisit_pairs",
+           "trajectory_raster"]
 
 
 def stay_segments(ds, *, key_col: str = "user_id", ts_col: str = "ts_us",
@@ -204,3 +205,68 @@ def covisit_pairs(ds, *, key_col: str = "user_id", ts_col: str = "ts_us",
         lambda b: b.filter(pc.greater_equal(b.column("n_cohours"),
                                             min_co)),
         batch_format="pyarrow")
+
+
+def trajectory_raster(ds, *, key_col: str = "user_id",
+                      ts_col: str = "ts_us", order_col: str = "event_id",
+                      x_col: str = "x", y_col: str = "y",
+                      cell_shift: int = 5,
+                      day_us: int = 86_400_000_000,
+                      n_partitions: int = 64):
+    """Corridor-density raster: every (key, day) trip's origin->
+    destination segment is rasterized onto the cell lattice with a
+    trunc-division DDA and the sampled cells are counted -- the
+    movement-data heat map that answers "which cells do trips CROSS"
+    (od_matrix only sees endpoints).
+
+    Line-sampling rule (shared verbatim with the SQL mirror):
+    ``n = max(|dcx|, |dcy|)``; for t = 0..n the sample is
+    ``o + truncdiv(t * d, n)`` (trunc-toward-zero, DuckDB's ``//``),
+    with the degenerate n = 0 trip emitting its single cell.  Because
+    the major axis advances by exactly 1 per step, the n+1 samples are
+    distinct -- no dedupe pass is needed.
+
+    Shape: one keyed partition pass builds the bounded trip list
+    (first/last point per (key, day), od_matrix's partials), the flat
+    repeat/arange expansion is pure numpy, and only (cell, 1) partials
+    shuffle into the final keyed count."""
+    parted = ds.map_batches(_add_part_fn(key_col, n_partitions),
+                            batch_format="pyarrow")
+
+    def trip_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        day = ts // day_us
+        x = g[x_col].to_numpy().astype(np.int64) >> cell_shift
+        y = g[y_col].to_numpy().astype(np.int64) >> cell_shift
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (k[1:] != k[:-1]) | (day[1:] != day[:-1])
+        first = np.flatnonzero(new)
+        last = np.empty(len(first), np.int64)
+        last[:-1] = first[1:] - 1
+        last[-1] = len(g) - 1
+        ox, oy = x[first], y[first]
+        dx, dy = x[last] - ox, y[last] - oy
+        n = np.maximum(np.abs(dx), np.abs(dy))
+        m = n + 1
+        starts = np.zeros(len(m) + 1, np.int64)
+        np.cumsum(m, out=starts[1:])
+        t = np.arange(starts[-1], dtype=np.int64) \
+            - np.repeat(starts[:-1], m)
+        nr = np.maximum(np.repeat(n, m), 1)
+
+        def tdiv(num):
+            return np.sign(num) * (np.abs(num) // nr)
+
+        cx = np.repeat(ox, m) + tdiv(t * np.repeat(dx, m))
+        cy = np.repeat(oy, m) + tdiv(t * np.repeat(dy, m))
+        return pd.DataFrame({"cx": cx, "cy": cy})
+
+    cells = parted.groupby("__part").map_groups(trip_cells,
+                                                batch_format="pandas")
+    return hash_aggregate(
+        cells, keys=["cx", "cy"], aggs={"n_visits": ("cx", "count")},
+        n_partitions=max(8, n_partitions // 4),
+    )

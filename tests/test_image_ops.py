@@ -1627,3 +1627,30 @@ def test_distance_transform_crafted():
     assert (o2["n_d0"][0].as_py(), o2["n_d1"][0].as_py(),
             o2["n_d2"][0].as_py(), o2["n_far"][0].as_py()) \
         == (1, 3, 5, 25 - 9)
+
+
+def test_boxsum_matches_naive_windows(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.sources.images import make_batch
+    from equi7grid_ray.stages.multimodal import BoxSumStats
+
+    batch = make_batch(0, 9)
+    got = rd.from_arrow(batch).map_batches(
+        BoxSumStats, batch_format="pyarrow", concurrency=1, num_cpus=1
+    ).to_pandas().sort_values("image_id").reset_index(drop=True)
+    for j in range(9):
+        w = int(batch.column("w")[j].as_py())
+        h = int(batch.column("h")[j].as_py())
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        v = (r * h + c * w + j) % 256
+        boxes = np.array([
+            v[a:a + 5, b:b + 5].sum()
+            for a in range(h - 4) for b in range(w - 4)], np.int64)
+        row = got.iloc[j]
+        assert row["n_win"] == len(boxes)
+        assert row["box_max"] == boxes.max()
+        assert row["box_min"] == boxes.min()
+        assert row["bright_win"] == int((boxes >= 3200).sum())
+        assert row["box_total"] == int(boxes.sum())

@@ -302,3 +302,83 @@ def test_poly_simplify_matches_scalar(ray_session):
         r = out.iloc[i]
         assert (r["nv"], r["n_kept"], r["kept_cksum"]) == \
             (len(ring), kept, cks)
+
+
+def test_poly_self_intersections_crafted(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.rasterize import poly_self_intersections
+
+    # ring 0: bowtie (hourglass) -- segments (0,1) and (2,3) cross -> 1
+    # ring 1: convex square -> 0
+    # ring 2: pentagram star (classic 5-crossing self-intersection)
+    rings = [
+        ([0, 10, 0, 10], [0, 10, 10, 0]),
+        ([0, 10, 10, 0], [0, 0, 10, 10]),
+        ([0, 40, -30, 20, -20], [60, 0, 40, 40, 0]),
+    ]
+    offs = [0]
+    vx, vy = [], []
+    for xs, ys in rings:
+        vx += xs
+        vy += ys
+        offs.append(len(vx))
+    tbl = pa.table({
+        "poly_id": pa.array([0, 1, 2], pa.int64()),
+        "vx": pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(vx, pa.int64())),
+        "vy": pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(vy, pa.int64())),
+    })
+    got = poly_self_intersections(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("poly_id").reset_index(drop=True)
+    assert got["n_cross"].tolist() == [1, 0, 5]
+
+
+def test_poly_self_intersections_matches_naive(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.rasterize import poly_self_intersections
+
+    rng = np.random.default_rng(3)
+    n_rings, max_v = 200, 9
+
+    def ccw(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    offs = [0]
+    vx, vy = [], []
+    exp = []
+    for r in range(n_rings):
+        s = int(rng.integers(3, max_v + 1))
+        xs = rng.integers(0, 100, s).tolist()
+        ys = rng.integers(0, 100, s).tolist()
+        vx += xs
+        vy += ys
+        offs.append(len(vx))
+        cnt = 0
+        for i in range(s):
+            for j in range(i + 2, s):
+                if i == 0 and j == s - 1:
+                    continue
+                p1 = (xs[i], ys[i])
+                p2 = (xs[(i + 1) % s], ys[(i + 1) % s])
+                p3 = (xs[j], ys[j])
+                p4 = (xs[(j + 1) % s], ys[(j + 1) % s])
+                d1 = ccw(*p1, *p2, *p3)
+                d2 = ccw(*p1, *p2, *p4)
+                d3 = ccw(*p3, *p4, *p1)
+                d4 = ccw(*p3, *p4, *p2)
+                if d1 * d2 < 0 and d3 * d4 < 0:
+                    cnt += 1
+        exp.append(cnt)
+    tbl = pa.table({
+        "poly_id": pa.array(range(n_rings), pa.int64()),
+        "vx": pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(vx, pa.int64())),
+        "vy": pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(vy, pa.int64())),
+    })
+    got = poly_self_intersections(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("poly_id").reset_index(drop=True)
+    assert got["n_cross"].tolist() == exp

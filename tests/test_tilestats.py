@@ -295,3 +295,24 @@ def test_coverage_gini_permutation_invariant(ray_session):
     assert (out.n_tiles, out.total, out.gini_num, out.gini_den,
             out.gini_pm) == (n, tot, num, n * tot,
                              1000 * num // (n * tot))
+
+
+def test_zone_shape_metrics_plus_lattice(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.tilestats import zone_shape_metrics
+
+    # plus-shaped 5-tile lattice: center has 4 rook neighbours
+    # (interior), each arm has 1 -> perimeter = 5*4 - 2*4 = 12
+    names = ["EU_E012N012T6", "EU_E018N012T6", "EU_E006N012T6",
+             "EU_E012N018T6", "EU_E012N006T6",
+             # a lone AS tile: perimeter 4, no interior
+             "AS_E030S006T6"]
+    tbl = pa.table({"tile": pa.array(names, pa.string())})
+    got = zone_shape_metrics(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("continent").reset_index(drop=True)
+    eu = got[got["continent"] == "EU"].iloc[0]
+    assert (eu["n_tiles"], eu["perimeter_edges"], eu["n_interior"]) \
+        == (5, 12, 1)
+    a = got[got["continent"] == "AS"].iloc[0]
+    assert (a["n_tiles"], a["perimeter_edges"], a["n_interior"]) == (1, 4, 0)

@@ -145,3 +145,43 @@ def test_covisit_pairs_semantics(ray_session):
     assert len(out) == 1
     r = out.iloc[0]
     assert (r.k1, r.k2, r.n_cohours) == (1, 2, 2)
+
+
+def test_trajectory_raster_crafted_dda(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.trajectory import trajectory_raster
+
+    # one user, one day, two points: cells (0,0) -> (3,1)  (shift 0)
+    # trunc-DDA: x = 0,1,2,3 ; y = trunc(t*1/3) = 0,0,0,1
+    # second user heads negative: (0,0) -> (-3,-2):
+    # x = 0,-1,-2,-3 ; y = trunc(-2t/3) = 0,0,-1,-2
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 1, 2], pa.int64()),
+        "ts_us": pa.array([0, 1000, 0, 1000], pa.int64()),
+        "x": pa.array([0, 3, 0, -3], pa.int64()),
+        "y": pa.array([0, 1, 0, -2], pa.int64()),
+    })
+    got = trajectory_raster(rd.from_arrow(tbl), cell_shift=0,
+                            n_partitions=4).to_pandas()
+    cells = {(r.cx, r.cy): r.n_visits for r in got.itertuples()}
+    assert cells == {(0, 0): 2, (1, 0): 1, (2, 0): 1, (3, 1): 1,
+                     (-1, 0): 1, (-2, -1): 1, (-3, -2): 1}
+
+
+def test_trajectory_raster_single_point_trip(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.trajectory import trajectory_raster
+
+    tbl = pa.table({
+        "user_id": pa.array([5], pa.int64()),
+        "event_id": pa.array([1], pa.int64()),
+        "ts_us": pa.array([0], pa.int64()),
+        "x": pa.array([7], pa.int64()),
+        "y": pa.array([9], pa.int64()),
+    })
+    got = trajectory_raster(rd.from_arrow(tbl), cell_shift=0,
+                            n_partitions=2).to_pandas()
+    assert got.to_dict("records") == [{"cx": 7, "cy": 9, "n_visits": 1}]
