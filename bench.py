@@ -351,6 +351,9 @@ def _driver_queries() -> dict[str, float]:
         "trajectory_raster",
         "image_boxsum",
         "zone_shape",
+        "feature_hashing",
+        "event_sax",
+        "parts_supplier",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",

@@ -1185,3 +1185,44 @@ SELECT printf('img%012d', c.i) AS image_id, c.n_frames, c.n_active,
        COALESCE(s.longest, 0)::BIGINT AS longest
 FROM per_clip c LEFT JOIN per_seg s ON s.i = c.i
 """
+
+
+def feature_hash_sql(n_buckets: int = 64, max_token_len: int = 64) -> str:
+    """Mirror of stages/text.py:feature_hashing over ``documents``:
+    whitespace tokens -> the shared polynomial+splitmix64 token hash
+    -> bucket ``h % n_buckets`` signed by hash bit 6, occurrences
+    summed; per-doc nnz / l1 / positional checksum."""
+    return f"""
+WITH pw(j, p) AS (VALUES {_pow_values(max_token_len)}),
+toks AS (
+  SELECT doc_id, u.tok
+  FROM documents, UNNEST(regexp_split_to_array(text, '\\s')) AS u(tok)
+  WHERE u.tok <> ''),
+uniq AS (SELECT DISTINCT tok FROM toks),
+chars AS (
+  SELECT tok, CAST(i AS INT) AS i, ascii(substring(tok, CAST(i AS INT), 1))::UBIGINT AS byte
+  FROM uniq, UNNEST(range(1, length(tok) + 1)) AS r(i)),
+poly AS (
+  SELECT c.tok,
+    CAST(SUM((c.byte::HUGEINT * pw.p) % {U64}) % {U64} AS UBIGINT) AS hraw,
+    CAST(max(c.i) AS UBIGINT) AS blen
+  FROM chars c JOIN pw ON pw.j = c.i - 1 GROUP BY c.tok),
+seeded AS (
+  SELECT tok, xor(xor(hraw, CAST((blen::HUGEINT * {_PRIME}) % {U64} AS UBIGINT)), {_SEED}::UBIGINT) AS h
+  FROM poly),
+{_mix64_ctes('seeded', 'h', 'tok')},
+occ AS (SELECT t.doc_id, m.h FROM toks t JOIN mixed m ON m.tok = t.tok),
+vec AS (
+  SELECT doc_id, CAST(h % {n_buckets} AS BIGINT) AS b,
+    SUM(CASE WHEN (h >> 6) & 1 = 0 THEN 1 ELSE -1 END)::BIGINT AS v
+  FROM occ GROUP BY doc_id, b),
+agg AS (
+  SELECT doc_id,
+    (count(*) FILTER (WHERE v != 0))::BIGINT AS nnz,
+    sum(abs(v))::BIGINT AS l1,
+    sum((b + 1) * v)::BIGINT AS checksum
+  FROM vec GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.nnz, 0)::BIGINT AS nnz,
+  coalesce(a.l1, 0)::BIGINT AS l1,
+  coalesce(a.checksum, 0)::BIGINT AS checksum
+FROM documents d LEFT JOIN agg a USING (doc_id)"""

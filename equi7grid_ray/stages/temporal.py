@@ -478,3 +478,56 @@ def tile_iqr_composite(cells, *, n_partitions: int = 32):
         .groupby("__part")
         .map_groups(quartiles, batch_format="pandas")
     )
+
+
+def sax_motifs(counts, *, key: str = "event_type", hr_col: str = "hr",
+               n_col: str = "n", box: int = 4, word: int = 3):
+    """SAX symbolic motif mining (Lin/Keogh's Symbolic Aggregate
+    approXimation, exact-integer variant) over a per-(key, hour) count
+    series: the shared dense hour frame is cut into ``box``-hour
+    pieces, each piece's SUM (equal-width boxes, so sums order like
+    means -- no division) is coded 0-3 by the key's own quantile_disc
+    quartiles (code = #thresholds strictly exceeded; ties share a
+    code), and every sliding ``word``-gram of codes is counted -- the
+    recurring-shape census (daily surge / overnight lull patterns).
+    The trailing partial box is dropped.
+
+    ``counts``: a bounded keyed aggregate (key, hr, n).  The fold runs
+    once over that bounded table (single_group); per key it is one
+    dense scatter + reshape-sum + searchsorted-free threshold count.
+    SQL mirrors with quantile_disc + lead() windows."""
+    from equi7grid_ray.arrowutil import single_group
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        mn = int(g[hr_col].min())
+        mx = int(g[hr_col].max())
+        horizon = mx - mn + 1
+        nbox = horizon // box
+        rows = []
+        for k, gg in g.groupby(key, sort=False):
+            dense = np.zeros(horizon, np.int64)
+            dense[gg[hr_col].to_numpy(np.int64) - mn] = \
+                gg[n_col].to_numpy(np.int64)
+            if nbox < word:
+                continue
+            v = dense[:nbox * box].reshape(nbox, box).sum(1)
+            sv = np.sort(v)
+            thr = [sv[max(1, math.ceil(q * len(v))) - 1]
+                   for q in (0.25, 0.5, 0.75)]
+            s = (v > thr[0]).astype(np.int64) + (v > thr[1]) + (v > thr[2])
+            motif = np.zeros(nbox - word + 1, np.int64)
+            for j in range(word):
+                motif = motif * 4 + s[j:nbox - word + 1 + j]
+            mid, cnt = np.unique(motif, return_counts=True)
+            rows.append(pd.DataFrame({
+                key: k, "motif": mid.astype(np.int64),
+                "n": cnt.astype(np.int64)}))
+        if not rows:
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 "motif": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return pd.concat(rows, ignore_index=True)
+
+    return single_group(counts, fold, [key, "motif", "n"])

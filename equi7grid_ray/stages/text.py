@@ -955,3 +955,61 @@ def bm25_topk(ds, terms, *, k1: int = 2, scale: int = 4096, k: int = 10,
     return tf.map_batches(score, batch_format="pyarrow") \
         .repartition(1).map_batches(final, batch_format="pyarrow",
                                     batch_size=None)
+
+
+def feature_hashing(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 64):
+    """Hashing-trick document vectors (Weinberger et al. 2009): every
+    whitespace token hashes to a bucket ``h % n_buckets`` with sign
+    ``+1/-1`` from hash bit 6, occurrences summed -- the fixed-width,
+    vocabulary-free featurization a 100-TB corpus can afford (no
+    vocabulary broadcast, no OOV).  Emits per-doc summary invariants
+    that pin the whole vector: ``nnz`` (buckets with non-zero value --
+    sign-cancelled buckets excluded), ``l1`` (sum |v_b|) and
+    ``checksum`` (sum (b+1) * v_b).
+
+    Token hash = the shared offset-buffer polynomial + splitmix64
+    (hash_bytes_offsets, bit-identical to the simhash/SQL mirror);
+    empty edge tokens from Arrow's split are dropped like everywhere
+    else.  Map-only, one bincount pair per batch."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.stages.dedup import _column_bytes, hash_bytes_offsets
+
+    nb = np.uint64(n_buckets)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.utf8_split_whitespace(col)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = len(toks)
+        lodt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+        list_offs = np.frombuffer(toks.buffers()[1], dtype=lodt)[
+            toks.offset: toks.offset + n + 1
+        ].astype(np.int64)
+        flat, offs = _column_bytes(toks.values)
+        th = hash_bytes_offsets(flat, offs).view(np.uint64)
+        nonempty = np.diff(offs) > 0
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(list_offs))
+        b = (th % nb).astype(np.int64)
+        neg = ((th >> np.uint64(6)) & np.uint64(1)).astype(bool)
+        keys = doc_idx * n_buckets + b
+        p = np.bincount(keys[nonempty & ~neg],
+                        minlength=n * n_buckets).astype(np.int64)
+        m = np.bincount(keys[nonempty & neg],
+                        minlength=n * n_buckets).astype(np.int64)
+        v = (p - m).reshape(n, n_buckets)
+        w = np.arange(1, n_buckets + 1, dtype=np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "nnz": pa.array((v != 0).sum(1).astype(np.int64), pa.int64()),
+            "l1": pa.array(np.abs(v).sum(1).astype(np.int64), pa.int64()),
+            "checksum": pa.array((v * w).sum(1).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")

@@ -516,3 +516,56 @@ def test_fk_orphan_audit_crafted(ray_session):
     assert r["orphan_rows"] == 3          # the three fk=99 rows
     assert r["distinct_orphan_keys"] == 1
     assert r["childless_parents"] == 2    # pk 4 and 5
+
+
+def test_feature_hashing_hand_docs(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.dedup import (_column_bytes,
+                                            hash_bytes_offsets)
+    from equi7grid_ray.stages.text import feature_hashing
+
+    docs = ["alpha beta alpha", "  beta  ", ""]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    got = feature_hashing(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # independent per-token reference
+    def hv(tok):
+        flat, offs = _column_bytes(pa.array([tok], pa.string()))
+        return int(hash_bytes_offsets(flat, offs).view(np.uint64)[0])
+
+    for j, d in enumerate(docs):
+        v = np.zeros(64, np.int64)
+        for t in d.split():
+            h = hv(t)
+            v[h % 64] += 1 if ((h >> 6) & 1) == 0 else -1
+        r = got.iloc[j]
+        assert r["nnz"] == int((v != 0).sum())
+        assert r["l1"] == int(np.abs(v).sum())
+        assert r["checksum"] == int((v * np.arange(1, 65)).sum())
+    # doc 0: "alpha" twice lands in one bucket with constant sign
+    assert got.loc[0, "l1"] == 3
+
+
+def test_sax_motifs_crafted_series(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.temporal import sax_motifs
+
+    # 16 hours -> four 4-hour boxes with sums 1,2,3,4
+    # quantile_disc quartiles of [1,2,3,4]: q1=1, q2=2, q3=3
+    # symbols s = [0,1,2,3]; motifs: (0,1,2)->6, (1,2,3)->27
+    hrs = list(range(16))
+    n = [1, 0, 0, 0, 2, 0, 0, 0, 3, 0, 0, 0, 0, 0, 0, 4]
+    rows = [(h, c) for h, c in zip(hrs, n) if c]
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * len(rows)),
+        "hr": pa.array([h for h, _ in rows], pa.int64()),
+        "n": pa.array([c for _, c in rows], pa.int64()),
+    })
+    got = sax_motifs(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("motif").reset_index(drop=True)
+    assert list(map(tuple, got[["motif", "n"]].to_numpy())) == [(6, 1),
+                                                                (27, 1)]
