@@ -354,6 +354,9 @@ def _driver_queries() -> dict[str, float]:
         "feature_hashing",
         "event_sax",
         "parts_supplier",
+        "land_regions",
+        "od_bearing",
+        "brand_median_price",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",

@@ -92,3 +92,43 @@ def grouped_quantiles(ds, *, col: str, qs: tuple[float, ...],
     from equi7grid_ray.arrowutil import single_group
 
     return single_group(hist, pick, ["q", "v"])
+
+
+def weighted_median(ds, *, key: str, val: str, weight: str,
+                    n_partitions: int = 32):
+    """Exact weighted lower median per key: the smallest value v with
+    ``2 * cumweight(v) >= total_weight`` (integer weights, no
+    interpolation -- the rule a SQL window cumsum states verbatim).
+
+    Scale shape: a (key, value)-keyed SUM combiner collapses the fact
+    table first (the shuffle moves one row per distinct (key, value)),
+    then each key resolves with one lexsort + cumsum inside its hash
+    partition.  Output: ``key, wmedian, total_w``."""
+    import pandas as pd
+
+    from equi7grid_ray.stages.aggregate import _key_parts, hash_aggregate
+
+    cell = hash_aggregate(ds, keys=[key, val],
+                          aggs={"w": (weight, "sum")},
+                          n_partitions=n_partitions)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", pa.array(_key_parts(batch, [key], n_partitions),
+                               pa.int32()))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, val], kind="stable")
+        cw = g.groupby(key, sort=False)["w"].cumsum().to_numpy(np.int64)
+        tw = g.groupby(key, sort=False)["w"].transform("sum") \
+            .to_numpy(np.int64)
+        ok = g.loc[2 * cw >= tw]
+        out = ok.groupby(key, as_index=False).agg(
+            wmedian=(val, "min"), total_w=("w", "min"))
+        tot = g.groupby(key, as_index=False)["w"].sum() \
+            .rename(columns={"w": "total_w"})
+        out = out.drop(columns="total_w").merge(tot, on=key)
+        return out.astype({"wmedian": np.int64, "total_w": np.int64})
+
+    return (cell.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part").map_groups(resolve, batch_format="pandas"))

@@ -270,3 +270,61 @@ def trajectory_raster(ds, *, key_col: str = "user_id",
         cells, keys=["cx", "cy"], aggs={"n_visits": ("cx", "count")},
         n_partitions=max(8, n_partitions // 4),
     )
+
+
+def od_bearing_rose(ds, *, key_col: str = "user_id", ts_col: str = "ts_us",
+                    order_col: str = "event_id", x_col: str = "x",
+                    y_col: str = "y", cell_shift: int = 5,
+                    day_us: int = 86_400_000_000, n_partitions: int = 64):
+    """Trip bearing rose: each (key, day) origin->destination vector
+    classified into 8 compass sectors with EXACT integer tests (the
+    tile_aspect rule -- 45-degree boundaries land on |dx| == |dy|):
+
+        0 flat (same cell) ; |dx| > |dy|: E 1 / W 5
+        |dy| > |dx|: N 3 / S 7
+        |dx| = |dy| > 0: NE 2, NW 4, SW 6, SE 8
+
+    (x east-positive, y north-positive).  The movement-direction
+    census (commute anisotropy) downstream of the same trip builder as
+    od_matrix; bounded 9-row output per fold, one keyed pass."""
+    parted = ds.map_batches(_add_part_fn(key_col, n_partitions),
+                            batch_format="pyarrow")
+
+    def sectors(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        day = ts // day_us
+        x = g[x_col].to_numpy().astype(np.int64) >> cell_shift
+        y = g[y_col].to_numpy().astype(np.int64) >> cell_shift
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (k[1:] != k[:-1]) | (day[1:] != day[:-1])
+        first = np.flatnonzero(new)
+        last = np.empty(len(first), np.int64)
+        last[:-1] = first[1:] - 1
+        last[-1] = len(g) - 1
+        u = x[last] - x[first]
+        v = y[last] - y[first]
+        au, av = np.abs(u), np.abs(v)
+        code = np.zeros(len(u), np.int64)
+        card = au > av
+        code = np.where(card & (u > 0), 1, code)
+        code = np.where(card & (u < 0), 5, code)
+        vert = av > au
+        code = np.where(vert & (v > 0), 3, code)
+        code = np.where(vert & (v < 0), 7, code)
+        diag = (au == av) & (au > 0)
+        code = np.where(diag & (u > 0) & (v > 0), 2, code)
+        code = np.where(diag & (u < 0) & (v > 0), 4, code)
+        code = np.where(diag & (u < 0) & (v < 0), 6, code)
+        code = np.where(diag & (u > 0) & (v < 0), 8, code)
+        sec, cnt = np.unique(code, return_counts=True)
+        return pd.DataFrame({"sector": sec.astype(np.int64),
+                             "n_trips": cnt.astype(np.int64)})
+
+    partials = parted.groupby("__part").map_groups(sectors,
+                                                   batch_format="pandas")
+    return hash_aggregate(partials, keys=["sector"],
+                          aggs={"n_trips": ("n_trips", "sum")},
+                          n_partitions=4)

@@ -569,3 +569,23 @@ def test_sax_motifs_crafted_series(ray_session):
         .sort_values("motif").reset_index(drop=True)
     assert list(map(tuple, got[["motif", "n"]].to_numpy())) == [(6, 1),
                                                                 (27, 1)]
+
+
+def test_weighted_median_hand_case(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.quantiles import weighted_median
+
+    # key a: values 1(w3), 5(w1), 9(w2) -> total 6, half 3 -> v=1
+    #   (2*3 >= 6 at v=1: lower weighted median)
+    # key b: values 2(w1), 4(w1) -> total 2 -> v=2
+    tbl = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b"]),
+        "v": pa.array([1, 5, 9, 2, 4], pa.int64()),
+        "w": pa.array([3, 1, 2, 1, 1], pa.int64()),
+    })
+    got = weighted_median(rd.from_arrow(tbl), key="k", val="v",
+                          weight="w", n_partitions=4) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(map(tuple, got[["k", "wmedian", "total_w"]].to_numpy())) \
+        == [("a", 1, 6), ("b", 2, 2)]

@@ -316,3 +316,27 @@ def test_zone_shape_metrics_plus_lattice(ray_session):
         == (5, 12, 1)
     a = got[got["continent"] == "AS"].iloc[0]
     assert (a["n_tiles"], a["perimeter_edges"], a["n_interior"]) == (1, 4, 0)
+
+
+def test_land_regions_crafted_lattice(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.tilestats import land_regions
+
+    # EU: an L-domino pair + a far singleton -> 2 regions, largest 3;
+    # a diagonal-only pair does NOT connect (rook adjacency)
+    tbl = pa.table({
+        "tile": pa.array([
+            "EU_E012N012T6", "EU_E018N012T6", "EU_E018N018T6",
+            "EU_E090N090T6",
+            "AS_E030N030T6", "AS_E036N036T6",
+        ], pa.string()),
+        "covers_land": pa.array([True] * 6),
+    })
+    got = land_regions(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("continent").reset_index(drop=True)
+    eu = got[got["continent"] == "EU"].iloc[0]
+    assert (eu["n_regions"], eu["largest_region"],
+            eu["n_land_tiles"]) == (2, 3, 4)
+    a = got[got["continent"] == "AS"].iloc[0]
+    assert (a["n_regions"], a["largest_region"]) == (2, 1)

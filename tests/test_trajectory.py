@@ -185,3 +185,30 @@ def test_trajectory_raster_single_point_trip(ray_session):
     got = trajectory_raster(rd.from_arrow(tbl), cell_shift=0,
                             n_partitions=2).to_pandas()
     assert got.to_dict("records") == [{"cx": 7, "cy": 9, "n_visits": 1}]
+
+
+def test_od_bearing_rose_sector_boundaries(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.trajectory import od_bearing_rose
+
+    # one trip per user/day; vectors chosen to hit every sector class:
+    # (0,0) flat; (3,1) E; (-3,1) W; (1,3) N; (1,-3) S;
+    # (2,2) NE diag; (-2,2) NW; (-2,-2) SW; (2,-2) SE
+    vecs = [(0, 0), (3, 1), (-3, 1), (1, 3), (1, -3),
+            (2, 2), (-2, 2), (-2, -2), (2, -2)]
+    rows = []
+    for u, (dx, dy) in enumerate(vecs):
+        rows.append((u, 1, 0, 0, 0))
+        rows.append((u, 2, 1000, dx, dy))
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts_us": pa.array([r[2] for r in rows], pa.int64()),
+        "x": pa.array([r[3] for r in rows], pa.int64()),
+        "y": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    got = od_bearing_rose(rd.from_arrow(tbl), cell_shift=0,
+                          n_partitions=4).to_pandas()
+    assert dict(zip(got["sector"], got["n_trips"])) == {
+        0: 1, 1: 1, 5: 1, 3: 1, 7: 1, 2: 1, 4: 1, 6: 1, 8: 1}
