@@ -357,6 +357,7 @@ def _driver_queries() -> dict[str, float]:
         "land_regions",
         "od_bearing",
         "brand_median_price",
+        "snap_to_network",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",

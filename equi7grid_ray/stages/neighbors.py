@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["neighbor_pairs", "rect_overlap_join"]
+__all__ = ["neighbor_pairs", "rect_overlap_join", "snap_to_segments"]
 
 def neighbor_pairs(ds, *, radius: float, x_col: str = "x", y_col: str = "y",
                    id_col: str = "id", cell_size: float | None = None,
@@ -180,3 +180,71 @@ def rect_overlap_join(ds, *, id_col: str = "id", x0_col: str = "x0",
     return (ds.map_batches(replicate, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(resolve, batch_format="pandas"))
+
+
+def snap_to_segments(ds, segments: np.ndarray, *, x_col: str = "x",
+                     y_col: str = "y", q: int = 1024,
+                     close_d2q: int | None = None):
+    """Snap every point to its nearest NETWORK SEGMENT (map-matching's
+    inner kernel / nearest-road assignment), exactly in integers.
+
+    ``segments``: (K, 4) int64 ``[ax, ay, bx, by]`` rows, the SMALL
+    broadcast side.  Point-to-segment squared distance is the clamped
+    projection: with ``L = |B-A|^2`` and ``dot = (P-A).(B-A)``,
+
+        dot <= 0  ->  d2q = |P-A|^2 * q
+        dot >= L  ->  d2q = |P-B|^2 * q
+        else      ->  d2q = ((|P-A|^2 * L - dot^2) * q) // L
+
+    -- the interior case is the exact rational distance scaled by q
+    and floored, so engine and SQL share one deterministic quantized
+    rule (the winner is argmin (d2q, seg_id); q controls tie
+    granularity, not correctness of the top-1 for separations above
+    1/q).  Coordinate bound: |coord| < ~1500 keeps the worst term
+    |P-A|^2 * L * q under int64.
+
+    Shape: K vectorized passes per batch (segments broadcast), then a
+    bounded per-segment keyed aggregate: ``seg_id, n_points, n_close,
+    min_d2q``.  No shuffle of points."""
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    seg = np.asarray(segments, np.int64)
+    if close_d2q is None:
+        close_d2q = 100 * q
+
+    def snap(batch: pa.Table) -> pa.Table:
+        px = batch.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        py = batch.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        best = np.full(len(px), np.iinfo(np.int64).max, np.int64)
+        best_id = np.zeros(len(px), np.int64)
+        for s in range(len(seg)):
+            ax, ay, bx, by = (int(v) for v in seg[s])
+            ux, uy = bx - ax, by - ay
+            L = ux * ux + uy * uy
+            dx, dy = px - ax, py - ay
+            dot = dx * ux + dy * uy
+            pa2 = dx * dx + dy * dy
+            ex, ey = px - bx, py - by
+            pb2 = ex * ex + ey * ey
+            inner = ((pa2 * L - dot * dot) * q) // L
+            d2q = np.where(dot <= 0, pa2 * q,
+                           np.where(dot >= L, pb2 * q, inner))
+            win = d2q < best
+            best = np.where(win, d2q, best)
+            best_id = np.where(win, s, best_id)
+        return pa.table({
+            "seg_id": pa.array(best_id, pa.int64()),
+            "d2q": pa.array(best, pa.int64()),
+            "close": pa.array((best <= close_d2q).astype(np.int64),
+                              pa.int64()),
+        })
+
+    return hash_aggregate(
+        ds.map_batches(snap, batch_format="pyarrow"),
+        keys=["seg_id"],
+        aggs={"n_points": ("d2q", "count"), "n_close": ("close", "sum"),
+              "min_d2q": ("d2q", "min")},
+        n_partitions=4,
+    )

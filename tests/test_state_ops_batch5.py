@@ -589,3 +589,49 @@ def test_weighted_median_hand_case(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     assert list(map(tuple, got[["k", "wmedian", "total_w"]].to_numpy())) \
         == [("a", 1, 6), ("b", 2, 2)]
+
+
+def test_snap_to_segments_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.neighbors import snap_to_segments
+
+    rng = np.random.default_rng(7)
+    segs = np.array([[0, 0, 10, 0],      # horizontal
+                     [5, -20, 5, 20],    # vertical
+                     [-10, -10, 10, 10]],  # diagonal
+                    np.int64)
+    px = rng.integers(-30, 31, 500).astype(np.int64)
+    py = rng.integers(-30, 31, 500).astype(np.int64)
+    tbl = pa.table({"x": pa.array(px), "y": pa.array(py)})
+    got = snap_to_segments(rd.from_arrow(tbl), segs, q=1024) \
+        .to_pandas().sort_values("seg_id").reset_index(drop=True)
+
+    q = 1024
+    best = np.full(len(px), np.iinfo(np.int64).max)
+    bid = np.zeros(len(px), np.int64)
+    for s, (ax, ay, bx, by) in enumerate(segs):
+        ux, uy = bx - ax, by - ay
+        L = ux * ux + uy * uy
+        for j in range(len(px)):
+            dx, dy = px[j] - ax, py[j] - ay
+            dot = dx * ux + dy * uy
+            if dot <= 0:
+                d2q = (dx * dx + dy * dy) * q
+            elif dot >= L:
+                ex, ey = px[j] - bx, py[j] - by
+                d2q = (ex * ex + ey * ey) * q
+            else:
+                d2q = ((dx * dx + dy * dy) * L - dot * dot) * q // L
+            if d2q < best[j]:
+                best[j] = d2q
+                bid[j] = s
+    exp = []
+    for s in sorted(set(bid)):
+        m = bid == s
+        exp.append((s, int(m.sum()),
+                    int((best[m] <= 100 * 1024).sum()),
+                    int(best[m].min())))
+    assert list(map(tuple,
+                    got[["seg_id", "n_points", "n_close",
+                         "min_d2q"]].to_numpy())) == exp
