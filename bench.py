@@ -358,6 +358,8 @@ def _driver_queries() -> dict[str, float]:
         "od_bearing",
         "brand_median_price",
         "snap_to_network",
+        "hll_user_overlap",
+        "quadtree_cells",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",

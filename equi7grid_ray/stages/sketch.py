@@ -361,3 +361,137 @@ est AS (SELECT p.k AS k, min(co.c) AS est
         FROM probes p JOIN counters co ON p.slot = co.slot GROUP BY p.k)
 SELECT CAST(k AS BIGINT) AS {col}, CAST(est AS BIGINT) AS est
 FROM est ORDER BY est DESC, k LIMIT {topk}"""
+
+
+def hll_set_algebra(ds, *, key_col: str, col: str, p: int = 4,
+                    rho_cap: int = 40):
+    """HyperLogLog SET ALGEBRA across key groups: for every unordered
+    key pair, the RAW-estimator cardinalities of each side, of their
+    union (register-wise max -- the lossless HLL merge) and the
+    inclusion-exclusion intersection estimate ``est_a + est_b -
+    est_union`` (signed; sketch noise can push small overlaps
+    negative).  This is the audience-overlap / segment-intersection
+    primitive a sketch store answers without touching raw rows.
+
+    The RAW estimator is used on BOTH sides of every estimate -- the
+    linear-counting branch does not distribute over register merges,
+    so sketch algebra is defined raw-regime only (size p to the data;
+    mirrors hll_sql's parity note).  Shape: same bounded
+    (key, bucket, rho) Max-merge as hll_distinct_by, then one fold
+    over the |keys| x m register table.  Output: ``key_a, key_b,
+    est_a, est_b, est_union, est_intersection``."""
+    if not (4 <= p <= 12):
+        raise ValueError("hll_set_algebra: p must be in [4, 12]")
+    m = 1 << p
+    alpha = alpha_m(m)
+
+    from equi7grid_ray.arrowutil import single_group
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+    from equi7grid_ray.stages.dedup import _mix64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        kcol = batch.column(key_col)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        mask = pc.and_(pc.is_valid(kcol), pc.is_valid(batch.column(col)))
+        sub = batch.filter(mask)
+        kd = sub.column(key_col)
+        if isinstance(kd, pa.ChunkedArray):
+            kd = kd.combine_chunks()
+        kd = kd.dictionary_encode()
+        codes = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = kd.dictionary
+        v = sub.column(col).to_numpy(zero_copy_only=False)
+        h = _mix64(v.astype(np.int64).view(np.uint64))
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = np.left_shift(h, np.uint64(p))
+        rho = np.minimum(
+            np.where(rest > 0, _clz64(rest) + 1, 64 - p + 1), rho_cap
+        ).astype(np.int64)
+        regs = np.zeros((len(uniq), m), np.int64)
+        np.maximum.at(regs, (codes, bucket), rho)
+        ki, bi = np.nonzero(regs)
+        return pa.table({
+            key_col: uniq.take(pa.array(ki)).cast(pa.string()),
+            "bucket": pa.array(bi, pa.int64()),
+            "rho": pa.array(regs[ki, bi], pa.int64()),
+        })
+
+    regs = hash_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        keys=[key_col, "bucket"], aggs={"rho": ("rho", "max")})
+
+    def raw_est(reg_vec: np.ndarray) -> np.int64:
+        nonzero = int((reg_vec > 0).sum())
+        s = float(m - nonzero) + float(np.sum(np.ldexp(1.0, -reg_vec[reg_vec > 0])))
+        return np.int64(round(alpha * float(m * m) / s))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        keys = sorted(g[key_col].unique())
+        dense = {k: np.zeros(m, np.int64) for k in keys}
+        for k, b, r in zip(g[key_col], g["bucket"], g["rho"]):
+            dense[k][int(b)] = int(r)
+        rows = []
+        for i, ka in enumerate(keys):
+            for kb in keys[i + 1:]:
+                ea = raw_est(dense[ka])
+                eb = raw_est(dense[kb])
+                eu = raw_est(np.maximum(dense[ka], dense[kb]))
+                rows.append((ka, kb, ea, eb, eu, ea + eb - eu))
+        return pd.DataFrame(rows, columns=[
+            "key_a", "key_b", "est_a", "est_b", "est_union",
+            "est_intersection"]).astype({
+                c: np.int64 for c in ("est_a", "est_b", "est_union",
+                                      "est_intersection")})
+
+    return single_group(regs, fold,
+                        ["key_a", "key_b", "est_a", "est_b",
+                         "est_union", "est_intersection"])
+
+
+def hll_pair_sql(table: str, key: str, col: str, p: int = 4,
+                 rho_cap: int = 40) -> str:
+    """DuckDB mirror of hll_set_algebra (RAW regime; see hll_sql)."""
+    from equi7grid_ray.sqlgen import _bit_values, _mix64_ctes
+
+    m = 1 << p
+    alpha = alpha_m(m)
+    two_rest = 1 << (64 - p)
+    return f"""
+WITH src AS (SELECT {key} AS gk, {_u64(col)} AS k FROM {table}
+             WHERE {col} IS NOT NULL AND {key} IS NOT NULL),
+{_mix64_ctes('src', 'k', 'gk')},
+parts AS (SELECT gk, CAST(h // {two_rest} AS BIGINT) AS bucket,
+                 CAST((h % {two_rest})::HUGEINT * {1 << p} AS UBIGINT) AS rest
+          FROM mixed),
+bits(b, pw) AS (VALUES {_bit_values()}),
+rho AS (SELECT gk, bucket,
+               CASE WHEN rest = 0 THEN {64 - p + 1}
+                    ELSE 64 - max(CASE WHEN (rest // pw) % 2 = 1 THEN b END)
+               END AS rho
+        FROM parts, bits GROUP BY gk, bucket, rest),
+regs AS (SELECT gk, bucket, least(max(rho), {rho_cap}) AS rho
+         FROM rho GROUP BY gk, bucket),
+est1 AS (SELECT gk,
+    CAST(round(CAST({alpha!r} AS DOUBLE) * CAST({m * m} AS DOUBLE) /
+      (CAST({m} - count(*) AS DOUBLE) + sum(pow(2.0, -rho)))) AS BIGINT)
+      AS est
+  FROM regs GROUP BY gk),
+pairs AS (
+  SELECT a.gk AS key_a, b.gk AS key_b
+  FROM (SELECT DISTINCT gk FROM regs) a
+  JOIN (SELECT DISTINCT gk FROM regs) b ON a.gk < b.gk),
+uregs AS (
+  SELECT p.key_a, p.key_b, r.bucket, max(r.rho) AS rho
+  FROM pairs p JOIN regs r ON r.gk = p.key_a OR r.gk = p.key_b
+  GROUP BY p.key_a, p.key_b, r.bucket),
+uest AS (SELECT key_a, key_b,
+    CAST(round(CAST({alpha!r} AS DOUBLE) * CAST({m * m} AS DOUBLE) /
+      (CAST({m} - count(*) AS DOUBLE) + sum(pow(2.0, -rho)))) AS BIGINT)
+      AS est_union
+  FROM uregs GROUP BY key_a, key_b)
+SELECT u.key_a, u.key_b, ea.est AS est_a, eb.est AS est_b,
+       u.est_union, (ea.est + eb.est - u.est_union)::BIGINT
+         AS est_intersection
+FROM uest u JOIN est1 ea ON ea.gk = u.key_a
+JOIN est1 eb ON eb.gk = u.key_b"""

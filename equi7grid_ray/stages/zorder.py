@@ -224,3 +224,69 @@ def hilbert_key(cx: np.ndarray, cy: np.ndarray, bits: int = 13) -> np.ndarray:
         x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
         s >>= np.int64(1)
     return d
+
+
+def quadtree_leaves(ds, *, x_col: str = "x", y_col: str = "y",
+                    bits: int = 20, max_depth: int = 4, cap: int = 500,
+                    n_partitions: int = 8):
+    """Adaptive quadtree binning: split the [0, 2^bits)^2 domain until
+    every leaf holds <= ``cap`` points or ``max_depth`` is reached --
+    the density-adaptive partitioning that gives skewed point data
+    even-sized work units (cell_pyramid's fixed levels can't).
+
+    Because a parent's count >= any child's, the leaf frontier is
+    simply: depth-0 if the root fits, else every node whose PARENT
+    exceeds ``cap`` and that itself fits (or sits at max_depth).  The
+    engine aggregates ONE keyed histogram at max_depth (<= 4^max_depth
+    rows -- bounded regardless of input size), rolls parents up and
+    selects the frontier in a single fold; SQL mirrors with stacked
+    GROUP BYs + parent joins.  Output: ``depth, qx, qy, n_points``."""
+    import pandas as pd
+
+    from equi7grid_ray.arrowutil import single_group
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    shift = bits - max_depth
+
+    def leaf_cells(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) >> shift
+        y = batch.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) >> shift
+        return pa.table({"qx": pa.array(x, pa.int64()),
+                         "qy": pa.array(y, pa.int64())})
+
+    hist = hash_aggregate(
+        ds.map_batches(leaf_cells, batch_format="pyarrow"),
+        keys=["qx", "qy"], aggs={"n": ("qx", "count")},
+        n_partitions=n_partitions)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        lv = {max_depth: g.groupby(["qx", "qy"], as_index=False)["n"]
+              .sum()}
+        for d in range(max_depth - 1, -1, -1):
+            c = lv[d + 1].copy()
+            c["qx"] //= 2
+            c["qy"] //= 2
+            lv[d] = c.groupby(["qx", "qy"], as_index=False)["n"].sum()
+        out = []
+        root_n = int(lv[0]["n"].sum())
+        if root_n <= cap:
+            out.append((0, 0, 0, root_n))
+        else:
+            for d in range(1, max_depth + 1):
+                c = lv[d]
+                par = lv[d - 1].rename(columns={"n": "pn"})
+                c = c.assign(px=c["qx"] // 2, py=c["qy"] // 2).merge(
+                    par, left_on=["px", "py"], right_on=["qx", "qy"],
+                    suffixes=("", "_p"))
+                keep = (c["pn"] > cap) & ((c["n"] <= cap)
+                                          | (d == max_depth))
+                for r in c.loc[keep].itertuples():
+                    out.append((d, int(r.qx), int(r.qy), int(r.n)))
+        return pd.DataFrame(out, columns=["depth", "qx", "qy",
+                                          "n_points"]) \
+            .astype({"depth": np.int64, "qx": np.int64, "qy": np.int64,
+                     "n_points": np.int64})
+
+    return single_group(hist, fold, ["depth", "qx", "qy", "n_points"])

@@ -635,3 +635,29 @@ def test_snap_to_segments_matches_brute_force(ray_session):
     assert list(map(tuple,
                     got[["seg_id", "n_points", "n_close",
                          "min_d2q"]].to_numpy())) == exp
+
+
+def test_hll_set_algebra_disjoint_and_identical(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.sketch import hll_set_algebra
+
+    # "a" and "b" share ALL ids -> union registers == each side ->
+    # est_union == est_a == est_b, intersection == est_a.
+    # "c" is disjoint from both.
+    ids = np.arange(1000, dtype=np.int64)
+    tbl = pa.table({
+        "k": pa.array(["a"] * 1000 + ["b"] * 1000 + ["c"] * 1000),
+        "v": pa.array(np.concatenate([ids, ids, ids + 50_000]),
+                      pa.int64()),
+    })
+    got = hll_set_algebra(rd.from_arrow(tbl), key_col="k", col="v",
+                          p=8).to_pandas().set_index(["key_a", "key_b"])
+    ab = got.loc[("a", "b")]
+    assert ab["est_a"] == ab["est_b"] == ab["est_union"]
+    assert ab["est_intersection"] == ab["est_a"]
+    # estimates within 15% of truth at p=8
+    assert abs(ab["est_a"] - 1000) < 150
+    ac = got.loc[("a", "c")]
+    assert abs(ac["est_union"] - 2000) < 300
+    assert abs(ac["est_intersection"]) < 300

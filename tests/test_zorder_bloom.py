@@ -334,3 +334,40 @@ def test_geohash_reference_values():
     assert encode4(-49.265506, -25.382708) == "6gkz"
     assert encode4(-5.6, 42.6) == "ezs4"[:4]
     assert encode4(0.0, 0.0) == "s000"
+
+
+def test_quadtree_leaves_crafted(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.zorder import quadtree_leaves
+
+    # bits=4 domain [0,16)^2, max_depth 2, cap 3.
+    # 5 points in the (0,0) depth-1 quadrant (all in its (0,0) depth-2
+    # child) -> root 6 > 3 -> split; (0,0)@d1 has 5 > 3 -> split ->
+    # forced-leaf? no: depth-2 child (0,0) has 5 > 3 but 2 == max_depth
+    # -> forced leaf.  1 point at (12,12) -> its d1 quadrant (1,1) has
+    # 1 <= 3 -> leaf at depth 1.
+    xs = [0, 1, 2, 3, 1, 12]
+    ys = [0, 1, 0, 1, 2, 12]
+    tbl = pa.table({"x": pa.array(xs, pa.int64()),
+                    "y": pa.array(ys, pa.int64())})
+    got = quadtree_leaves(rd.from_arrow(tbl), bits=4, max_depth=2,
+                          cap=3).to_pandas() \
+        .sort_values(["depth", "qx", "qy"]).reset_index(drop=True)
+    assert list(map(tuple, got.to_numpy())) == [
+        (1, 1, 1, 1),      # sparse quadrant leaf
+        (2, 0, 0, 5),      # forced max-depth leaf
+    ]
+
+
+def test_quadtree_leaves_root_fits(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.zorder import quadtree_leaves
+
+    tbl = pa.table({"x": pa.array([1, 2], pa.int64()),
+                    "y": pa.array([3, 4], pa.int64())})
+    got = quadtree_leaves(rd.from_arrow(tbl), bits=4, max_depth=2,
+                          cap=10).to_pandas()
+    assert got.to_dict("records") == [
+        {"depth": 0, "qx": 0, "qy": 0, "n_points": 2}]
