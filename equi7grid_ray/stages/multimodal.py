@@ -2663,3 +2663,145 @@ class BoxSumStats:
             self.id_col: batch.column(self.id_col),
             **{c: pa.array(a, pa.int64()) for c, a in out.items()},
         })
+
+
+class AudioPeakWindow:
+    """Loudest-window locator over raw PCM payloads: per clip the
+    maximum 256-sample sliding-window ENERGY (sum of sample^2) and the
+    EARLIEST start index attaining it -- the alignment/cue-point
+    primitive (ad detection, loudness normalization windows).  One
+    cumsum + diff per clip, O(samples); same s16le decode contract as
+    PCMAudioFeatures, so the SQL mirror is the per-sample formula plus
+    a 256-row window sum."""
+
+    W = 256
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        w = self.W
+        n_win = np.zeros(n, np.int64)
+        peak_e = np.zeros(n, np.int64)
+        peak_s = np.zeros(n, np.int64)
+        for j, f in enumerate(fmts):
+            raw = np.frombuffer(data, np.uint8,
+                                count=int(offs[j + 1] - offs[j]),
+                                offset=int(offs[j]))
+            if f in ("raw", "png"):
+                raw = decode_image(raw, f, int(ws[j]), int(hs[j]),
+                                   copy=False).reshape(-1)
+            else:
+                raise NotImplementedError(
+                    f"audio format {f!r}: codec libraries unavailable "
+                    "in sandbox")
+            m = len(raw) // 2
+            if m < w:
+                continue
+            u = raw[: 2 * m].reshape(-1, 2).astype(np.int64)
+            v = u[:, 0] + 256 * u[:, 1]
+            v = np.where(v >= 32768, v - 65536, v)
+            sq = v * v
+            cs = np.zeros(m + 1, np.int64)
+            np.cumsum(sq, out=cs[1:])
+            win = cs[w:] - cs[:-w]
+            n_win[j] = len(win)
+            k = int(np.argmax(win))
+            peak_e[j] = win[k]
+            peak_s[j] = k
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_windows": pa.array(n_win, pa.int64()),
+            "peak_energy": pa.array(peak_e, pa.int64()),
+            "peak_start": pa.array(peak_s, pa.int64()),
+        })
+
+
+class VideoStaticRuns:
+    """Static-segment census over raw planar video (the complement of
+    VideoCuts): consecutive-frame pairs classified by the same
+    4 * SAD >= 255 * w cut rule, then gaps-and-islands over the NON-cut
+    pairs -- per video the static-pair count, the number of maximal
+    static runs and the longest run (in pairs).  The segment-duration
+    statistics that drive frame-sampling rates for video training
+    data.  One vectorized diff + flatnonzero pass per payload."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        n_static = np.zeros(n, np.int64)
+        n_runs = np.zeros(n, np.int64)
+        max_run = np.zeros(n, np.int64)
+        for j in range(n):
+            arr = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            if arr.shape[0] < 2:
+                continue
+            d = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+            ok = 4 * d < 255 * int(ws[j])
+            n_static[j] = int(ok.sum())
+            if not ok.any():
+                continue
+            # run-length over the boolean pair sequence
+            x = np.flatnonzero(ok)
+            brk = np.flatnonzero(np.diff(x) > 1)
+            starts = np.concatenate([[0], brk + 1])
+            ends = np.concatenate([brk, [len(x) - 1]])
+            n_runs[j] = len(starts)
+            max_run[j] = int((x[ends] - x[starts] + 1).max())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_static_pairs": pa.array(n_static, pa.int64()),
+            "n_runs": pa.array(n_runs, pa.int64()),
+            "max_run": pa.array(max_run, pa.int64()),
+        })
+
+
+class ColProfileStats:
+    """Per-image vertical projection profile (document-layout / barcode
+    primitive): per column the pixel sum; emitted per image as the
+    peak column's sum, the EARLIEST peak column index, and the count
+    of columns whose sum exceeds 128 * h (bright columns).  One
+    axis-0 sum per frame; SQL groups the pixel formula by column."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+
+        data, offs = binary_view(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        n = batch.num_rows
+        peak = np.zeros(n, np.int64)
+        peak_col = np.zeros(n, np.int64)
+        bright = np.zeros(n, np.int64)
+        for j in range(n):
+            v = _decode_luma(data, offs, fmts, ws, hs, j).astype(np.int64)
+            cs = v.sum(axis=0)
+            k = int(np.argmax(cs))
+            peak[j] = cs[k]
+            peak_col[j] = k
+            bright[j] = int((cs > 128 * v.shape[0]).sum())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "peak_sum": pa.array(peak, pa.int64()),
+            "peak_col": pa.array(peak_col, pa.int64()),
+            "bright_cols": pa.array(bright, pa.int64()),
+        })

@@ -531,3 +531,55 @@ def sax_motifs(counts, *, key: str = "event_type", hr_col: str = "hr",
         return pd.concat(rows, ignore_index=True)
 
     return single_group(counts, fold, [key, "motif", "n"])
+
+
+def tile_transition_matrix(cells, *, class_div: int = 64,
+                           n_partitions: int = 32):
+    """Two-epoch class-transition (land-cover change) matrix: epoch-0
+    vs epoch-1 per-cell MAX composites classified into
+    ``256 // class_div`` brightness classes, cross-tabulated per
+    continent -- the confusion-matrix census EO change analysis reads
+    before mapping anything (which class flips into which).  Cells
+    observed in only one epoch are dropped.
+
+    Same single conditional-max keyed aggregate as tile_change_detect
+    (-1 absent sentinel rides the max); the matrix rollup output is
+    bounded 7 x k^2.  SQL mirrors the cell CTE + floor-division
+    classes."""
+    import pyarrow.compute as _pc
+
+    def split_epochs(batch: pa.Table) -> pa.Table:
+        m = batch.column("m").to_numpy()
+        ep = batch.column("epoch").to_numpy()
+        return pa.table({
+            "tile": batch.column("tile"),
+            "gr": batch.column("gr"),
+            "gc": batch.column("gc"),
+            "m0": pa.array(np.where(ep == 0, m, -1), pa.int64()),
+            "m1": pa.array(np.where(ep == 1, m, -1), pa.int64()),
+        })
+
+    per_cell = hash_aggregate(
+        cells.map_batches(split_epochs, batch_format="pyarrow"),
+        keys=["tile", "gr", "gc"],
+        aggs={"v0": ("m0", "max"), "v1": ("m1", "max")},
+        n_partitions=n_partitions,
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        v0 = batch.column("v0").to_numpy()
+        v1 = batch.column("v1").to_numpy()
+        keep = (v0 >= 0) & (v1 >= 0)
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "continent": _pc.utf8_slice_codeunits(t.column("tile"), 0, 2),
+            "c0": pa.array(v0[keep] // class_div, pa.int64()),
+            "c1": pa.array(v1[keep] // class_div, pa.int64()),
+        })
+
+    return hash_aggregate(
+        per_cell.map_batches(classify, batch_format="pyarrow"),
+        keys=["continent", "c0", "c1"],
+        aggs={"n_cells": ("c0", "count")},
+        n_partitions=8,
+    )

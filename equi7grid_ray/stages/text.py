@@ -1013,3 +1013,62 @@ def feature_hashing(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def doc_readability(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """LIX readability index (Bjornsson 1968), exact-integer variant:
+    with A = words (non-empty whitespace tokens), S = sentence
+    terminators (count of . ! ? -- floored at 1) and L = long words
+    (>= 7 chars),
+
+        lix_q = (A * 1000) // S + (L * 100000) // A
+
+    i.e. LIX * 1000 under trunc division -- one deterministic rule the
+    SQL mirror restates.  Docs with A = 0 are dropped.  Map-only
+    Arrow-kernel pass (split + regex count), no shuffle."""
+    import pyarrow.compute as pc
+
+    def stage(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.utf8_split_whitespace(col)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = len(toks)
+        lodt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+        list_offs = np.frombuffer(toks.buffers()[1], dtype=lodt)[
+            toks.offset: toks.offset + n + 1
+        ].astype(np.int64)
+        from equi7grid_ray.stages.dedup import _column_bytes
+        flat, offs = _column_bytes(toks.values)
+        tok_lens = np.diff(offs)
+        nonempty = (tok_lens > 0).astype(np.int64)
+        longw = (tok_lens >= 7).astype(np.int64)
+        seg = np.minimum(list_offs[:-1], max(len(nonempty) - 1, 0))
+        if len(nonempty):
+            a = np.add.reduceat(nonempty, seg)
+            lw = np.add.reduceat(longw, seg)
+            empty_docs = np.diff(list_offs) == 0
+            a[empty_docs] = 0
+            lw[empty_docs] = 0
+        else:
+            a = np.zeros(n, np.int64)
+            lw = np.zeros(n, np.int64)
+        s = pc.count_substring_regex(col, "[.!?]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = np.maximum(s, 1)
+        keep = a > 0
+        lix = np.zeros(n, np.int64)
+        lix[keep] = (a[keep] * 1000) // s[keep] \
+            + (lw[keep] * 100_000) // a[keep]
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_words": pa.array(a[keep], pa.int64()),
+            "n_sentences": pa.array(s[keep], pa.int64()),
+            "n_long": pa.array(lw[keep], pa.int64()),
+            "lix_q": pa.array(lix[keep], pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")

@@ -561,3 +561,54 @@ def land_regions(tiles):
         "largest_region": pa.array([r[2] for r in rows], pa.int64()),
         "n_land_tiles": pa.array([r[3] for r in rows], pa.int64()),
     }))
+
+
+def coverage_churn(assigned, *, n_partitions: int = 16):
+    """Two-epoch coverage churn per continent: which T6 tiles were
+    observed in epoch 0 (even scene index) vs epoch 1 (odd), rolled up
+    as kept / gained / lost tile counts -- the acquisition-coverage
+    delta an EO operations dashboard tracks between collection cycles.
+
+    One conditional-max keyed aggregate per (tile) with parity
+    sentinels (the tile_change_detect trick on presence instead of
+    value), then a bounded per-continent rollup."""
+    import pyarrow.compute as pc
+
+    from equi7grid_ray.stages.aggregate import hash_aggregate
+
+    def parity(batch: pa.Table) -> pa.Table:
+        i = batch.column("i").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ep = (i % 2).astype(np.int64)
+        return pa.table({
+            "tile": batch.column("tile"),
+            "e0": pa.array((ep == 0).astype(np.int64), pa.int64()),
+            "e1": pa.array((ep == 1).astype(np.int64), pa.int64()),
+        })
+
+    per_tile = hash_aggregate(
+        assigned.map_batches(parity, batch_format="pyarrow"),
+        keys=["tile"], aggs={"h0": ("e0", "max"), "h1": ("e1", "max")},
+        n_partitions=n_partitions)
+
+    def states(batch: pa.Table) -> pa.Table:
+        h0 = batch.column("h0").to_numpy()
+        h1 = batch.column("h1").to_numpy()
+        return pa.table({
+            "continent": pc.utf8_slice_codeunits(batch.column("tile"),
+                                                 0, 2),
+            "n_e0": pa.array(h0.astype(np.int64), pa.int64()),
+            "n_e1": pa.array(h1.astype(np.int64), pa.int64()),
+            "kept": pa.array((h0 & h1).astype(np.int64), pa.int64()),
+            "gained": pa.array((~h0.astype(bool) & h1.astype(bool))
+                               .astype(np.int64), pa.int64()),
+            "lost": pa.array((h0.astype(bool) & ~h1.astype(bool))
+                             .astype(np.int64), pa.int64()),
+        })
+
+    return hash_aggregate(
+        per_tile.map_batches(states, batch_format="pyarrow"),
+        keys=["continent"],
+        aggs={c: (c, "sum") for c in ("n_e0", "n_e1", "kept", "gained",
+                                      "lost")},
+        n_partitions=4)

@@ -1654,3 +1654,29 @@ def test_boxsum_matches_naive_windows(ray_session):
         assert row["box_min"] == boxes.min()
         assert row["bright_win"] == int((boxes >= 3200).sum())
         assert row["box_total"] == int(boxes.sum())
+
+
+def test_audio_peak_window_planted_burst(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.multimodal import AudioPeakWindow
+
+    # 1024 samples, silent except a burst at samples 600..610
+    v = np.zeros(1024, np.int16)
+    v[600:611] = 1000
+    raw = v.astype("<i2").tobytes()
+    tbl = pa.table({
+        "image_id": pa.array(["clip0"]),
+        "bytes": pa.array([raw], pa.binary()),
+        "fmt": pa.array(["raw"]),
+        "w": pa.array([64], pa.int32()),
+        "h": pa.array([32], pa.int32()),
+    })
+    got = rd.from_arrow(tbl).map_batches(
+        AudioPeakWindow, batch_format="pyarrow", concurrency=1,
+        num_cpus=1).to_pandas()
+    r = got.iloc[0]
+    assert r["n_windows"] == 1024 - 256 + 1
+    assert r["peak_energy"] == 11 * 1000 * 1000
+    # earliest window fully containing the burst starts at 610-255
+    assert r["peak_start"] == 610 - 255

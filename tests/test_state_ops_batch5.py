@@ -661,3 +661,21 @@ def test_hll_set_algebra_disjoint_and_identical(ray_session):
     ac = got.loc[("a", "c")]
     assert abs(ac["est_union"] - 2000) < 300
     assert abs(ac["est_intersection"]) < 300
+
+
+def test_doc_readability_hand_doc(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.text import doc_readability
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aaaaaaa bb. cc!", "   "], pa.string()),
+    })
+    got = doc_readability(rd.from_arrow(tbl)).to_pandas()
+    # doc 1 has zero words -> dropped
+    assert got["doc_id"].tolist() == [0]
+    r = got.iloc[0]
+    # A=3 words, L=1 (>=7 bytes), S=2 ('.' '!')
+    assert (r["n_words"], r["n_sentences"], r["n_long"]) == (3, 2, 1)
+    assert r["lix_q"] == (3 * 1000) // 2 + (1 * 100000) // 3

@@ -382,3 +382,32 @@ def test_tile_iqr_rank_rule(ray_session):
         q1 = int(s[max(1, math.ceil(0.25 * n)) - 1])
         q3 = int(s[max(1, math.ceil(0.75 * n)) - 1])
         assert (r.n_sc, r.v_q1, r.v_q3, r.iqr) == (n, q1, q3, q3 - q1)
+
+
+def test_tile_transition_matrix_crafted(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.temporal import tile_transition_matrix
+
+    # EU tile, 3 cells across 2 epochs:
+    #  cell (0,0): e0 max 10 (class 0), e1 max 200 (class 3)
+    #  cell (0,1): e0 max 100 (class 1), e1 max 100 (class 1)
+    #  cell (1,0): e0 only -> dropped
+    rows = [
+        ("EU_E012N012T6", 0, 0, 10, 0), ("EU_E012N012T6", 0, 0, 5, 0),
+        ("EU_E012N012T6", 0, 0, 200, 1),
+        ("EU_E012N012T6", 0, 1, 100, 0), ("EU_E012N012T6", 0, 1, 90, 1),
+        ("EU_E012N012T6", 0, 1, 100, 1),
+        ("EU_E012N012T6", 1, 0, 50, 0),
+    ]
+    tbl = pa.table({
+        "tile": pa.array([r[0] for r in rows]),
+        "gr": pa.array([r[1] for r in rows], pa.int64()),
+        "gc": pa.array([r[2] for r in rows], pa.int64()),
+        "m": pa.array([r[3] for r in rows], pa.int64()),
+        "epoch": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    got = tile_transition_matrix(rd.from_arrow(tbl), n_partitions=4) \
+        .to_pandas().sort_values(["c0", "c1"]).reset_index(drop=True)
+    assert list(map(tuple, got.to_numpy())) == [
+        ("EU", 0, 3, 1), ("EU", 1, 1, 1)]
