@@ -360,6 +360,12 @@ def _driver_queries() -> dict[str, float]:
         "snap_to_network",
         "hll_user_overlap",
         "quadtree_cells",
+        "tile_transition",
+        "audio_peak_window",
+        "doc_readability",
+        "video_static_runs",
+        "image_colprofile",
+        "coverage_churn",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",

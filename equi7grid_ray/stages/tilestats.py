@@ -577,11 +577,17 @@ def coverage_churn(assigned, *, n_partitions: int = 16):
     from equi7grid_ray.stages.aggregate import hash_aggregate
 
     def parity(batch: pa.Table) -> pa.Table:
-        i = batch.column("i").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        ids = batch.column("image_id")
+        if pa.types.is_dictionary(ids.type):
+            ids = ids.cast(pa.string())
+        i = pc.utf8_slice_codeunits(ids, 3, 15).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         ep = (i % 2).astype(np.int64)
+        tile = batch.column("tile")
+        if pa.types.is_dictionary(tile.type):
+            tile = tile.cast(pa.string())
         return pa.table({
-            "tile": batch.column("tile"),
+            "tile": tile,
             "e0": pa.array((ep == 0).astype(np.int64), pa.int64()),
             "e1": pa.array((ep == 1).astype(np.int64), pa.int64()),
         })

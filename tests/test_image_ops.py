@@ -1680,3 +1680,30 @@ def test_audio_peak_window_planted_burst(ray_session):
     assert r["peak_energy"] == 11 * 1000 * 1000
     # earliest window fully containing the burst starts at 610-255
     assert r["peak_start"] == 610 - 255
+
+
+def test_video_static_runs_crafted(ray_session):
+    import ray.data as rd
+
+    from equi7grid_ray.stages.multimodal import VideoStaticRuns
+
+    # 6 frames of width 4: frames 0-2 identical (2 static pairs),
+    # frame 3 inverts (cut), frames 3-4 identical (1 static pair),
+    # frame 5 inverts (cut) -> pairs: [ok, ok, cut, ok, cut]
+    f = np.zeros((6, 4), np.uint8)
+    f[3] = 255
+    f[4] = 255
+    f[5] = 0
+    raw = f.tobytes()
+    tbl = pa.table({
+        "image_id": pa.array(["v0"]),
+        "bytes": pa.array([raw], pa.binary()),
+        "fmt": pa.array(["raw"]),
+        "w": pa.array([4], pa.int32()),
+        "h": pa.array([6], pa.int32()),
+    })
+    got = rd.from_arrow(tbl).map_batches(
+        VideoStaticRuns, batch_format="pyarrow", concurrency=1,
+        num_cpus=1).to_pandas()
+    r = got.iloc[0]
+    assert (r["n_static_pairs"], r["n_runs"], r["max_run"]) == (3, 2, 2)
