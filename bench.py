@@ -366,6 +366,9 @@ def _driver_queries() -> dict[str, float]:
         "video_static_runs",
         "image_colprofile",
         "coverage_churn",
+        "event_periodicity",
+        "parquet_rowgroup_stats",
+        "events_debounce",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",

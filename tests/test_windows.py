@@ -662,3 +662,31 @@ def test_peak_concurrency_matches_window_oracle(ray_session):
         exp.append((key, peak, g.loc[g["conc"] == peak, "t"].min()))
     exp = pd.DataFrame(exp, columns=["k", "peak_concurrency", "peak_ts_us"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_debounce_boundary(ray_session):
+    import __ray_entry__ as e
+
+    # craft via the stage path directly: gaps of exactly 5s are
+    # SUPPRESSED (> 5s starts a new burst)
+    from equi7grid_ray.stages.aggregate import _key_parts
+
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "ts": pa.array(
+            np.array([0, 5_000_000, 10_000_001, 10_000_002],
+                     "datetime64[us]")),
+        "event_type": pa.array(["a"] * 4),
+    })
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, f"{d}/events.parquet")
+        got = e.q_events_debounce(d).to_pandas()
+    r = got.iloc[0]
+    # bursts: [e1, e2(=+5s, suppressed)], [e3(+5.000001s, kept),
+    # e4(+1us, suppressed)] -> kept 2 of 4
+    assert (r["n_events"], r["n_kept"]) == (4, 2)
