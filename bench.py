@@ -369,6 +369,10 @@ def _driver_queries() -> dict[str, float]:
         "event_periodicity",
         "parquet_rowgroup_stats",
         "events_debounce",
+        "edge_distance",
+        "continent_hist_sim",
+        "embedding_separation",
+        "reactivations",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",
