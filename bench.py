@@ -373,6 +373,9 @@ def _driver_queries() -> dict[str, float]:
         "continent_hist_sim",
         "embedding_separation",
         "reactivations",
+        "k_anonymity",
+        "tile_workload_balance",
+        "abc_analysis",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",
