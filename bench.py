@@ -376,6 +376,8 @@ def _driver_queries() -> dict[str, float]:
         "k_anonymity",
         "tile_workload_balance",
         "abc_analysis",
+        "unicode_audit",
+        "embedding_topdims",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",
