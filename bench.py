@@ -378,6 +378,7 @@ def _driver_queries() -> dict[str, float]:
         "abc_analysis",
         "unicode_audit",
         "embedding_topdims",
+        "behavior_signatures",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",
