@@ -379,6 +379,7 @@ def _driver_queries() -> dict[str, float]:
         "unicode_audit",
         "embedding_topdims",
         "behavior_signatures",
+        "order_attribution",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",
