@@ -380,6 +380,7 @@ def _driver_queries() -> dict[str, float]:
         "embedding_topdims",
         "behavior_signatures",
         "order_attribution",
+        "discount_elasticity",
         "embedding_pq",
         "tile_trend",
         "tile_mk_trend",
