@@ -990,7 +990,13 @@ def feature_hashing(ds, *, text_col: str = "text", id_col: str = "doc_id",
         list_offs = np.frombuffer(toks.buffers()[1], dtype=lodt)[
             toks.offset: toks.offset + n + 1
         ].astype(np.int64)
-        flat, offs = _column_bytes(toks.values)
+        # .values ignores a ListArray slice: restrict the child to the
+        # [first, last) offset window and rebase so th/doc_idx align even
+        # for offset (sliced) arrays.
+        child = toks.values.slice(
+            int(list_offs[0]), int(list_offs[-1] - list_offs[0]))
+        list_offs = list_offs - list_offs[0]
+        flat, offs = _column_bytes(child)
         th = hash_bytes_offsets(flat, offs).view(np.uint64)
         nonempty = np.diff(offs) > 0
         doc_idx = np.repeat(np.arange(n, dtype=np.int64),

@@ -86,6 +86,14 @@ def test_entry_contract(ray_session):
     orc = e.oracle_sql()
     assert set(orc) <= set(qs)  # every oracle has a query
     assert len(qs) >= 25 and len(orc) >= 12
+    # README advertises the exact counts; keep it from drifting.
+    import re
+    from pathlib import Path
+
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    m = re.search(r"exposes (\d+) operator queries; (\d+) carry", readme)
+    assert m, "README query-count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (len(qs), len(orc))
 
 
 def test_flagship_checkpointed_resume(ray_session, tmp_path):
