@@ -71,20 +71,38 @@ def resample_to_equi7_tiles(
     ftilenames: list[str] | None = None,
     resampling: str = "nearest",
     naming_traffo: Callable[[str, str], str] | None = None,
+    out_format: str = "parquet",
+    nodata: float = 0,
+    src_crs: str = "geog",
+    src_res_m: float = 1000.0,
+    compress_type: str = "deflate",
+    tif_is_tiled: bool = False,
+    tile_blocksize: int = 256,
+    src_res_deg: float | None = None,
     batch_size: int = 1024,
     concurrency=(1, 8),
 ) -> dict:
-    """Image parquet -> regridded tile windows, parquet partitioned by
-    continent, resumable per input fragment.
+    """Image parquet -> regridded tiles, resumable per input fragment.
+
+    ``out_format="parquet"`` writes pixel-window rows per tile;
+    ``out_format="gtiff"`` writes one full-tile GeoTIFF per (image,
+    tile) -- the reference's actual sink (warp.py:290-330: compress /
+    tiled / blocksize kwargs map to ``compress_type`` ("deflate"|"none";
+    the reference's zstd needs libzstd, absent here), ``tif_is_tiled``
+    and ``tile_blocksize``).  Encoding runs distributed in map_batches;
+    the driver only places the encoded bytes into the
+    ``EQUI7_{continent}/{tile}/`` layout.
 
     ``ftilenames`` restricts output to an explicit tile list (the
     reference's explicit-tiles path); ``naming_traffo(stem, ftilename)``
-    customizes partition file stems (warp.py:243-248 hook).
+    customizes file stems (warp.py:243-248 hook).
     Returns the manifest counter summary."""
     import ray.data as rd
 
     from equi7grid_ray.state.checkpoint import Manifest
 
+    if out_format not in ("parquet", "gtiff"):
+        raise ValueError(f"unknown out_format {out_format!r}")
     frags = sorted(str(p) for p in Path(input_path).glob("*.parquet"))
     if not frags:
         raise ValueError(f"no parquet fragments under {input_path}")
@@ -97,6 +115,8 @@ def resample_to_equi7_tiles(
 
     import pyarrow as pa
 
+    from equi7grid_ray.stages.regrid import SRC_RES_DEG
+
     for frag in todo:  # fragment = resume unit; inside, Ray streams
         ds = rd.read_parquet(frag)
         out = regrid_pipeline(
@@ -104,6 +124,8 @@ def resample_to_equi7_tiles(
             tiling_id=tiling_id,
             spec=spec,
             resampling=resampling,
+            nodata=nodata, src_crs=src_crs, src_res_m=src_res_m,
+            src_res_deg=src_res_deg if src_res_deg is not None else SRC_RES_DEG,
             batch_size=batch_size,
             concurrency=concurrency,
         )
@@ -117,15 +139,33 @@ def resample_to_equi7_tiles(
                 ),
                 batch_format="pyarrow",
             )
+        pid = Path(frag).stem
+        if out_format == "gtiff":
+            from equi7grid_ray.stages.regrid import GTiffEncodeStage
+
+            out = out.map_batches(
+                GTiffEncodeStage,
+                fn_constructor_kwargs=dict(
+                    tiling_id=tiling_id, spec=spec, compress=compress_type,
+                    tiled_tif=tif_is_tiled, blocksize=tile_blocksize,
+                    naming_traffo=naming_traffo, stem=pid,
+                ),
+                batch_format="pyarrow",
+                batch_size=max(1, batch_size // 64),  # whole-tile payloads
+                concurrency=concurrency,
+                num_cpus=1,
+            )
         # atomically per fragment: EQUI7_{continent}/{tilename}/ layout
         # with per-file names from the naming hook -- full parity with
         # the reference's output scheme (warp.py:243-288) via the shared
-        # partition writer in state/checkpoint.py.
+        # partition writers in state/checkpoint.py.
         import pyarrow.parquet as pq
 
-        from equi7grid_ray.state.checkpoint import write_equi7_partition
+        from equi7grid_ray.state.checkpoint import (
+            write_equi7_partition,
+            write_equi7_raster_partition,
+        )
 
-        pid = Path(frag).stem
         m = out.materialize()  # bounded by the fragment size (resume unit)
         batches = list(m.iter_batches(batch_format="pyarrow"))
         mt = (
@@ -136,10 +176,16 @@ def resample_to_equi7_tiles(
             if batches
             else None
         )
-        write_equi7_partition(
-            out_dir, pid, mt,
-            input_fragments=[frag],
-            rows_in=pq.ParquetFile(frag).metadata.num_rows,
-            naming_traffo=naming_traffo,
-        )
+        rows_in = pq.ParquetFile(frag).metadata.num_rows
+        if out_format == "gtiff":
+            write_equi7_raster_partition(
+                out_dir, pid, mt, input_fragments=[frag], rows_in=rows_in,
+            )
+        else:
+            write_equi7_partition(
+                out_dir, pid, mt,
+                input_fragments=[frag],
+                rows_in=rows_in,
+                naming_traffo=naming_traffo,
+            )
     return Manifest(out_dir).counters()

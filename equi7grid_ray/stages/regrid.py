@@ -34,7 +34,8 @@ from equi7grid_ray.tiling_state import get_grid_state
 
 SRC_RES_DEG = 0.001  # source pixel size of the synthetic image rasters
 
-__all__ = ["ExpandTilePairs", "RegridStage", "regrid_pipeline", "default_e7_filename"]
+__all__ = ["ExpandTilePairs", "RegridStage", "GTiffEncodeStage",
+           "regrid_pipeline", "default_e7_filename"]
 
 
 def default_e7_filename(stem: str, full_tilename: str, suffix: str = ".parquet") -> str:
@@ -49,7 +50,9 @@ class ExpandTilePairs:
     containing zone; their tiles form the candidate set (exact for
     footprints smaller than a tile)."""
 
-    def __init__(self, tiling_id: str = "T6", spec: GridSpec | None = None):
+    def __init__(self, tiling_id: str = "T6", spec: GridSpec | None = None,
+                 src_res_deg: float = SRC_RES_DEG):
+        self.src_res_deg = src_res_deg
         self.spec = spec or GridSpec.standard()
         self.state = get_grid_state(self.spec)
         self.tiling = self.spec.tiling_name(tiling_id)
@@ -62,8 +65,8 @@ class ExpandTilePairs:
         lon, lat = derive_lonlat(batch)
         w = batch.column("w").to_numpy().astype(np.float64)
         h = batch.column("h").to_numpy().astype(np.float64)
-        half_w = w * SRC_RES_DEG / 2.0
-        half_h = h * SRC_RES_DEG / 2.0
+        half_w = w * self.src_res_deg / 2.0
+        half_h = h * self.src_res_deg / 2.0
         # 5 probe points: center + 4 corners
         plon = np.stack([lon, lon - half_w, lon + half_w, lon - half_w, lon + half_w])
         plat = np.stack([lat, lat - half_h, lat - half_h, lat + half_h, lat + half_h])
@@ -148,6 +151,7 @@ class RegridStage:
         nodata: float = 0,
         src_crs: str = "geog",
         src_res_m: float = 1000.0,
+        src_res_deg: float = SRC_RES_DEG,
         dtype: str = "uint8",
     ):
         """``src_crs``: 'geog' (north-up lon/lat grid at SRC_RES_DEG),
@@ -175,6 +179,7 @@ class RegridStage:
         self.nodata = nodata
         self.src_crs = src_crs
         self.src_res_m = src_res_m
+        self.src_res_deg = src_res_deg
         self.dtype = dtype
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -262,8 +267,8 @@ class RegridStage:
                 py = np.stack([mcy - hhm, mcy - hhm, mcy + hhm, mcy + hhm, mcy])
                 clon, clat = mercator.inverse(px.ravel(), py.ravel())
             else:
-                half_w = w[idxs] * SRC_RES_DEG / 2.0
-                half_h = h[idxs] * SRC_RES_DEG / 2.0
+                half_w = w[idxs] * self.src_res_deg / 2.0
+                half_h = h[idxs] * self.src_res_deg / 2.0
                 clon = np.stack(
                     [lo - half_w, lo + half_w, lo - half_w, lo + half_w, lo]
                 ).ravel()
@@ -339,8 +344,8 @@ class RegridStage:
                     u = (glon - lon[j]) / self.src_res_m + w[j] / 2.0 - 0.5
                     v = (lat[j] - glat) / self.src_res_m + h[j] / 2.0 - 0.5
                 else:
-                    u = (glon - lon[j]) / SRC_RES_DEG + w[j] / 2.0 - 0.5
-                    v = (lat[j] - glat) / SRC_RES_DEG + h[j] / 2.0 - 0.5
+                    u = (glon - lon[j]) / self.src_res_deg + w[j] / 2.0 - 0.5
+                    v = (lat[j] - glat) / self.src_res_deg + h[j] / 2.0 - 0.5
                 nb = 1 if img.ndim == 2 else img.shape[0]
                 img3 = img[None] if img.ndim == 2 else img
                 if self.resampling == "bilinear":
@@ -417,12 +422,117 @@ def _bilinear(img: np.ndarray, v: np.ndarray, u: np.ndarray, nodata: float) -> n
     return out
 
 
+class GTiffEncodeStage:
+    """map_batches stage: regrid window rows -> full-tile GeoTIFF bytes.
+
+    The reference opens one rasterio GeoTIFF per tile sized to the FULL
+    tile (width/height from the tiling, warp.py:303-305) with the tile's
+    geotransform and CRS, nodata outside the reprojected footprint; here
+    the window row is placed into a nodata-filled full-tile array and
+    encoded with the pure-numpy codec (gtiff.py).  Encoding (deflate)
+    dominates per row, so the Python loop over rows is the same task
+    granularity as the reference's per-tile fan-out.  Output rows:
+    (image_id, continent, tile, fname, data: tif bytes)."""
+
+    def __init__(
+        self,
+        tiling_id: str = "T6",
+        spec: GridSpec | None = None,
+        compress: str = "deflate",
+        tiled_tif: bool = False,
+        blocksize: int = 256,
+        naming_traffo=None,
+        stem: str = "scene",
+    ):
+        self.spec = spec or GridSpec.standard()
+        self.tile_size = self.spec.tile_size(tiling_id)
+        self.sampling = self.spec.sampling_of(tiling_id)
+        self.npix = int(round(self.tile_size / self.sampling))
+        self.compress = compress
+        self.tiled_tif = tiled_tif
+        self.blocksize = blocksize
+        self.naming_traffo = naming_traffo
+        self.stem = stem
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from equi7grid_ray.arrowutil import binary_view
+        from equi7grid_ray.grid import parse_tile_names, tile_geotrans
+        from equi7grid_ray.gtiff import encode_gtiff
+
+        # drop empty windows: the reference only writes tiles the source
+        # actually overlaps (warp.py:456-466 candidate -> written set)
+        keep = pa.compute.and_(
+            pa.compute.greater(batch.column("win_h"), 0),
+            pa.compute.greater(batch.column("win_w"), 0))
+        batch = batch.filter(keep)
+        n = batch.num_rows
+        tiles = batch.column("tile").cast(pa.string()).to_pylist()
+        parsed = parse_tile_names(tiles, self.spec)
+        conts = batch.column("continent").cast(pa.string()).to_pylist()
+        ids = batch.column("image_id").to_pylist()
+        r0 = batch.column("r0").to_numpy()
+        c0 = batch.column("c0").to_numpy()
+        wh = batch.column("win_h").to_numpy()
+        ww = batch.column("win_w").to_numpy()
+        nodata = batch.column("nodata").to_numpy()
+        dtypes = batch.column("dtype").to_pylist()
+        bands = batch.column("bands").to_numpy()
+        pdata, poffs = binary_view(batch.column("pixels"))
+        scales = (batch.column("scale").to_pylist()
+                  if "scale" in batch.column_names else [None] * n)
+        offsets = (batch.column("offset").to_pylist()
+                   if "offset" in batch.column_names else [None] * n)
+
+        out_names: list[str] = []
+        out_data: list[bytes] = []
+        for j in range(n):
+            dt = np.dtype(dtypes[j])
+            nb = int(bands[j])
+            nd = np.asarray(nodata[j]).astype(dt)
+            full = np.full((nb, self.npix, self.npix), nd, dtype=dt)
+            if wh[j] and ww[j]:
+                win = np.frombuffer(
+                    pdata[poffs[j]: poffs[j + 1]], dtype=dt
+                ).reshape(nb, int(wh[j]), int(ww[j]))
+                full[:, r0[j]: r0[j] + wh[j], c0[j]: c0[j] + ww[j]] = win
+            if nb == 1:
+                full = full[0]
+            gt = tile_geotrans(float(parsed["ll_x"][j]),
+                               float(parsed["ll_y"][j]),
+                               self.tile_size, self.sampling)
+            data = encode_gtiff(
+                full, geotrans=gt, crs=conts[j], nodata=float(nodata[j]),
+                compress=self.compress, tiled=self.tiled_tif,
+                blockxsize=self.blocksize, blockysize=self.blocksize,
+                scale=scales[j], offset=offsets[j],
+            )
+            stem = f"{self.stem}_img{ids[j]}"
+            ftile = tiles[j]
+            fname = (self.naming_traffo(stem, ftile)
+                     if self.naming_traffo is not None
+                     else default_e7_filename(stem, ftile, ".tif"))
+            out_names.append(fname)
+            out_data.append(data)
+
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "continent": batch.column("continent"),
+            "tile": batch.column("tile"),
+            "fname": pa.array(out_names, pa.string()),
+            "data": pa.array(out_data, pa.large_binary()),
+        })
+
+
 def regrid_pipeline(
     ds,
     *,
     tiling_id: str = "T6",
     spec: GridSpec | None = None,
     resampling: str = "nearest",
+    nodata: float = 0,
+    src_crs: str = "geog",
+    src_res_m: float = 1000.0,
+    src_res_deg: float = SRC_RES_DEG,
     out_dir: str | None = None,
     batch_size: int = 1024,
     concurrency=(1, 8),
@@ -431,7 +541,8 @@ def regrid_pipeline(
     partitioned by continent/tile]."""
     pairs = ds.map_batches(
         ExpandTilePairs,
-        fn_constructor_kwargs=dict(tiling_id=tiling_id, spec=spec),
+        fn_constructor_kwargs=dict(tiling_id=tiling_id, spec=spec,
+                                   src_res_deg=src_res_deg),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -440,7 +551,9 @@ def regrid_pipeline(
     out = pairs.map_batches(
         RegridStage,
         fn_constructor_kwargs=dict(
-            tiling_id=tiling_id, spec=spec, resampling=resampling
+            tiling_id=tiling_id, spec=spec, resampling=resampling,
+            nodata=nodata, src_crs=src_crs, src_res_m=src_res_m,
+            src_res_deg=src_res_deg,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

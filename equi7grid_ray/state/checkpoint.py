@@ -203,13 +203,17 @@ def write_equi7_partition(
     bounds = np.concatenate([cuts, [len(skey)]])
     for i, st in enumerate(cuts):
         c, t = skey[st].split("/")
-        ftile = f"{c}_{t}"
+        # reference layout (warp.py:276-288): directory is the PARTIAL
+        # tile name (EQUI7_AS/E018N072T6), file suffix the full name
+        # (AS_E018N072T6); full-named tile columns are normalized here
+        part_name = t.removeprefix(f"{c}_")
+        ftile = f"{c}_{part_name}"
         fname = (
             naming_traffo(pid, ftile)
             if naming_traffo is not None
             else f"{pid}_{ftile}.parquet"
         )
-        d = tmp / f"EQUI7_{c}" / t
+        d = tmp / f"EQUI7_{c}" / part_name
         d.mkdir(parents=True, exist_ok=True)
         pq.write_table(sm.slice(st, int(bounds[i + 1] - st)), d / fname,
                        row_group_size=row_group_size)
@@ -228,6 +232,69 @@ def write_equi7_partition(
         tile_counts=tile_counts,
         checksum=table_checksum(table),
         stem=stem,
+        **(extra or {}),
+    )
+    return str(pdir)
+
+
+def write_equi7_raster_partition(
+    out_dir: str | Path,
+    partition_id: str,
+    table,
+    *,
+    input_fragments: list[str] | None = None,
+    rows_in: int | None = None,
+    extra: dict | None = None,
+) -> str | None:
+    """Atomically write one partition of PRE-ENCODED raster files in the
+    reference's ``EQUI7_{continent}/{tilename}/`` layout (warp.py:276-288
+    via rasterio.open(...,'w'); here the bytes arrive already encoded by
+    the distributed GTiffEncodeStage and the driver only places files).
+
+    ``table`` columns: ``continent``, ``tile`` (partial or full name),
+    ``fname``, ``data`` (binary).  Returns the partition path, or None
+    when the manifest marks it complete (resume)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    man = Manifest(out_dir)
+    if man.done(partition_id):
+        return None
+    pid = partition_id
+    tmp = man.root / f".tmp-part-{pid}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    csum = hashlib.sha256()
+    tile_counts: dict[str, int] = {}
+    if table is not None and table.num_rows:
+        cont = table.column("continent").cast(pa.string()).to_pylist()
+        tile = table.column("tile").cast(pa.string()).to_pylist()
+        fname = table.column("fname").cast(pa.string()).to_pylist()
+        data = table.column("data")
+        for i, (c, t, f) in enumerate(zip(cont, tile, fname)):
+            part_name = t.removeprefix(f"{c}_")
+            d = tmp / f"EQUI7_{c}" / part_name
+            d.mkdir(parents=True, exist_ok=True)
+            payload = data[i].as_py()
+            (d / f).write_bytes(payload)
+            csum.update(payload)
+            tile_counts[part_name] = tile_counts.get(part_name, 0) + 1
+    pdir = man.root / f"part-{pid}"
+    if pdir.exists():
+        shutil.rmtree(pdir)
+    tmp.rename(pdir)
+    man.record(
+        pid,
+        input_fragments=input_fragments or [],
+        rows_in=rows_in if rows_in is not None else
+        (table.num_rows if table is not None else 0),
+        rows_out=table.num_rows if table is not None else 0,
+        n_tiles=len(tile_counts),
+        tile_counts=dict(sorted(tile_counts.items())[:50]),
+        checksum=csum.hexdigest(),
+        stem=pid,
         **(extra or {}),
     )
     return str(pdir)

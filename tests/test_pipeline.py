@@ -139,11 +139,12 @@ def test_flagship_checkpointed_tile_layout(ray_session, tmp_path):
     seen_conts = set()
     for f in tile_dirs[:20]:
         cont = f.parent.parent.name.removeprefix("EQUI7_")
-        tile = f.parent.name
+        tile = f.parent.name  # PARTIAL name dir (reference warp.py:276-288)
+        assert "_" not in tile
         seen_conts.add(cont)
         t = pq.read_table(f)
         tiles = set(t.column("tile").cast("string").to_pylist())
-        assert tiles == {tile}
+        assert tiles == {f"{cont}_{tile}"}
     assert len(seen_conts) >= 1
 
 

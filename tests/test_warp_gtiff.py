@@ -1,0 +1,150 @@
+"""End-to-end GeoTIFF warp parity with the reference's approval tests
+(/root/reference/tests/test_warp.py:127-231): the int16 w^2+h^2 ramp
+fixture reprojected to T6@1000m must land in EXACTLY the reference's
+four tiles (AS_E018N072T6, AS_E018N066T6, EU_E066N030T6, EU_E072N030T6),
+written as one GeoTIFF per tile in the EQUI7_{continent}/{tilename}/
+layout, with the tile geotransform, the continental CRS and nodata
+propagation; pixel values are cross-checked against an independent
+scalar reprojection."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from equi7grid_ray import aeqd
+from equi7grid_ray.grid import GridSpec
+from equi7grid_ray.gtiff import read_gtiff
+from equi7grid_ray.pipelines.warp import resample_to_equi7_tiles
+
+# the reference fixture (test_warp.py:43-80): extent (50, 60.7, 51.2,
+# 63.2) at 0.1 deg/px, int16 ramp w^2+h^2, nodata -9999 at the center
+EXTENT = (50.0, 60.7, 51.2, 63.2)
+RES = 0.1
+NODATA = -9999
+
+
+def _ramp_fixture(tmp_path):
+    w = int((EXTENT[2] - EXTENT[0]) / RES)
+    h = int((EXTENT[3] - EXTENT[1]) / RES)
+    w_ar, h_ar = np.meshgrid(np.arange(w), np.arange(h))
+    ar = (w_ar**2 + h_ar**2).astype(np.int16)
+    ar[h // 2, w // 2] = NODATA
+    src = tmp_path / "in"
+    src.mkdir()
+    t = pa.table({
+        "image_id": pa.array([1], pa.int64()),
+        "lon": pa.array([(EXTENT[0] + EXTENT[2]) / 2.0]),
+        "lat": pa.array([(EXTENT[1] + EXTENT[3]) / 2.0]),
+        "w": pa.array([w], pa.int32()),
+        "h": pa.array([h], pa.int32()),
+        "fmt": pa.array(["raw"]),
+        "dtype": pa.array(["int16"]),
+        "bands": pa.array([1], pa.int32()),
+        "bytes": pa.array([ar.tobytes()], pa.binary()),
+    })
+    pq.write_table(t, src / "lonlat_img_continuous.parquet")
+    return src, ar
+
+
+REF_TILES = {  # reference test_warp.py:144-173 expected outputs
+    ("AS", "E018N072T6"), ("AS", "E018N066T6"),
+    ("EU", "E066N030T6"), ("EU", "E072N030T6"),
+}
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return GridSpec.standard({"T6": 1000})
+
+
+def _run(tmp_path, spec, **kw):
+    src, ar = _ramp_fixture(tmp_path)
+    out = tmp_path / "out"
+    resample_to_equi7_tiles(
+        str(src), str(out), tiling_id="T6", spec=spec,
+        resampling="bilinear", out_format="gtiff", nodata=NODATA,
+        src_res_deg=RES, **kw,
+    )
+    files = sorted(out.glob("part-*/EQUI7_*/*/*.tif"))
+    return out, ar, files
+
+
+def test_reprojecting_lonlat_continuous(ray_session, tmp_path, spec):
+    out, ar, files = _run(tmp_path, spec)
+    got = {(f.parent.parent.name.removeprefix("EQUI7_"), f.parent.name)
+           for f in files}
+    assert got == REF_TILES  # exactly the reference's 4 approval tiles
+    # file naming parity: {stem}_{CONT}_{TILE}.tif (warp.py:185-201)
+    for f in files:
+        c, t = f.parent.parent.name.removeprefix("EQUI7_"), f.parent.name
+        assert f.name.endswith(f"_{c}_{t}.tif")
+        assert f.name.startswith("lonlat_img_continuous")
+
+    g = read_gtiff([f for f in files if f.parent.name == "E066N030T6"][0])
+    assert g.array.shape == (600, 600)  # full T6 tile at 1000 m
+    assert g.array.dtype == np.int16
+    assert g.nodata == NODATA
+    assert g.crs_epsg == 27704  # EU
+    assert g.geotrans == (6_600_000.0, 1000.0, 0.0, 3_600_000.0, 0.0, -1000.0)
+    data = g.array
+    assert (data != NODATA).sum() > 1000  # footprint present
+    assert (data == NODATA).sum() > 100_000  # nodata outside footprint
+
+    # independent scalar cross-check on every valid pixel: invert the
+    # target pixel centers and bilinear-gather the ramp by hand
+    rr, cc = np.nonzero(data != NODATA)
+    x = g.geotrans[0] + (cc + 0.5) * 1000.0
+    y = g.geotrans[3] - (rr + 0.5) * 1000.0
+    lon, lat = aeqd.inverse("EU", x, y)
+    w, h = ar.shape[1], ar.shape[0]
+    lon0 = (EXTENT[0] + EXTENT[2]) / 2.0
+    lat0 = (EXTENT[1] + EXTENT[3]) / 2.0
+    u = (lon - lon0) / RES + w / 2.0 - 0.5
+    v = (lat0 - lat) / RES + h / 2.0 - 0.5
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    fu, fv = u - u0, v - v0
+    u0c, u1c = np.clip(u0, 0, w - 1), np.clip(u0 + 1, 0, w - 1)
+    v0c, v1c = np.clip(v0, 0, h - 1), np.clip(v0 + 1, 0, h - 1)
+    af = ar.astype(np.float64)
+    val = ((af[v0c, u0c] * (1 - fu) + af[v0c, u1c] * fu) * (1 - fv)
+           + (af[v1c, u0c] * (1 - fu) + af[v1c, u1c] * fu) * fv)
+    expect = np.rint(val).astype(np.int16)
+    assert np.array_equal(data[rr, cc], expect)
+
+
+def test_reprojecting_lonlat_continuous_eu(ray_session, tmp_path):
+    # continent_order=["EU"] parity (test_warp.py:180-210): 2 tiles only
+    spec_eu = GridSpec.standard({"T6": 1000}, continent_order=["EU"])
+    out, ar, files = _run(tmp_path, spec_eu)
+    got = {(f.parent.parent.name.removeprefix("EQUI7_"), f.parent.name)
+           for f in files}
+    assert got == {("EU", "E066N030T6"), ("EU", "E072N030T6")}
+
+
+def test_gtiff_resume_and_manifest(ray_session, tmp_path, spec):
+    out, ar, files = _run(tmp_path, spec)
+    stamps = {f: f.stat().st_mtime for f in files}
+    # rerun: manifest marks the fragment done, nothing rewritten
+    src = tmp_path / "in"
+    resample_to_equi7_tiles(
+        str(src), str(out), tiling_id="T6", spec=spec,
+        resampling="bilinear", out_format="gtiff", nodata=NODATA,
+        src_res_deg=RES,
+    )
+    for f, ts in stamps.items():
+        assert f.stat().st_mtime == ts
+
+
+def test_gtiff_tiled_zstd_unavailable_and_tiled_output(ray_session, tmp_path, spec):
+    # the reference's compress_type="zstd" needs libzstd (absent);
+    # deflate+tiled is the supported combination here
+    out, ar, files = _run(
+        tmp_path, spec, tif_is_tiled=True, tile_blocksize=128,
+        ftilenames=["EU_E066N030T6"],
+    )
+    assert len(files) == 1 and files[0].parent.name == "E066N030T6"
+    g = read_gtiff(files[0])
+    assert g.tiled and g.block_shape == (128, 128)
+    assert (g.array != NODATA).sum() > 1000

@@ -178,7 +178,10 @@ def test_naming_traffo_per_file(ray_session, tmp_path):
     assert files, "no tile files written"
     for f in files[:10]:
         cont = f.parent.parent.name.removeprefix("EQUI7_")
-        tile = f.parent.name
+        tile = f.parent.name  # PARTIAL name dir, reference warp.py:276-288
+        assert "_" not in tile  # e.g. E018N072T6, not AS_E018N072T6
         assert f.name == f"V1_scene0__{cont}_{tile}.parquet"
         t = pq.read_table(f)
-        assert set(t.column("tile").cast("string").to_pylist()) == {tile}
+        assert set(t.column("tile").cast("string").to_pylist()) == {
+            f"{cont}_{tile}"
+        }
