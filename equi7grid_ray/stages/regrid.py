@@ -46,12 +46,24 @@ def default_e7_filename(stem: str, full_tilename: str, suffix: str = ".parquet")
 
 class ExpandTilePairs:
     """map_batches stage: image rows -> one row per (image, overlapping
-    tile).  Footprint corners + center are projected into every
-    containing zone; their tiles form the candidate set (exact for
-    footprints smaller than a tile)."""
+    tile).  A 3x3 probe grid over the footprint is projected into every
+    containing zone; per (image, zone) the probes' projected bbox is
+    expanded to the FULL covered tile range (all tiles whose extent
+    intersects the bbox, cf. the reference's get_overlapping_tiles
+    geometry intersection, warp.py:333-401) and filtered to tiles inside
+    the zone.  Exact for bbox-convex projected footprints; downstream,
+    RegridStage marks non-overlapping target pixels nodata and
+    GTiffEncodeStage drops windows with no valid pixel, so a bbox
+    over-approximation only costs a little wasted gather work."""
 
     def __init__(self, tiling_id: str = "T6", spec: GridSpec | None = None,
+                 src_crs: str = "geog", src_res_m: float = 1000.0,
                  src_res_deg: float = SRC_RES_DEG):
+        """``src_crs`` mirrors RegridStage: footprint corner probes are
+        computed in the source grid's own geometry (geog degrees,
+        webmercator metres, or equi7 target-plane metres)."""
+        self.src_crs = src_crs
+        self.src_res_m = src_res_m
         self.src_res_deg = src_res_deg
         self.spec = spec or GridSpec.standard()
         self.state = get_grid_state(self.spec)
@@ -65,40 +77,70 @@ class ExpandTilePairs:
         lon, lat = derive_lonlat(batch)
         w = batch.column("w").to_numpy().astype(np.float64)
         h = batch.column("h").to_numpy().astype(np.float64)
-        half_w = w * self.src_res_deg / 2.0
-        half_h = h * self.src_res_deg / 2.0
-        # 5 probe points: center + 4 corners
-        plon = np.stack([lon, lon - half_w, lon + half_w, lon - half_w, lon + half_w])
-        plat = np.stack([lat, lat - half_h, lat - half_h, lat + half_h, lat + half_h])
+        # 3x3 probe grid (corners + edge midpoints + center): enough to
+        # see every tile a <=2-tile-wide curved footprint touches, and the
+        # bbox expansion below covers the interior range exactly
+        f = np.array([-0.5, 0.0, 0.5])
+        fx = np.repeat(f, 3)[:, None]   # (9, 1)
+        fy = np.tile(f, 3)[:, None]
+        if self.src_crs == "webmercator":
+            from equi7grid_ray import mercator
+
+            mcx, mcy = mercator.forward(lon, lat)
+            px = mcx + fx * (w * self.src_res_m)
+            py = mcy + fy * (h * self.src_res_m)
+            plon, plat = mercator.inverse(px.ravel(), py.ravel())
+            plon = plon.reshape(9, -1)
+            plat = plat.reshape(9, -1)
+        else:
+            plon = lon + fx * (w * self.src_res_deg)
+            plat = lat + fy * (h * self.src_res_deg)
         plat = np.clip(plat, -90.0, 90.0)
         n = len(lon)
-        member = self.state.zc.classify(plon.ravel(), plat.ravel()).reshape(5, n, -1)
+        member = self.state.zc.classify(
+            plon.ravel(), plat.ravel()).reshape(9, n, -1)
 
+        ts = self.tile_size
         rows_out: list[np.ndarray] = []
         cont_out: list[str] = []
         llx_out: list[np.ndarray] = []
         lly_out: list[np.ndarray] = []
         for cont, zc_col in zip(self.continents, self.zone_cols):
-            m = member[:, :, zc_col]  # (5, n)
+            m = member[:, :, zc_col]  # (9, n)
             if not m.any():
                 continue
             pr, rows = np.nonzero(m)
             x, y = aeqd.forward(cont, plon[pr, rows], plat[pr, rows])
-            llx, lly = tile_ll_from_xy(x, y, self.tile_size)
-            # dedupe (row, tile) pairs
-            key = rows * np.int64(1 << 40) + (
-                np.round(llx / 1e5).astype(np.int64) * 4096
-                + np.round(lly / 1e5).astype(np.int64)
-                + 2048
-            )
-            _, uniq = np.unique(key, return_index=True)
+            # per-image projected bbox over the member probes
+            minx = np.full(n, np.inf)
+            maxx = np.full(n, -np.inf)
+            miny = np.full(n, np.inf)
+            maxy = np.full(n, -np.inf)
+            np.minimum.at(minx, rows, x)
+            np.maximum.at(maxx, rows, x)
+            np.minimum.at(miny, rows, y)
+            np.maximum.at(maxy, rows, y)
+            rows_u = np.flatnonzero(np.isfinite(minx))
+            tx0 = np.floor(minx[rows_u] / ts).astype(np.int64)
+            tx1 = np.floor(maxx[rows_u] / ts).astype(np.int64)
+            ty0 = np.floor(miny[rows_u] / ts).astype(np.int64)
+            ty1 = np.floor(maxy[rows_u] / ts).astype(np.int64)
+            nx, ny = tx1 - tx0 + 1, ty1 - ty0 + 1
+            cnt = nx * ny
+            total = int(cnt.sum())
+            rep = np.repeat(np.arange(len(rows_u), dtype=np.int64), cnt)
+            off = (np.arange(total, dtype=np.int64)
+                   - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            ny_r = ny[rep]
+            llx = ((tx0[rep] + off // ny_r) * ts).astype(np.float64)
+            lly = ((ty0[rep] + off % ny_r) * ts).astype(np.float64)
             ct = self._tilings[cont]
-            pos = ct.lookup(llx[uniq], lly[uniq])
+            pos = ct.lookup(llx, lly)
             keep = pos >= 0  # only tiles inside the zone
-            rows_out.append(rows[uniq][keep])
+            rows_out.append(rows_u[rep][keep])
             cont_out.append(cont)
-            llx_out.append(llx[uniq][keep])
-            lly_out.append(lly[uniq][keep])
+            llx_out.append(llx[keep])
+            lly_out.append(lly[keep])
 
         if not rows_out:
             idx = np.empty(0, np.int64)
@@ -483,18 +525,23 @@ class GTiffEncodeStage:
         offsets = (batch.column("offset").to_pylist()
                    if "offset" in batch.column_names else [None] * n)
 
+        keep_idx: list[int] = []
         out_names: list[str] = []
         out_data: list[bytes] = []
         for j in range(n):
             dt = np.dtype(dtypes[j])
             nb = int(bands[j])
             nd = np.asarray(nodata[j]).astype(dt)
+            win = np.frombuffer(
+                pdata[poffs[j]: poffs[j + 1]], dtype=dt
+            ).reshape(nb, int(wh[j]), int(ww[j]))
+            if not (win != nd).any():
+                # bbox over-approximation from ExpandTilePairs: the tile's
+                # window gathered no source pixel -- nothing to write
+                continue
+            keep_idx.append(j)
             full = np.full((nb, self.npix, self.npix), nd, dtype=dt)
-            if wh[j] and ww[j]:
-                win = np.frombuffer(
-                    pdata[poffs[j]: poffs[j + 1]], dtype=dt
-                ).reshape(nb, int(wh[j]), int(ww[j]))
-                full[:, r0[j]: r0[j] + wh[j], c0[j]: c0[j] + ww[j]] = win
+            full[:, r0[j]: r0[j] + wh[j], c0[j]: c0[j] + ww[j]] = win
             if nb == 1:
                 full = full[0]
             gt = tile_geotrans(float(parsed["ll_x"][j]),
@@ -514,10 +561,11 @@ class GTiffEncodeStage:
             out_names.append(fname)
             out_data.append(data)
 
+        take = pa.array(keep_idx, pa.int64())
         return pa.table({
-            "image_id": batch.column("image_id"),
-            "continent": batch.column("continent"),
-            "tile": batch.column("tile"),
+            "image_id": batch.column("image_id").take(take),
+            "continent": batch.column("continent").take(take),
+            "tile": batch.column("tile").take(take),
             "fname": pa.array(out_names, pa.string()),
             "data": pa.array(out_data, pa.large_binary()),
         })
@@ -542,6 +590,7 @@ def regrid_pipeline(
     pairs = ds.map_batches(
         ExpandTilePairs,
         fn_constructor_kwargs=dict(tiling_id=tiling_id, spec=spec,
+                                   src_crs=src_crs, src_res_m=src_res_m,
                                    src_res_deg=src_res_deg),
         batch_format="pyarrow",
         batch_size=batch_size,

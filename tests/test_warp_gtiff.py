@@ -137,6 +137,62 @@ def test_gtiff_resume_and_manifest(ray_session, tmp_path, spec):
         assert f.stat().st_mtime == ts
 
 
+def test_reprojecting_webmercator_discrete_eu(ray_session, tmp_path):
+    """The reference's webmercator fixture (test_warp.py:84-124, 212-260):
+    uint8 discrete classes on an EPSG:3857 grid at 10 km/px, nearest to
+    EU-only T6@10000 -- exactly 4 EU tiles."""
+    from equi7grid_ray import mercator
+
+    extent = (4_900_000.0, 7_810_000.0, 6_180_000.0, 8_750_000.0)
+    sampling, nodata = 10_000.0, 255
+    w = int((extent[2] - extent[0]) / sampling)
+    h = int((extent[3] - extent[1]) / sampling)
+    w_ar, h_ar = np.meshgrid(np.arange(w), np.arange(h))
+    ar = (w_ar**2 + h_ar**2).astype(np.int64)
+    out8 = np.zeros((h, w), np.uint8)
+    out8[(ar >= (w + h)) & (ar < (w**2 + h))] = 1
+    out8[ar >= (w**2 + h)] = 2
+    out8[h // 4, w // 4] = nodata
+    cx = (extent[0] + extent[2]) / 2.0
+    cy = (extent[1] + extent[3]) / 2.0
+    lon, lat = mercator.inverse(np.array([cx]), np.array([cy]))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t = pa.table({
+        "image_id": pa.array([1], pa.int64()),
+        "lon": pa.array([float(lon[0])]),
+        "lat": pa.array([float(lat[0])]),
+        "w": pa.array([w], pa.int32()),
+        "h": pa.array([h], pa.int32()),
+        "fmt": pa.array(["raw"]),
+        "dtype": pa.array(["uint8"]),
+        "bands": pa.array([1], pa.int32()),
+        "bytes": pa.array([out8.tobytes()], pa.binary()),
+    })
+    pq.write_table(t, src / "webmercator_img_discrete.parquet")
+    out = tmp_path / "out"
+    spec_eu = GridSpec.standard({"T6": 10_000}, continent_order=["EU"])
+    resample_to_equi7_tiles(
+        str(src), str(out), tiling_id="T6", spec=spec_eu,
+        resampling="nearest", out_format="gtiff", nodata=nodata,
+        src_crs="webmercator", src_res_m=sampling,
+    )
+    files = sorted(out.glob("part-*/EQUI7_*/*/*.tif"))
+    got = {(f.parent.parent.name.removeprefix("EQUI7_"), f.parent.name)
+           for f in files}
+    assert got == {  # reference test_warp.py:230-260 expected outputs
+        ("EU", "E066N030T6"), ("EU", "E072N030T6"),
+        ("EU", "E066N024T6"), ("EU", "E072N024T6"),
+    }
+    for f in files:
+        g = read_gtiff(f)
+        assert g.array.shape == (60, 60)  # T6 at 10 km
+        assert g.array.dtype == np.uint8
+        assert set(np.unique(g.array)) <= {0, 1, 2, nodata}
+        assert g.crs_epsg == 27704
+
+
 def test_gtiff_tiled_zstd_unavailable_and_tiled_output(ray_session, tmp_path, spec):
     # the reference's compress_type="zstd" needs libzstd (absent);
     # deflate+tiled is the supported combination here
