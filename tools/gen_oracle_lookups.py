@@ -201,6 +201,59 @@ def gen_image_tiles(n: int = 2200) -> pa.Table:
                      "tile": pc.cast(t.column("tile"), pa.string())})
 
 
+def gen_query_pins(sf_dirs: list[str]) -> None:
+    """Pin the results of the non-SQL-expressible queries as lookup
+    goldens (the driver's correctness gate then compares every future
+    live run against these -- the approval-test role of the reference's
+    tests/resources/approved/ directory):
+
+    - regrid_sample / regrid_int16 / gtiff_roundtrip: sf-independent
+      synthetic fixtures -> one pin each (geodesic resampling pixel
+      checksums; GeoTIFF container round-trip),
+    - kmeans_clusters: sf-DEPENDENT (embeddings input), so the pin
+      carries a ``sum_label`` discriminator column (exact-integer input
+      fingerprint; row COUNTS collide across the sf dirs) and the SQL
+      oracle selects the stripe matching
+      ``(SELECT sum(label) FROM embeddings)``.
+    """
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    for name in ("regrid_sample", "regrid_int16", "gtiff_roundtrip"):
+        t = _to_table(qs[name](sf_dirs[0]))
+        t = t.sort_by([(c, "ascending") for c in t.column_names])
+        pq.write_table(t, OUT_DIR / f"{name}_pin.parquet",
+                       compression="zstd")
+        print(f"{name}_pin: {t.num_rows} rows")
+
+    parts = []
+    for d in sf_dirs:
+        lab = pq.read_table(f"{d}/embeddings.parquet", columns=["label"])
+        sum_label = int(np.asarray(
+            lab.column("label").to_numpy(zero_copy_only=False),
+            dtype=np.int64).sum())
+        t = _to_table(qs["kmeans_clusters"](d))
+        t = t.append_column("sum_label",
+                            pa.array([sum_label] * t.num_rows, pa.int64()))
+        parts.append(t)
+        print(f"kmeans pin @{d}: {t.num_rows} clusters, sum_label={sum_label}")
+    pq.write_table(pa.concat_tables(parts), OUT_DIR / "kmeans_pin.parquet",
+                   compression="zstd")
+
+
+def _to_table(res) -> pa.Table:
+    import pandas as pd
+
+    if isinstance(res, pa.Table):
+        return res
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    return pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in res.iter_batches(batch_format="pyarrow")
+    )
+
+
 def main() -> int:
     import ray
 
@@ -231,6 +284,7 @@ def main() -> int:
                    compression="zstd")
     pq.write_table(gen_image_tiles(), OUT_DIR / "image_tiles.parquet",
                    compression="zstd")
+    gen_query_pins(sf_dirs)
     for f in sorted(OUT_DIR.glob("*.parquet")):
         print(f, f.stat().st_size // 1024, "KiB",
               pq.read_metadata(f).num_rows, "rows")
