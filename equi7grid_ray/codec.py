@@ -270,6 +270,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return np.ascontiguousarray(img, dtype=np.uint8).tobytes()
     if fmt == "png":
         return encode_png_rgb8(img) if img.ndim == 3 else encode_png_gray8(img)
+    if fmt in ("jpeg", "jpg"):
+        from equi7grid_ray.jpeg import encode_jpeg_baseline
+
+        return encode_jpeg_baseline(np.ascontiguousarray(img, np.uint8))
     raise NotImplementedError(f"format {fmt!r} (real image libs not in sandbox)")
 
 
@@ -290,6 +294,12 @@ def decode_image(buf: bytes, fmt: str, w: int, h: int, dtype="uint8",
         # channel count comes from the IHDR, not the bands argument:
         # returns (h, w) for grayscale, (h, w, 3) interleaved for RGB
         return decode_png(buf, copy=copy)
+    if fmt in ("jpeg", "jpg"):
+        # baseline sequential T.81 (jpeg.py); returns (h, w) gray or
+        # (h, w, 3) RGB like the png path
+        from equi7grid_ray.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
     raise NotImplementedError(f"format {fmt!r} (real image libs not in sandbox)")
 
 

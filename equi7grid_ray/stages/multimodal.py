@@ -78,9 +78,9 @@ class DecodeImages:
         thumbs: list[bytes] = []
         t = self.thumb
         for j, f in enumerate(fmts):
-            if f not in ("raw", "png"):
+            if f not in ("raw", "png", "jpeg", "jpg"):
                 raise NotImplementedError(
-                    f"image format {f!r}: real codecs unavailable in sandbox"
+                    f"image format {f!r}: codec unavailable in sandbox (raw/png/baseline-jpeg supported)"
                 )
             b = data[offs[j] : offs[j + 1]]
             if f == "png":
@@ -164,9 +164,9 @@ class DHashImages:
         n = batch.num_rows
         grids = np.empty((n, self.GRID_H, self.GRID_W), dtype=np.uint8)
         for j, f in enumerate(fmts):
-            if f not in ("raw", "png"):
+            if f not in ("raw", "png", "jpeg", "jpg"):
                 raise NotImplementedError(
-                    f"image format {f!r}: real codecs unavailable in sandbox"
+                    f"image format {f!r}: codec unavailable in sandbox (raw/png/baseline-jpeg supported)"
                 )
             ri, ci = self._sample_idx(int(ws[j]), int(hs[j]))
             if f == "png":
@@ -303,9 +303,9 @@ class PatchStats:
         pcs: list[np.ndarray] = []
         sums: list[np.ndarray] = []
         for j, f in enumerate(fmts):
-            if f not in ("raw", "png"):
+            if f not in ("raw", "png", "jpeg", "jpg"):
                 raise NotImplementedError(
-                    f"image format {f!r}: real codecs unavailable in sandbox"
+                    f"image format {f!r}: codec unavailable in sandbox (raw/png/baseline-jpeg supported)"
                 )
             img = decode_image(data[offs[j] : offs[j + 1]], f,
                                int(ws[j]), int(hs[j]), copy=False)
@@ -361,9 +361,9 @@ class HistEqualize:
         eq_min = np.empty(n, np.int64)
         eq_max = np.empty(n, np.int64)
         for j, f in enumerate(fmts):
-            if f not in ("raw", "png"):
+            if f not in ("raw", "png", "jpeg", "jpg"):
                 raise NotImplementedError(
-                    f"image format {f!r}: real codecs unavailable in sandbox"
+                    f"image format {f!r}: codec unavailable in sandbox (raw/png/baseline-jpeg supported)"
                 )
             img = decode_image(data[offs[j] : offs[j + 1]], f,
                                int(ws[j]), int(hs[j]), copy=False)
@@ -601,7 +601,7 @@ class PCMAudioFeatures:
             raw = np.frombuffer(data, np.uint8,
                                 count=int(offs[j + 1] - offs[j]),
                                 offset=int(offs[j]))
-            if f in ("raw", "png") and ws is not None:
+            if f in ("raw", "png", "jpeg", "jpg") and ws is not None:
                 raw = decode_image(raw, f, int(ws[j]), int(hs[j]),
                                    copy=False).reshape(-1)
             elif f not in ("raw", "pcm"):
@@ -710,7 +710,7 @@ class RawVideoFrames:
             raw = np.frombuffer(data, np.uint8,
                                 count=int(offs[j + 1] - offs[j]),
                                 offset=int(offs[j]))
-            if f in ("raw", "png"):
+            if f in ("raw", "png", "jpeg", "jpg"):
                 arr = decode_image(raw, f, int(ws[j]), int(hs[j]),
                                    copy=False).reshape(int(hs[j]), int(ws[j]))
             else:
@@ -745,9 +745,9 @@ def _decode_luma(data, offs, fmts, ws, hs, j) -> np.ndarray:
     """Decode payload j to a 2-D uint8 luma frame (integer (R+G+B)//3
     fold for RGB) -- shared by the whole-frame image ops below."""
     f = fmts[j]
-    if f not in ("raw", "png"):
+    if f not in ("raw", "png", "jpeg", "jpg"):
         raise NotImplementedError(
-            f"image format {f!r}: real codecs unavailable in sandbox"
+            f"image format {f!r}: codec unavailable in sandbox (raw/png/baseline-jpeg supported)"
         )
     img = decode_image(data[offs[j] : offs[j + 1]], f,
                        int(ws[j]), int(hs[j]), copy=False)
@@ -1367,7 +1367,7 @@ class AutocorrAudio:
             raw = np.frombuffer(data, np.uint8,
                                 count=int(offs[j + 1] - offs[j]),
                                 offset=int(offs[j]))
-            if f in ("raw", "png"):
+            if f in ("raw", "png", "jpeg", "jpg"):
                 raw = decode_image(raw, f, int(ws[j]), int(hs[j]),
                                    copy=False).reshape(-1)
             else:
@@ -1532,9 +1532,9 @@ class BandAlgebra:
         isum = np.zeros(n, np.int64)
         nsum = np.zeros(n, np.int64)
         for j, f in enumerate(fmts):
-            if f not in ("raw", "png"):
+            if f not in ("raw", "png", "jpeg", "jpg"):
                 raise NotImplementedError(
-                    f"image format {f!r}: real codecs unavailable in sandbox"
+                    f"image format {f!r}: codec unavailable in sandbox (raw/png/baseline-jpeg supported)"
                 )
             img = decode_image(data[offs[j] : offs[j + 1]], f,
                                int(ws[j]), int(hs[j]), copy=False)
@@ -2447,7 +2447,7 @@ class AudioDownsample:
             raw = np.frombuffer(data, np.uint8,
                                 count=int(offs[j + 1] - offs[j]),
                                 offset=int(offs[j]))
-            if f in ("raw", "png") and ws is not None:
+            if f in ("raw", "png", "jpeg", "jpg") and ws is not None:
                 raw = decode_image(raw, f, int(ws[j]), int(hs[j]),
                                    copy=False).reshape(-1)
             elif f not in ("raw", "pcm"):
@@ -2695,7 +2695,7 @@ class AudioPeakWindow:
             raw = np.frombuffer(data, np.uint8,
                                 count=int(offs[j + 1] - offs[j]),
                                 offset=int(offs[j]))
-            if f in ("raw", "png"):
+            if f in ("raw", "png", "jpeg", "jpg"):
                 raw = decode_image(raw, f, int(ws[j]), int(hs[j]),
                                    copy=False).reshape(-1)
             else:

@@ -160,14 +160,24 @@ def test_band_algebra_grayscale_emits_zeros():
 
 
 def test_sobel_rejects_unknown_format():
+    # jpeg is supported since the baseline T.81 codec landed (jpeg.py);
+    # webp still gates honestly, and a truncated jpeg errors loudly
     batch = pa.table({
+        "image_id": pa.array(["x"]),
+        "bytes": pa.array([b"RIFF"], pa.binary()),
+        "w": pa.array([8], pa.int32()), "h": pa.array([8], pa.int32()),
+        "fmt": pa.array(["webp"]),
+    })
+    with pytest.raises(NotImplementedError):
+        SobelStats()(batch)
+    trunc = pa.table({
         "image_id": pa.array(["x"]),
         "bytes": pa.array([b"\xff\xd8"], pa.binary()),
         "w": pa.array([8], pa.int32()), "h": pa.array([8], pa.int32()),
         "fmt": pa.array(["jpeg"]),
     })
-    with pytest.raises(NotImplementedError):
-        SobelStats()(batch)
+    with pytest.raises((ValueError, IndexError)):
+        SobelStats()(trunc)
 
 
 def test_mosaic_grid_partials_match_naive():
