@@ -644,30 +644,46 @@ class FrameSampler:
         self.use_fake = use_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from equi7grid_ray.arrowutil import binary_view
+        if not self.use_fake:
+            raise NotImplementedError(
+                "video demux needs av/ffmpeg absent from this sandbox"
+            )
+        from equi7grid_ray.stages.dedup import (
+            _column_bytes,
+            _mix64,
+            hash_bytes_offsets,
+        )
 
-        data, offs = binary_view(batch.column("bytes"))
-        ids = []
-        frame_i = []
-        frames = []
-        for row in range(batch.num_rows):
-            if not self.use_fake:
-                raise NotImplementedError(
-                    "video demux needs av/ffmpeg absent from this sandbox"
-                )
-            b = bytes(data[offs[row] : offs[row + 1]])
-            for fi in range(0, self.n_frames, self.every):
-                payload = fake_decode(b + fi.to_bytes(2, "little"),
-                                      self.frame_px * self.frame_px)
-                ids.append(row)
-                frame_i.append(fi)
-                frames.append(payload.tobytes())
-        take = pa.array(np.asarray(ids, dtype=np.int64))
+        # ONE vectorized pass for the whole batch (no per-row Python):
+        # per-payload content hash -> per-(row, frame, word) splitmix64
+        # keystream -> zero-copy Arrow binary column of frame payloads
+        flat, offs = _column_bytes(batch.column("bytes"))
+        seed = hash_bytes_offsets(flat, offs).view(np.uint64)  # (n,)
+        n = batch.num_rows
+        fis = np.arange(0, self.n_frames, self.every, dtype=np.uint64)
+        nf = len(fis)
+        px = self.frame_px * self.frame_px
+        nw = (px + 7) // 8
+        with np.errstate(over="ignore"):
+            key = (seed[:, None, None]
+                   + fis[None, :, None] * np.uint64(0x9E3779B97F4A7C15)
+                   + np.arange(nw, dtype=np.uint64)[None, None, :]
+                   * np.uint64(0xBF58476D1CE4E5B9))
+        words = _mix64(key.reshape(-1))  # (n*nf*nw,)
+        u8 = np.ascontiguousarray(
+            words.view(np.uint8).reshape(n * nf, nw * 8)[:, :px])
+        offsets = (np.arange(n * nf + 1, dtype=np.int32) * px)
+        frame_arr = pa.Array.from_buffers(
+            pa.binary(), n * nf,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(u8.tobytes())])
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), nf))
         return pa.table(
             {
                 "image_id": batch.column("image_id").take(take),
-                "frame_index": pa.array(frame_i, pa.int32()),
-                "frame": pa.array(frames, pa.binary()),
+                "frame_index": pa.array(
+                    np.tile(fis.astype(np.int32), n), pa.int32()),
+                "frame": frame_arr,
             }
         )
 
