@@ -392,12 +392,19 @@ class RegridStage:
                 img3 = img[None] if img.ndim == 2 else img
                 if self.resampling == "bilinear":
                     out = _bilinear(img3, v, u, nd)
-                else:
+                elif self.resampling in ("cubic", "cubic_spline"):
+                    out = _cubic(img3, v, u, nd,
+                                 spline=self.resampling == "cubic_spline")
+                elif self.resampling == "nearest":
                     ui = np.rint(u).astype(np.int64)
                     vi = np.rint(v).astype(np.int64)
                     valid = (ui >= 0) & (ui < w[j]) & (vi >= 0) & (vi < h[j])
                     out = np.full((nb, len(u)), nd, dtype=img.dtype)
                     out[:, valid] = img3[:, vi[valid], ui[valid]]
+                else:
+                    raise ValueError(
+                        f"unknown resampling {self.resampling!r} "
+                        "(nearest/bilinear/cubic/cubic_spline)")
                 pixels[j] = out.reshape(nb, wh, ww).tobytes()
 
         cols = {
@@ -437,6 +444,67 @@ def _nodata_as(nodata, dt) -> np.ndarray:
             f"nodata {nodata!r} is not representable in row dtype {dt.name}"
         )
     return v
+
+
+def _cubic_weights(f: np.ndarray, spline: bool) -> np.ndarray:
+    """4-tap kernel weights for taps at offsets (-1, 0, 1, 2) from the
+    floor sample, evaluated at fraction ``f`` in [0, 1).
+
+    ``spline=False``: Keys bicubic convolution with a = -0.5 (the
+    rasterio/GDAL ``Resampling.cubic`` kernel; interpolating -- exact at
+    f == 0).  ``spline=True``: uniform cubic B-spline basis (GDAL
+    ``cubicspline``; approximating/smoothing)."""
+    out = np.empty((4, len(f)))
+    if spline:
+        # B-spline basis at |t| for taps -1..2
+        f2 = f * f
+        f3 = f2 * f
+        out[0] = (1 - 3 * f + 3 * f2 - f3) / 6.0          # t = 1 + f
+        out[1] = (4 - 6 * f2 + 3 * f3) / 6.0              # t = f
+        out[2] = (1 + 3 * f + 3 * f2 - 3 * f3) / 6.0      # t = 1 - f
+        out[3] = f3 / 6.0                                 # t = 2 - f
+    else:
+        a = -0.5
+        for i, off in enumerate((-1.0, 0.0, 1.0, 2.0)):
+            t = np.abs(f - off)
+            w = np.where(
+                t <= 1.0,
+                (a + 2) * t**3 - (a + 3) * t**2 + 1,
+                np.where(t < 2.0,
+                         a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a,
+                         0.0),
+            )
+            out[i] = w
+    return out
+
+
+def _cubic(img: np.ndarray, v: np.ndarray, u: np.ndarray, nodata: float,
+           spline: bool = False) -> np.ndarray:
+    """4x4 cubic gather; ``img`` is (bands, h, w), output (bands, n).
+    Edge taps clamp (GDAL edge behavior); targets outside the source
+    footprint get nodata; integer outputs are clipped to the dtype range
+    (cubic overshoots)."""
+    _, h, w = img.shape
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    fu = u - u0
+    fv = v - v0
+    wu = _cubic_weights(fu, spline)  # (4, n)
+    wv = _cubic_weights(fv, spline)
+    val = np.zeros((img.shape[0], len(u)), np.float64)
+    for i in range(4):  # 16 vectorized gathers (4x4 taps)
+        vi = np.clip(v0 + (i - 1), 0, h - 1)
+        for k in range(4):
+            ui = np.clip(u0 + (k - 1), 0, w - 1)
+            val += (wv[i] * wu[k]) * img[:, vi, ui].astype(np.float64)
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        out = np.rint(np.clip(val, info.min, info.max)).astype(img.dtype)
+    else:
+        out = val.astype(img.dtype)
+    inside = (u >= -0.5) & (u <= w - 0.5) & (v >= -0.5) & (v <= h - 0.5)
+    out[:, ~inside] = nodata
+    return out
 
 
 def _bilinear(img: np.ndarray, v: np.ndarray, u: np.ndarray, nodata: float) -> np.ndarray:

@@ -401,3 +401,98 @@ def test_regrid_equi7_identity_gather():
             vi = int(np.rint((cy - gy) / res + h / 2 - 0.5))
             exp = img[vi, ui] if 0 <= ui < w and 0 <= vi < h else -9999
             assert got[rr, cc] == exp, (rr, cc, got[rr, cc], exp)
+
+
+def test_cubic_weights_partition_of_unity():
+    from equi7grid_ray.stages.regrid import _cubic_weights
+
+    f = np.linspace(0, 0.999, 64)
+    for spline in (False, True):
+        w = _cubic_weights(f, spline)
+        assert np.allclose(w.sum(axis=0), 1.0, atol=1e-12)
+
+
+def test_cubic_interpolates_exactly_at_samples():
+    # Keys a=-0.5 is interpolating: at integer (u, v) it returns the
+    # sample itself; the B-spline is approximating and must NOT
+    from equi7grid_ray.stages.regrid import _cubic
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (1, 20, 24), dtype=np.uint8)
+    uu, vv = np.meshgrid(np.arange(2, 22, dtype=np.float64),
+                         np.arange(2, 18, dtype=np.float64))
+    u, v = uu.ravel(), vv.ravel()
+    out = _cubic(img, v, u, 0, spline=False)
+    want = img[0, v.astype(int), u.astype(int)]
+    assert np.array_equal(out[0], want)
+    out_s = _cubic(img, v, u, 0, spline=True)
+    assert not np.array_equal(out_s[0], want)  # smoothing kernel
+
+
+def test_cubic_matches_scalar_oracle():
+    """4x4 gather parity vs an explicit scalar double-loop oracle at
+    fractional positions (both kernels)."""
+    from equi7grid_ray.stages.regrid import _cubic, _cubic_weights
+
+    rng = np.random.default_rng(9)
+    img = rng.normal(100, 30, (1, 16, 16)).astype(np.float64)
+    u = rng.uniform(1.2, 13.8, 40)
+    v = rng.uniform(1.2, 13.8, 40)
+    for spline in (False, True):
+        out = _cubic(img.astype(np.float32), v, u, -1, spline=spline)
+        for t in range(len(u)):
+            u0, v0 = int(np.floor(u[t])), int(np.floor(v[t]))
+            wu = _cubic_weights(np.array([u[t] - u0]), spline)[:, 0]
+            wv = _cubic_weights(np.array([v[t] - v0]), spline)[:, 0]
+            s = 0.0
+            for i in range(4):
+                for k in range(4):
+                    s += wv[i] * wu[k] * img[0, v0 + i - 1, u0 + k - 1]
+            assert abs(float(out[0, t]) - s) < 1e-4
+
+
+def test_cubic_overshoot_clipped_uint8():
+    from equi7grid_ray.stages.regrid import _cubic
+
+    # a step edge overshoots with Keys; uint8 output must clip, not wrap
+    img = np.zeros((1, 8, 8), np.uint8)
+    img[:, :, 4:] = 255
+    u = np.linspace(2.0, 5.0, 50)
+    v = np.full(50, 3.5)
+    out = _cubic(img, v, u, 7, spline=False)
+    assert out.dtype == np.uint8
+    assert out.min() >= 0 and out.max() <= 255
+    assert (out[0] <= 255).all() and (out[0][u < 2.5] < 30).all()
+
+
+def test_regrid_cubic_end_to_end():
+    from equi7grid_ray.stages.regrid import ExpandTilePairs, RegridStage
+
+    rng = np.random.default_rng(11)
+    w = h = 64
+    img = rng.integers(-500, 500, (h, w), dtype=np.int16)
+    batch = pa.table({
+        "image_id": pa.array(["cub"], pa.string()),
+        "bytes": pa.array([img.tobytes()], pa.binary()),
+        "w": pa.array([w], pa.int32()),
+        "h": pa.array([h], pa.int32()),
+        "fmt": pa.array(["raw"], pa.string()),
+        "dtype": pa.array(["int16"], pa.string()),
+        "lon": pa.array([15.0], pa.float64()),
+        "lat": pa.array([47.5], pa.float64()),
+        "caption": pa.array(["c"], pa.string()),
+    })
+    pairs = ExpandTilePairs()(batch)
+    got_valid = False
+    out = RegridStage(resampling="cubic", nodata=-9999)(pairs)
+    for row in range(out.num_rows):
+        wh = out.column("win_h")[row].as_py()
+        ww = out.column("win_w")[row].as_py()
+        px = np.frombuffer(out.column("pixels")[row].as_py(), np.int16)
+        valid = px[px != -9999]
+        got_valid |= len(valid) > 0
+    assert got_valid
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown resampling"):
+        RegridStage(resampling="lanczos")(pairs)

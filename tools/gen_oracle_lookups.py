@@ -219,7 +219,8 @@ def gen_query_pins(sf_dirs: list[str]) -> None:
     import __ray_entry__ as e
 
     qs = e.queries()
-    for name in ("regrid_sample", "regrid_int16", "gtiff_roundtrip"):
+    for name in ("regrid_sample", "regrid_int16", "regrid_cubic",
+                 "gtiff_roundtrip"):
         t = _to_table(qs[name](sf_dirs[0]))
         t = t.sort_by([(c, "ascending") for c in t.column_names])
         pq.write_table(t, OUT_DIR / f"{name}_pin.parquet",
