@@ -37,6 +37,9 @@ __all__ = [
     "get_equi7grid_from_grid_def",
     "get_equi7grid_from_file",
     "allowed_samplings",
+    "get_overlapping_tiles",
+    "ftilenames_to_tiles",
+    "resample_to_equi7_tiles",
 ]
 
 
@@ -258,3 +261,220 @@ def get_equi7grid_from_grid_def(grid_def: dict) -> Equi7Grid:
 def get_equi7grid_from_file(path) -> Equi7Grid:
     """Reference core.py:632-648."""
     return Equi7Grid(GridSpec.from_file(path))
+
+
+# --- warp entry points (reference warp.py:333-401, 404-420, 424-578) --------
+
+def _compat_tiling(e7grid: Equi7Grid, tiling_id) -> str:
+    """Reference tiling_id semantics: 0 (or any level int) selects by
+    level, default = first level (warp.py:340)."""
+    if tiling_id == 0:
+        return e7grid.spec.first_tiling()
+    return e7grid.spec.tiling_name(tiling_id)
+
+
+def _parquet_footprint_bbox(filepath, *, accurate: bool,
+                            image_nodata=None) -> tuple:
+    """Union geographic bbox of the image rows in a parquet file -- the
+    filepath ROI flavour (warp.py:388-393: get_raster_boundary /
+    get_raster_extent).  ``accurate=True`` decodes every payload and
+    unions the valid-data outlines (stages/boundary.accurate_boundary);
+    else the declared extents."""
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.codec import decode_image
+    from equi7grid_ray.stages import boundary
+    from equi7grid_ray.stages.regrid import SRC_RES_DEG
+
+    t = pq.read_table(filepath)
+    lon = t.column("lon").to_numpy()
+    lat = t.column("lat").to_numpy()
+    ws = t.column("w").to_numpy()
+    hs = t.column("h").to_numpy()
+    bboxes = []
+    if accurate:
+        fmts = t.column("fmt").to_pylist()
+        dts = (t.column("dtype").to_pylist()
+               if "dtype" in t.column_names else ["uint8"] * t.num_rows)
+        payloads = t.column("bytes")
+        for j in range(t.num_rows):
+            img = decode_image(payloads[j].as_py(), fmts[j],
+                               int(ws[j]), int(hs[j]), dtype=dts[j])
+            if img.ndim == 3:
+                img = img[0] if img.shape[0] <= 4 else img[..., 0]
+            ring = boundary.accurate_boundary(
+                img, nodata=image_nodata, lon_c=float(lon[j]),
+                lat_c=float(lat[j]), res=SRC_RES_DEG)
+            if len(ring):
+                bboxes.append((ring[:, 0].min(), ring[:, 1].min(),
+                               ring[:, 0].max(), ring[:, 1].max()))
+    if not bboxes:
+        for j in range(t.num_rows):
+            bboxes.append(boundary.raster_extent(
+                float(lon[j]), float(lat[j]), int(ws[j]), int(hs[j]),
+                SRC_RES_DEG))
+    b = np.asarray(bboxes)
+    return (float(b[:, 0].min()), float(b[:, 1].min()),
+            float(b[:, 2].max()), float(b[:, 3].max()))
+
+
+def get_overlapping_tiles(
+    e7grid: Equi7Grid,
+    *,
+    tiling_id=0,
+    xy_bbox_map=None,
+    geog_bbox=None,
+    roi_geom=None,
+    filepath=None,
+    cover_land: bool = False,
+    accurate_boundary: bool = False,
+) -> list[Equi7Tile]:
+    """Reference warp.py:333-401 under its own argument names: exactly
+    one ROI flavour (or ``filepath``, whose footprint becomes a geog
+    bbox); returns Equi7Tile facades."""
+    from equi7grid_ray.pipelines import warp as warp_mod
+
+    tiling = _compat_tiling(e7grid, tiling_id)
+    given = [v is not None
+             for v in (xy_bbox_map, geog_bbox, roi_geom, filepath)]
+    if sum(given) != 1:
+        raise ValueError(
+            "One of the arguments must be set: 'xy_bbox_map', "
+            "'geog_bbox', 'roi_geom', or 'filepath'."
+        )
+    if filepath is not None:
+        geog_bbox = _parquet_footprint_bbox(
+            filepath, accurate=accurate_boundary)
+    names = warp_mod.get_overlapping_tiles(
+        xy_bbox_map=xy_bbox_map, geog_bbox=geog_bbox, roi_geom=roi_geom,
+        tiling_id=tiling, cover_land=cover_land, spec=e7grid.spec,
+    )
+    return [e7grid.get_tile_from_name(n) for n in names]
+
+
+def ftilenames_to_tiles(ftilenames: list[str],
+                        e7grid: Equi7Grid) -> list[Equi7Tile]:
+    """Reference warp.py:404-420."""
+    return [e7grid.get_tile_from_name(n) for n in ftilenames]
+
+
+#: reference compress types we transparently substitute: LZW and zstd
+#: need libtiff/libzstd codecs absent from this sandbox; deflate is the
+#: lossless stand-in (documented substitution, not silent)
+_COMPRESS_SUBSTITUTED = {"lzw", "zstd"}
+
+
+def resample_to_equi7_tiles(
+    filepath,
+    e7grid: Equi7Grid,
+    output_dirpath,
+    *,
+    tiling_id=0,
+    xy_bbox_map=None,
+    geog_bbox=None,
+    roi_geom=None,
+    cover_land: bool = False,
+    accurate_boundary: bool = False,
+    ftilenames: list[str] | None = None,
+    band: int = 1,
+    image_nodata: float | None = None,
+    resampling_type=None,
+    compress_type: str = "LZW",
+    naming_traffo=None,
+    tile_nodata: float | None = None,
+    tile_dtype=None,
+    tile_scale: float | None = None,
+    tile_offset: float | None = None,
+    tile_blocksize: int | None = None,
+    tif_is_tiled: bool = True,
+    overwrite: bool = False,
+    create_e7_folder: bool = True,
+    n_tasks: int = 1,
+    src_res_deg: float | None = None,
+) -> list:
+    """Reference warp.py:424-578 under its own argument names, on the
+    parquet-pixel backend: ``filepath`` is an image-row parquet file (or
+    a directory of fragments), the sink is the GeoTIFF pipeline
+    (``EQUI7_{continent}/{tilename}/`` layout), ``n_tasks`` maps to the
+    map_batches concurrency, and the return value is the list of written
+    tile paths.
+
+    Substitutions and honest gates: LZW/zstd compression maps to
+    deflate (codecs absent from this sandbox; see
+    ``_COMPRESS_SUBSTITUTED``); ``band`` must be 1 (payload rows are
+    band-complete); ``tile_dtype``/``tile_scale``/``tile_offset`` are
+    row-driven here (per-row ``dtype``/``scale``/``offset`` columns) and
+    raise if forced; ``create_e7_folder=False`` is unsupported."""
+    from pathlib import Path as _Path
+
+    from equi7grid_ray.pipelines import warp as warp_mod
+
+    if band != 1:
+        raise NotImplementedError("band selection: payload rows are "
+                                  "band-complete (bands column)")
+    for arg, name in ((tile_dtype, "tile_dtype"), (tile_scale, "tile_scale"),
+                      (tile_offset, "tile_offset")):
+        if arg is not None:
+            raise NotImplementedError(
+                f"{name} is row-driven on this backend (per-row "
+                "dtype/scale/offset columns)")
+    if not create_e7_folder:
+        raise NotImplementedError("create_e7_folder=False")
+
+    tiling = _compat_tiling(e7grid, tiling_id)
+    comp = str(compress_type or "deflate").lower()
+    if comp in _COMPRESS_SUBSTITUTED:
+        comp = "deflate"
+    if comp not in ("deflate", "none"):
+        raise ValueError(f"unsupported compress_type {compress_type!r}")
+
+    rs = resampling_type
+    if rs is None:
+        rs = "nearest"
+    elif not isinstance(rs, str):
+        rs = getattr(rs, "name", str(rs))  # rasterio.Resampling enum shape
+    rs = {"cubicspline": "cubic_spline"}.get(rs, rs)
+
+    keep = None
+    if ftilenames:
+        keep = [_strip_sampling(n) for n in ftilenames]
+    elif any(v is not None for v in (xy_bbox_map, geog_bbox, roi_geom)):
+        tiles = get_overlapping_tiles(
+            e7grid, tiling_id=tiling_id, xy_bbox_map=xy_bbox_map,
+            geog_bbox=geog_bbox, roi_geom=roi_geom, cover_land=cover_land,
+        )
+        keep = [t._info.name for t in tiles]
+
+    src = _Path(filepath)
+    input_dir = src if src.is_dir() else src.parent
+    out = _Path(output_dirpath)
+    if overwrite and (out / "_manifest").exists():
+        import shutil as _shutil
+
+        _shutil.rmtree(out / "_manifest")
+
+    traffo = None
+    if naming_traffo is not None:
+        # reference signature: naming_traffo(filepath, ftilename)
+        traffo = lambda stem, ftile: naming_traffo(src, ftile)  # noqa: E731
+
+    from equi7grid_ray.stages.regrid import SRC_RES_DEG
+
+    if src_res_deg is None:
+        src_res_deg = SRC_RES_DEG
+    warp_mod.resample_to_equi7_tiles(
+        str(input_dir), str(out),
+        tiling_id=tiling, spec=e7grid.spec,
+        ftilenames=keep,
+        resampling=rs,
+        naming_traffo=traffo,
+        out_format="gtiff",
+        nodata=(tile_nodata if tile_nodata is not None
+                else (image_nodata if image_nodata is not None else 0)),
+        compress_type=comp,
+        tif_is_tiled=tif_is_tiled,
+        tile_blocksize=tile_blocksize or 256,
+        src_res_deg=src_res_deg,
+        concurrency=(1, max(1, int(n_tasks))),
+    )
+    return sorted(out.glob("part-*/EQUI7_*/*/*.tif"))

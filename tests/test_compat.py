@@ -4,6 +4,7 @@ equi7grid_ray.compat with the same goldens."""
 
 import numpy as np
 import numpy.testing as nptest
+import pytest
 
 from equi7grid_ray.compat import allowed_samplings, get_standard_equi7grid
 
@@ -70,3 +71,102 @@ def test_continent_order_and_buffered():
                                   continent_order=["EU", "AS"])
     out = grid.lonlat_to_xy(51.12, 61.71)
     assert list(out.keys()) == ["EU", "AS"]
+
+
+def test_compat_warp_entry_points(ray_session, tmp_path):
+    """The reference's test_warp.py call shapes end-to-end through the
+    compat facade (warp.py:333,424 signatures): ROI router, filepath
+    footprint flavour with accurate_boundary, resample with reference
+    kwarg names (zstd->deflate substitution, Resampling-enum-shaped
+    object, naming_traffo(filepath, ftilename), n_tasks)."""
+    from types import SimpleNamespace
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from equi7grid_ray.compat import (
+        Equi7Tile,
+        ftilenames_to_tiles,
+        get_overlapping_tiles,
+        get_standard_equi7grid,
+        resample_to_equi7_tiles,
+    )
+    from equi7grid_ray.gtiff import read_gtiff
+
+    e7grid = get_standard_equi7grid({"T6": 1000})
+
+    # ROI router parity
+    tiles = get_overlapping_tiles(
+        e7grid, tiling_id="T6", geog_bbox=(16, 48, 18, 50))
+    assert len(tiles) == 4 and all(isinstance(t, Equi7Tile) for t in tiles)
+    with pytest.raises(ValueError, match="must be set"):
+        get_overlapping_tiles(e7grid, tiling_id="T6")
+    names = [t.name for t in tiles]
+    assert all("1000M_" in n for n in names)
+    back = ftilenames_to_tiles(names, e7grid)
+    assert [t.name for t in back] == names
+
+    # fixture: one int16 image with a nodata hole (reference ramp shape)
+    w = h = 64
+    nodata = -9999
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    img = (c**2 + r**2).astype(np.int16)
+    img[h // 2, w // 2] = nodata
+    src = tmp_path / "scene.parquet"
+    pq.write_table(pa.table({
+        "image_id": pa.array(["s1"], pa.string()),
+        "bytes": pa.array([img.tobytes()], pa.binary()),
+        "w": pa.array([w], pa.int32()),
+        "h": pa.array([h], pa.int32()),
+        "fmt": pa.array(["raw"], pa.string()),
+        "dtype": pa.array(["int16"], pa.string()),
+        "lon": pa.array([15.0], pa.float64()),
+        "lat": pa.array([47.5], pa.float64()),
+    }), src)
+
+    # filepath flavour + accurate boundary
+    ftiles = get_overlapping_tiles(
+        e7grid, tiling_id="T6", filepath=src, accurate_boundary=True)
+    assert len(ftiles) >= 1
+
+    # reference resample call shape (test_warp.py:134-143).  The traffo
+    # runs inside the encode actors, so parity is asserted on the
+    # written filenames (reference semantics: naming_traffo(filepath,
+    # ftilename) -> file name)
+    def traffo(fp, ftile):
+        assert str(fp).endswith("scene.parquet")
+        return f"V9_{ftile}.tif"
+
+    out = tmp_path / "out"
+    paths = resample_to_equi7_tiles(
+        src,
+        e7grid,
+        out,
+        tiling_id="T6",
+        accurate_boundary=True,
+        compress_type="zstd",  # documented deflate substitution
+        resampling_type=SimpleNamespace(name="bilinear"),
+        image_nodata=nodata,
+        naming_traffo=traffo,
+        tif_is_tiled=True,
+        tile_blocksize=256,
+        n_tasks=2,
+    )
+    assert paths and all(str(p).endswith(".tif") for p in paths)
+    for p in paths:
+        cont, tile = p.parent.parent.name.removeprefix("EQUI7_"), p.parent.name
+        assert p.name == f"V9_{cont}_{tile}.tif"
+    g = read_gtiff(paths[0])
+    assert g.array.dtype == np.int16 and g.nodata == nodata
+    assert g.tiled and g.compression == 8  # deflate substitution
+    assert (g.array != nodata).sum() > 0
+
+    # unsupported knobs gate honestly
+    with pytest.raises(NotImplementedError):
+        resample_to_equi7_tiles(src, e7grid, out, band=2)
+    with pytest.raises(NotImplementedError):
+        resample_to_equi7_tiles(src, e7grid, out, tile_scale=2.0)
+    with pytest.raises(ValueError, match="compress_type"):
+        resample_to_equi7_tiles(src, e7grid, out, compress_type="jpeg2000")
