@@ -47,7 +47,7 @@ from equi7grid_ray.sources.zone_build import ZONES_NPZ, load_zone_rings
 _DATA_DIR = Path(__file__).resolve().parent / "data"
 
 #: bump when the tile-set/atlas build algorithm changes (keys disk caches)
-_BUILD_VERSION = 2
+_BUILD_VERSION = 4
 
 #: atlas sample spacing target (m); per-tiling grid k = tile_size/spacing
 _ATLAS_SPACING = 40_000.0
@@ -284,6 +284,14 @@ def _build_continent_tiling(
         elon = elat = np.empty(0)
 
     # ---- covers_land -----------------------------------------------------
+    # Reference semantics (core.py:400-414): the tiling system's land
+    # geometry is land CLIPPED TO THE ZONE (shapely.intersection of
+    # proj_zone_geog and the land polygon) before the per-tile extent
+    # intersection -- so a zone-edge tile grazing a NEIGHBORING
+    # continent's land does NOT cover land (pinned by the reference's
+    # own Siberia/Alaska golden, tests/test_equi7grid.py:371-385: the
+    # AS tiles over west Alaska are absent).  Atlas samples therefore
+    # stay restricted to the in-zone mask.
     covers = np.zeros(ntiles, dtype=bool)
     if land_geo is not None and ntiles:
         flat_in = inzone.ravel()
@@ -299,7 +307,9 @@ def _build_continent_tiling(
             upd = np.zeros(ntiles, dtype=bool)
             np.logical_or.at(upd, np.repeat(np.arange(ntiles), counts), lhit)
             covers |= upd
-        # land boundary samples -> tiles (catches land smaller than spacing)
+        # land boundary samples -> tiles (catches land smaller than
+        # spacing); zone-clipped like the atlas test (reference
+        # core.py:400-414)
         for xy, _h in land_geo.rings:
             dens = _densify_ring(xy, _ROI_SEG_DEG * 4)
             zin = zc.contains(continent, dens[:, 0], dens[:, 1])

