@@ -71,11 +71,46 @@ def _stream(n_iter: int, out) -> None:
     out.put((n_iter * a.nbytes, time.time() - t0))
 
 
+def _decode_mix(n_iter: int, out) -> None:
+    """The decode phase's exact per-row work, engine-free: 50/50 raw /
+    zlib-PNG-scanline payloads in the bench fixture's size mix (32/64/128
+    px), per row one zlib inflate (png) or nothing (raw) plus one
+    vectorized uint8 sum over the payload.  Measures rows/s; the ratio
+    probe(32)/probe(8)/4 is the box's ceiling for the decode stage's
+    access pattern (zlib inner loop + one sequential pass per payload),
+    with zero scheduler/object-store involvement."""
+    import zlib
+
+    rng = np.random.default_rng(os.getpid())
+    sizes = (32, 64, 128)
+    png_payloads = []
+    raw_payloads = []
+    for i in range(384):
+        w = sizes[i % 3]
+        h = sizes[(i // 3) % 3]
+        img = rng.integers(0, 255, (h, w + 1), dtype=np.uint8)
+        img[:, 0] = 0  # PNG filter byte per scanline
+        if i % 2:
+            png_payloads.append(zlib.compress(img.tobytes(), 6))
+        else:
+            raw_payloads.append(img[:, 1:].tobytes())
+    t0 = time.time()
+    s = 0
+    for _ in range(n_iter):
+        for p in png_payloads:
+            d = zlib.decompress(p)
+            s += int(np.frombuffer(d, np.uint8).sum(dtype=np.int64))
+        for r in raw_payloads:
+            s += int(np.frombuffer(r, np.uint8).sum(dtype=np.int64))
+    out.put((n_iter * 384, time.time() - t0))
+
+
 PROBES = {
     "alu_l1": (_alu, 40_000, "ops/s"),
     "gather_cache": (_gather_cache, 80_000, "gathers/s"),
     "gather_dram_55mb": (_gather_dram, 80, "gathers/s"),
     "stream_256mb": (_stream, 12, "bytes/s"),
+    "decode_mix": (_decode_mix, 60, "rows/s"),
 }
 
 
