@@ -358,10 +358,11 @@ def ftilenames_to_tiles(ftilenames: list[str],
     return [e7grid.get_tile_from_name(n) for n in ftilenames]
 
 
-#: reference compress types we transparently substitute: LZW and zstd
-#: need libtiff/libzstd codecs absent from this sandbox; deflate is the
-#: lossless stand-in (documented substitution, not silent)
-_COMPRESS_SUBSTITUTED = {"lzw", "zstd"}
+#: reference compress types we transparently substitute: zstd needs
+#: libzstd, absent from this sandbox; deflate is the lossless stand-in
+#: (documented substitution, not silent).  LZW -- the reference's
+#: DEFAULT compress_type -- is implemented for real (gtiff._lzw_encode).
+_COMPRESS_SUBSTITUTED = {"zstd"}
 
 
 def resample_to_equi7_tiles(
@@ -399,9 +400,10 @@ def resample_to_equi7_tiles(
     map_batches concurrency, and the return value is the list of written
     tile paths.
 
-    Substitutions and honest gates: LZW/zstd compression maps to
-    deflate (codecs absent from this sandbox; see
-    ``_COMPRESS_SUBSTITUTED``); ``band`` must be 1 (payload rows are
+    Substitutions and honest gates: LZW (the reference default) is a
+    real pure-python TIFF-LZW codec; zstd maps to deflate (libzstd
+    absent from this sandbox; see ``_COMPRESS_SUBSTITUTED``); ``band``
+    must be 1 (payload rows are
     band-complete); ``tile_dtype``/``tile_scale``/``tile_offset`` are
     row-driven here (per-row ``dtype``/``scale``/``offset`` columns) and
     raise if forced; ``create_e7_folder=False`` is unsupported."""
@@ -425,7 +427,7 @@ def resample_to_equi7_tiles(
     comp = str(compress_type or "deflate").lower()
     if comp in _COMPRESS_SUBSTITUTED:
         comp = "deflate"
-    if comp not in ("deflate", "none"):
+    if comp not in ("deflate", "none", "lzw"):
         raise ValueError(f"unsupported compress_type {compress_type!r}")
 
     rs = resampling_type

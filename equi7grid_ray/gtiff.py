@@ -12,8 +12,10 @@ directly on the stdlib:
 - striped OR tiled layout (tile dims multiples of 16, edge padding),
 - uint8/int8/uint16/int16/uint32/int32/float32/float64, 1..N samples
   per pixel (PlanarConfig=1, pixel-interleaved),
-- compression: none (1) or zlib/deflate (8; 32946 read as alias),
-  horizontal-differencing predictor (2) supported on read,
+- compression: none (1), zlib/deflate (8; 32946 read as alias) or
+  TIFF-LZW (5, the reference's default compress_type -- pure-python
+  early-change codec), horizontal-differencing predictor (2) supported
+  on read,
 - GeoTIFF keys: ModelPixelScale + ModelTiepoint from a GDAL-style
   geotransform, GeoKeyDirectory for geographic EPSG (4326-style),
   projected EPSG (3857-style) and the seven Equi7 AEQD systems
@@ -226,9 +228,10 @@ def encode_gtiff(
         raise ValueError(f"unsupported dtype {dt}; one of {sorted(TIFF_DTYPES)}")
     bands, h, w = arr.shape
     bits, sfmt = TIFF_DTYPES[dt]
-    comp = {"none": 1, "deflate": 8, "zlib": 8}.get(compress)
+    comp = {"none": 1, "deflate": 8, "zlib": 8, "lzw": 5}.get(compress)
     if comp is None:
-        raise ValueError(f"unsupported compress {compress!r} (none|deflate)")
+        raise ValueError(
+            f"unsupported compress {compress!r} (none|deflate|lzw)")
     # pixel-interleaved (h, w, bands) little-endian
     inter = np.ascontiguousarray(
         arr.transpose(1, 2, 0).astype(arr.dtype.newbyteorder("<")))
@@ -256,6 +259,8 @@ def encode_gtiff(
                 np.ascontiguousarray(inter[y:y + rows_per_strip]).tobytes())
     if comp == 8:
         chunks = [zlib.compress(c, level) for c in chunks]
+    elif comp == 5:
+        chunks = [_lzw_encode(c) for c in chunks]
 
     entries: list[tuple[int, int, int, object]] = []  # (tag, type, count, values)
 
@@ -379,6 +384,113 @@ def encode_gtiff(
     return bytes(out)
 
 
+# --- TIFF LZW codec (spec section 13: MSB-first variable-width codes, ----
+# ClearCode 256 / EOI 257, early-change code-width bumps at 511/1023/2047)
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavour LZW encode (the reference's default compress_type).
+
+    Dictionary-per-run Python loop -- O(len) with amortized dict ops;
+    fine for tile-sized payloads (a 600x600 int16 tile encodes in tens
+    of ms).  The decoder below is an independent implementation."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)  # ClearCode first, per spec
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # early change: width bumps when next_code reaches 2^width - 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # table full: clear
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOI
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavour LZW decode (early-change)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> None:
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 clear
+        table.append(b"")  # 257 eoi
+
+    reset()
+    width = 9
+    bitbuf = 0
+    bitcnt = 0
+    pos = 0
+    prev: bytes | None = None
+    n = len(data)
+    while True:
+        while bitcnt < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == 257:  # EOI
+            return bytes(out)
+        if code == 256:  # clear
+            reset()
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        # early change, with the decoder's one-entry lag: the decoder's
+        # append for code k happens while processing code k+1, so its
+        # table is one entry behind the encoder's next_code -- bump at
+        # (1 << width) - 2 to stay in step with the encoder's
+        # next_code == (1 << width) - 1 rule
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+
+
 # --- reader -----------------------------------------------------------------
 
 def _read_entries(buf: memoryview, bo: str) -> dict[int, tuple[int, int, list]]:
@@ -444,8 +556,9 @@ def decode_gtiff(buf: bytes | memoryview) -> GTiffImage:
         raise ValueError(f"unsupported (bits, format) {key}")
     dtype = np.dtype(_DTYPE_OF[key]).newbyteorder(bo)
     comp = int(one(_T_COMPRESSION, 1))
-    if comp not in (1, 8, 32946):
-        raise ValueError(f"unsupported compression {comp} (none/deflate only)")
+    if comp not in (1, 5, 8, 32946):
+        raise ValueError(
+            f"unsupported compression {comp} (none/lzw/deflate only)")
     planar = int(one(_T_PLANAR, 1))
     if planar != 1:
         raise ValueError("PlanarConfiguration 2 unsupported")
@@ -457,7 +570,9 @@ def decode_gtiff(buf: bytes | memoryview) -> GTiffImage:
     out = np.empty((h, w, bands), dtype=dtype.newbyteorder("="))
 
     def chunk_array(raw: bytes, ch: int, cw: int) -> np.ndarray:
-        if comp != 1:
+        if comp == 5:
+            raw = _lzw_decode(raw)
+        elif comp != 1:
             raw = zlib.decompress(raw)
         a = np.frombuffer(raw, dtype=dtype, count=ch * cw * bands)
         a = a.reshape(ch, cw, bands)

@@ -87,8 +87,9 @@ def resample_to_equi7_tiles(
     ``out_format="parquet"`` writes pixel-window rows per tile;
     ``out_format="gtiff"`` writes one full-tile GeoTIFF per (image,
     tile) -- the reference's actual sink (warp.py:290-330: compress /
-    tiled / blocksize kwargs map to ``compress_type`` ("deflate"|"none";
-    the reference's zstd needs libzstd, absent here), ``tif_is_tiled``
+    tiled / blocksize kwargs map to ``compress_type``
+    ("deflate"|"none"|"lzw"; the reference's zstd needs libzstd, absent
+    here), ``tif_is_tiled``
     and ``tile_blocksize``).  Encoding runs distributed in map_batches;
     the driver only places the encoded bytes into the
     ``EQUI7_{continent}/{tile}/`` layout.

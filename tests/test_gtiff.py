@@ -212,3 +212,36 @@ def test_strip_default_size_bounded():
     g = decode_gtiff(encode_gtiff(a, compress="none"))
     assert np.array_equal(g.array, a)
     assert g.block_shape[0] * 1000 <= (1 << 16)
+
+
+def test_lzw_roundtrip_and_interop_shape():
+    from equi7grid_ray.gtiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(5)
+    # low entropy (dictionary-friendly), cycling (table clears), high
+    # entropy (worst case), empty
+    cases = [
+        rng.integers(0, 40, 5000, dtype=np.uint8).tobytes(),
+        bytes(range(256)) * 300,
+        rng.integers(0, 256, 120000, dtype=np.uint8).tobytes(),
+        b"",
+        b"\x00" * 10000,
+    ]
+    for d in cases:
+        enc = _lzw_encode(d)
+        assert _lzw_decode(enc) == d
+    # spec shape: stream begins with a ClearCode (256 at 9 bits MSB
+    # first: 1_0000_0000 -> first byte 0x80)
+    assert _lzw_encode(b"A")[0] == 0x80
+
+
+def test_lzw_gtiff_roundtrip():
+    rng = np.random.default_rng(6)
+    a = rng.integers(-300, 300, (96, 80)).astype(np.int16)
+    buf = encode_gtiff(a, geotrans=GT, crs="EU", nodata=-9999,
+                       compress="lzw", tiled=True, blockxsize=48,
+                       blockysize=32)
+    g = decode_gtiff(buf)
+    assert g.compression == 5
+    assert np.array_equal(g.array, a)
+    assert g.geotrans == GT and g.nodata == -9999
