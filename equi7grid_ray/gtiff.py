@@ -211,13 +211,17 @@ def encode_gtiff(
     blockxsize: int = 256,
     blockysize: int = 256,
     rows_per_strip: int | None = None,
+    predictor: int = 1,
     scale: float | None = None,
     offset: float | None = None,
     tags: dict | None = None,
 ) -> bytes:
     """Encode ``array`` ((h, w) or (bands, h, w)) as classic GeoTIFF
     bytes.  ``geotrans`` is the GDAL 6-tuple; ``crs`` is an EPSG int, a
-    2-letter Equi7 continent code, or a prebuilt geokey dict."""
+    2-letter Equi7 continent code, or a prebuilt geokey dict.
+    ``predictor=2`` applies per-sample horizontal differencing before
+    compression (integer dtypes only; shrinks deflate/LZW output on
+    smooth rasters -- exactly the mosaic-tile case)."""
     arr = np.asarray(array)
     if arr.ndim == 2:
         arr = arr[None]
@@ -232,10 +236,24 @@ def encode_gtiff(
     if comp is None:
         raise ValueError(
             f"unsupported compress {compress!r} (none|deflate|lzw)")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
+    if predictor == 2 and np.issubdtype(arr.dtype, np.floating):
+        raise ValueError("predictor 2 is invalid for float data")
     # pixel-interleaved (h, w, bands) little-endian
     inter = np.ascontiguousarray(
         arr.transpose(1, 2, 0).astype(arr.dtype.newbyteorder("<")))
     pad_val = 0 if nodata is None else nodata
+
+    def chunk_bytes(block: np.ndarray) -> bytes:
+        if predictor == 2:
+            # per-sample horizontal differencing, wrapping in the stored
+            # dtype (reader restores with a cumulative sum)
+            d = block.copy()
+            with np.errstate(over="ignore"):
+                d[:, 1:] = block[:, 1:] - block[:, :-1]
+            block = d
+        return np.ascontiguousarray(block).tobytes()
 
     chunks: list[bytes] = []
     if tiled:
@@ -249,14 +267,13 @@ def encode_gtiff(
                     full = np.full((th, tw, bands), pad_val, dtype=inter.dtype)
                     full[:block.shape[0], :block.shape[1]] = block
                     block = full
-                chunks.append(np.ascontiguousarray(block).tobytes())
+                chunks.append(chunk_bytes(block))
     else:
         if rows_per_strip is None:
             row_bytes = w * bands * inter.itemsize
             rows_per_strip = max(1, min(h, (1 << 16) // max(1, row_bytes)))
         for y in range(0, h, rows_per_strip):
-            chunks.append(
-                np.ascontiguousarray(inter[y:y + rows_per_strip]).tobytes())
+            chunks.append(chunk_bytes(inter[y:y + rows_per_strip]))
     if comp == 8:
         chunks = [zlib.compress(c, level) for c in chunks]
     elif comp == 5:
@@ -282,6 +299,8 @@ def encode_gtiff(
     tag(_T_PHOTOMETRIC, 3, 1)  # BlackIsZero
     tag(_T_SAMPLES, 3, bands)
     tag(_T_PLANAR, 3, 1)
+    if predictor == 2:
+        tag(_T_PREDICTOR, 3, 2)
     tag(_T_SAMPLE_FORMAT, 3, [sfmt] * bands)
     n_chunks = len(chunks)
     if tiled:

@@ -245,3 +245,20 @@ def test_lzw_gtiff_roundtrip():
     assert g.compression == 5
     assert np.array_equal(g.array, a)
     assert g.geotrans == GT and g.nodata == -9999
+
+
+def test_predictor2_write_roundtrip_and_shrinks():
+    rng = np.random.default_rng(12)
+    smooth = np.cumsum(rng.integers(-3, 4, (200, 180)), axis=1).astype(np.int16)
+    plain = encode_gtiff(smooth, compress="deflate")
+    pred = encode_gtiff(smooth, compress="deflate", predictor=2)
+    assert len(pred) < len(plain)  # the whole point on smooth rasters
+    g = decode_gtiff(pred)
+    assert np.array_equal(g.array, smooth)
+    # multiband + tiled + wrapping uint8
+    a = rng.integers(0, 255, (3, 70, 90), dtype=np.uint8)
+    g = decode_gtiff(encode_gtiff(a, compress="lzw", predictor=2,
+                                  tiled=True, blockxsize=48, blockysize=32))
+    assert np.array_equal(g.array, a)
+    with pytest.raises(ValueError, match="predictor 2 is invalid"):
+        encode_gtiff(smooth.astype(np.float32), predictor=2)
