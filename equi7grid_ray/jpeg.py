@@ -528,7 +528,7 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85,
                          subsampling: str = "444",
                          restart_interval: int = 0) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JPEG
-    with the Annex K tables.  ``subsampling``: '444' or '420' (RGB
+    with the Annex K tables.  ``subsampling``: '444', '420', '422' or '440' (RGB
     only).  ``restart_interval`` > 0 emits a DRI segment and RSTn
     markers every N MCUs (DC predictors reset, byte-aligned)."""
     img = np.asarray(img)
@@ -537,8 +537,8 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85,
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError("expected (h, w) or (h, w, 3)")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422", "440"):
+        raise ValueError("subsampling must be one of 444/420/422/440")
     h, w = img.shape[:2]
     qy = _quality_scale(Q_LUMA, quality).astype(np.float64)
     qc = _quality_scale(Q_CHROMA, quality).astype(np.float64)
@@ -556,7 +556,8 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85,
     if not gray:
         seg(b"\xff\xdb", b"\x01" + zz(qc))
 
-    sub = (2, 2) if (not gray and subsampling == "420") else (1, 1)
+    sub = {"444": (1, 1), "420": (2, 2), "422": (2, 1),
+           "440": (1, 2)}[subsampling] if not gray else (1, 1)
     if gray:
         comp_spec = [(1, 1, 1, 0)]
     else:
@@ -594,18 +595,19 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85,
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsampling == "420":
-            H2 = (h + 1) // 2 * 2
-            W2 = (w + 1) // 2 * 2
+        sh, sv = sub
+        if (sh, sv) != (1, 1):
+            H2 = (h + sv - 1) // sv * sv
+            W2 = (w + sh - 1) // sh * sh
 
             def ds(p):
                 pp = np.empty((H2, W2))
                 pp[:h, :w] = p
                 if H2 > h:
-                    pp[h:, :w] = p[-1:, :]
+                    pp[h:, :w] = p[h - 1: h, :w]
                 if W2 > w:
                     pp[:, w:] = pp[:, w - 1: w]
-                return pp.reshape(H2 // 2, 2, W2 // 2, 2).mean(axis=(1, 3))
+                return pp.reshape(H2 // sv, sv, W2 // sh, sh).mean(axis=(1, 3))
 
             cb, cr = ds(cb), ds(cr)
         planes = [y, cb, cr]
@@ -642,33 +644,33 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85,
                     enc_ac[ci], dc_pred[ci])
             dc_pred = maybe_restart(dc_pred)
     else:
-        # 4:2:0: MCU = 2x2 Y blocks + 1 Cb + 1 Cr
+        # subsampled: MCU = (sv x sh) Y blocks + 1 Cb + 1 Cr
+        sh, sv = sub
         yb = _plane_blocks(planes[0], qs[0])
         cbb = _plane_blocks(planes[1], qs[1])
         crb = _plane_blocks(planes[2], qs[2])
         ybw = (w + 7) // 8
-        ybw_p = (ybw + 1) // 2 * 2  # padded to MCU multiple
-        cbw = cbb.shape[0] and (planes[1].shape[1] + 7) // 8
-        mcux = (w + 15) // 16
-        mcuy = (h + 15) // 16
-        # re-pad Y blocks grid to even dimensions
         ybh = (h + 7) // 8
-        yg = np.zeros((mcuy * 2, mcux * 2, 64), np.int64)
+        cbw = (planes[1].shape[1] + 7) // 8
+        mcux = (w + 8 * sh - 1) // (8 * sh)
+        mcuy = (h + 8 * sv - 1) // (8 * sv)
+        # pad the Y block grid to MCU multiples (replicate edge blocks:
+        # any valid coefficients do; decode is cropped to (h, w))
+        yg = np.zeros((mcuy * sv, mcux * sh, 64), np.int64)
         yg[:ybh, :ybw] = yb.reshape(ybh, ybw, 64)
-        # replicate edge blocks into padding (keeps DC prediction sane)
-        if mcuy * 2 > ybh:
+        if mcuy * sv > ybh:
             yg[ybh:, :ybw] = yg[ybh - 1: ybh, :ybw]
-        if mcux * 2 > ybw:
+        if mcux * sh > ybw:
             yg[:, ybw:] = yg[:, ybw - 1][:, None]
         cg = cbb.reshape(-1, cbw, 64)
         rg = crb.reshape(-1, cbw, 64)
         dc3 = [0, 0, 0]
         for my in range(mcuy):
             for mx in range(mcux):
-                for by in range(2):
-                    for bx in range(2):
+                for by in range(sv):
+                    for bx in range(sh):
                         dc3[0] = _encode_component_blocks(
-                            wtr, yg[2 * my + by, 2 * mx + bx][None],
+                            wtr, yg[sv * my + by, sh * mx + bx][None],
                             enc_dc[0], enc_ac[0], dc3[0])
                 dc3[1] = _encode_component_blocks(
                     wtr, cg[my, mx][None], enc_dc[1], enc_ac[1], dc3[1])

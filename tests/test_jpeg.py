@@ -165,7 +165,7 @@ def test_errors():
     with pytest.raises(ValueError):
         encode_jpeg_baseline(img.astype(np.int16))
     with pytest.raises(ValueError):
-        encode_jpeg_baseline(img, subsampling="422")
+        encode_jpeg_baseline(img, subsampling="411")  # 4:1:1 unsupported
 
 
 def test_codec_dispatch_jpeg():
@@ -201,3 +201,17 @@ def test_image_stats_stage_accepts_jpeg(ray_session):
     for i, im in enumerate(imgs):
         got = out[out["image_id"] == f"j{i}"]["px_mean"].iloc[0]
         assert abs(got - im.mean()) < 3.0  # q90 shifts the mean only a hair
+
+
+@pytest.mark.parametrize("sub,want", [("422", (2, 1)), ("440", (1, 2))])
+def test_422_440_subsampling(sub, want):
+    base = _smooth(93, 90)
+    rgb = np.stack([base, np.roll(base, 3, 0), np.roll(base, 5, 1)], -1)
+    buf = encode_jpeg_baseline(rgb, 90, subsampling=sub, restart_interval=3)
+    assert jpeg_info(buf)["sampling"][0] == want
+    d = decode_jpeg(buf)
+    assert d.shape == rgb.shape
+    assert psnr(rgb, d) > 25
+    # restart markers don't change pixels in the generic MCU loop either
+    plain = decode_jpeg(encode_jpeg_baseline(rgb, 90, subsampling=sub))
+    assert np.array_equal(plain, d)
