@@ -216,9 +216,12 @@ def jpeg_info(buf: bytes) -> dict:
     raise ValueError("no SOF marker found")
 
 
-def decode_jpeg(buf: bytes | memoryview) -> np.ndarray:
+def decode_jpeg(buf: bytes | memoryview,
+                max_pixels: int = 64_000_000) -> np.ndarray:
     """Decode a baseline JPEG to (h, w) uint8 grayscale or (h, w, 3)
-    uint8 RGB."""
+    uint8 RGB.  ``max_pixels`` guards against decompression bombs /
+    corrupted SOF dimensions (a crawl decoder must bound allocation
+    BEFORE trusting header fields)."""
     mv = np.frombuffer(buf, dtype=np.uint8)
     if mv[0] != 0xFF or mv[1] != 0xD8:
         raise ValueError("not a JPEG (missing SOI)")
@@ -259,11 +262,20 @@ def decode_jpeg(buf: bytes | memoryview) -> np.ndarray:
                 int(seg[3]) << 8 | int(seg[4]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if int(fw) * int(fh) > max_pixels:
+                raise ValueError(
+                    f"frame {int(fw)}x{int(fh)} exceeds max_pixels="
+                    f"{max_pixels} (decompression-bomb guard)")
+            if int(fw) == 0 or int(fh) == 0 or nc == 0:
+                raise ValueError("degenerate SOF dimensions")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
-                comps.append({"id": int(cid), "h": int(hv) >> 4,
-                              "v": int(hv) & 15, "tq": int(tq)})
+                sf_h, sf_v = int(hv) >> 4, int(hv) & 15
+                if not (1 <= sf_h <= 4 and 1 <= sf_v <= 4):
+                    raise ValueError(f"invalid sampling factors {sf_h}x{sf_v}")
+                comps.append({"id": int(cid), "h": sf_h,
+                              "v": sf_v, "tq": int(tq)})
             frame = {"w": int(fw), "h": int(fh), "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -287,8 +299,10 @@ def decode_jpeg(buf: bytes | memoryview) -> np.ndarray:
             scomp = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scomp.append((comp, int(tdta) >> 4, int(tdta) & 15))
+                matches = [x for x in frame["comps"] if x["id"] == cs]
+                if not matches:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                scomp.append((matches[0], int(tdta) >> 4, int(tdta) & 15))
             i += ln
             return _decode_scan(mv, i, frame, scomp, qt, huff,
                                 restart_interval)
@@ -371,6 +385,10 @@ def _decode_scan(mv, start, frame, scomp, qt, huff, restart_interval):
                     r.skip(ln)
                     diff = _extend(r.read(size), size)
                     dc_pred[ci] += diff
+                    if not (-(1 << 31) < dc_pred[ci] < (1 << 31)):
+                        # valid streams keep |DC| < 2^15 * n_blocks;
+                        # runaway prediction means a corrupt bitstream
+                        raise ValueError("corrupt DC prediction stream")
                     blk[0] = dc_pred[ci]
                     # AC
                     k = 1

@@ -215,3 +215,31 @@ def test_422_440_subsampling(sub, want):
     # restart markers don't change pixels in the generic MCU loop either
     plain = decode_jpeg(encode_jpeg_baseline(rgb, 90, subsampling=sub))
     assert np.array_equal(plain, d)
+
+
+def test_decompression_bomb_guard_and_fuzz():
+    img = _smooth(32, 32)
+    buf = bytearray(encode_jpeg_baseline(img, 80))
+    # inflate the SOF dims: must refuse BEFORE allocating
+    sof = bytes(buf).find(b"\xff\xc0")
+    big = bytearray(buf)
+    big[sof + 5: sof + 9] = (65_500).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_jpeg(bytes(big))
+    # corruption fuzz: random byte flips + truncation must error or
+    # produce a bounded result -- never hang, never allocate unbounded
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        b = bytearray(buf)
+        for _ in range(3):
+            b[int(rng.integers(2, len(b)))] ^= int(rng.integers(1, 255))
+        for cand in (bytes(b), bytes(b[: int(rng.integers(4, len(b)))])):
+            try:
+                out = decode_jpeg(cand)
+                assert out.shape[0] <= 64 and out.shape[1] <= 64
+            except (ValueError, NotImplementedError, IndexError,
+                    struct.error, KeyError):
+                pass
+
+
+import struct  # noqa: E402  (used by the fuzz test)
