@@ -38,7 +38,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["GTiffImage", "encode_gtiff", "decode_gtiff", "write_gtiff",
+__all__ = ["GTiffImage", "encode_gtiff", "encode_gtiff_overviews",
+           "decode_gtiff", "gtiff_ifd_offsets", "write_gtiff",
            "read_gtiff", "equi7_crs", "TIFF_DTYPES"]
 
 # --- TIFF tag ids -----------------------------------------------------------
@@ -215,6 +216,9 @@ def encode_gtiff(
     scale: float | None = None,
     offset: float | None = None,
     tags: dict | None = None,
+    _ifd_base: int = 8,
+    _no_header: bool = False,
+    _subfile_type: int | None = None,
 ) -> bytes:
     """Encode ``array`` ((h, w) or (bands, h, w)) as classic GeoTIFF
     bytes.  ``geotrans`` is the GDAL 6-tuple; ``crs`` is an EPSG int, a
@@ -333,10 +337,14 @@ def encode_gtiff(
         nd = float(nodata)
         tag(_T_GDAL_NODATA, 2, repr(int(nd)) if nd.is_integer() else repr(nd))
 
+    if _subfile_type is not None:
+        tag(254, 4, _subfile_type)  # NewSubfileType (1 = reduced image)
     entries.sort(key=lambda e: e[0])
 
-    # layout: header(8) | IFD | out-of-line values | chunk data
-    ifd_off = 8
+    # layout: header(8) | IFD | out-of-line values | chunk data.
+    # In segment mode (_no_header) the IFD sits at _ifd_base of the FILE
+    # and the returned bytes start at the IFD (multi-IFD assembly).
+    ifd_off = _ifd_base
     ifd_size = 2 + 12 * len(entries) + 4
     val_off = ifd_off + ifd_size
 
@@ -384,23 +392,24 @@ def encode_gtiff(
             blobs.append(b)
             cur += len(b)
 
-    out = bytearray()
-    out += b"II*\x00" + struct.pack("<I", ifd_off)
-    out += struct.pack("<H", len(entries))
+    seg = bytearray()
+    seg += struct.pack("<H", len(entries))
     for tid, ftype, count, values in entries:
         b = packed(ftype, count, values)
         if len(b) > 4:
-            out += struct.pack("<HHI", tid, ftype, count) + struct.pack(
+            seg += struct.pack("<HHI", tid, ftype, count) + struct.pack(
                 "<I", offsets[tid])
         else:
-            out += struct.pack("<HHI", tid, ftype, count) + b.ljust(4, b"\x00")
-    out += struct.pack("<I", 0)  # no next IFD
+            seg += struct.pack("<HHI", tid, ftype, count) + b.ljust(4, b"\x00")
+    seg += struct.pack("<I", 0)  # next-IFD pointer (patched by assemblers)
     for b in blobs:
-        out += b
-    out += b"\x00" * (data_off - len(out))
+        seg += b
+    seg += b"\x00" * (data_off - ifd_off - len(seg))
     for c in chunks:
-        out += c
-    return bytes(out)
+        seg += c
+    if _no_header:
+        return bytes(seg)
+    return b"II*\x00" + struct.pack("<I", ifd_off) + bytes(seg)
 
 
 # --- TIFF LZW codec (spec section 13: MSB-first variable-width codes, ----
@@ -512,8 +521,12 @@ def _lzw_decode(data: bytes) -> bytes:
 
 # --- reader -----------------------------------------------------------------
 
-def _read_entries(buf: memoryview, bo: str) -> dict[int, tuple[int, int, list]]:
-    ifd_off = struct.unpack_from(f"{bo}I", buf, 4)[0]
+def _read_entries(buf: memoryview, bo: str,
+                  ifd_off: int | None = None
+                  ) -> tuple[dict[int, tuple[int, int, list]], int]:
+    """Parse one IFD; returns (entries, next_ifd_offset)."""
+    if ifd_off is None:
+        ifd_off = struct.unpack_from(f"{bo}I", buf, 4)[0]
     n = struct.unpack_from(f"{bo}H", buf, ifd_off)[0]
     out: dict[int, tuple[int, int, list]] = {}
     for i in range(n):
@@ -533,7 +546,8 @@ def _read_entries(buf: memoryview, bo: str) -> dict[int, tuple[int, int, list]]:
         else:
             vals = list(struct.unpack_from(f"{bo}{count}{ch}", buf, voff))
         out[tid] = (ftype, count, vals)
-    return out
+    nxt = struct.unpack_from(f"{bo}I", buf, ifd_off + 2 + 12 * n)[0]
+    return out, nxt
 
 
 def _undo_predictor2(block: np.ndarray) -> np.ndarray:
@@ -543,9 +557,7 @@ def _undo_predictor2(block: np.ndarray) -> np.ndarray:
     return np.cumsum(block.astype(np.int64), axis=1).astype(block.dtype)
 
 
-def decode_gtiff(buf: bytes | memoryview) -> GTiffImage:
-    """Parse classic-TIFF bytes into a GTiffImage (first IFD only)."""
-    mv = memoryview(buf)
+def _tiff_bo(mv: memoryview) -> str:
     if bytes(mv[:2]) == b"II":
         bo = "<"
     elif bytes(mv[:2]) == b"MM":
@@ -554,7 +566,31 @@ def decode_gtiff(buf: bytes | memoryview) -> GTiffImage:
         raise ValueError("not a TIFF: bad byte-order mark")
     if struct.unpack_from(f"{bo}H", mv, 2)[0] != 42:
         raise ValueError("not a classic TIFF (BigTIFF unsupported)")
-    t = _read_entries(mv, bo)
+    return bo
+
+
+def gtiff_ifd_offsets(buf: bytes | memoryview, limit: int = 64) -> list[int]:
+    """Offsets of every IFD in the chain (multi-image / overview files)."""
+    mv = memoryview(buf)
+    bo = _tiff_bo(mv)
+    off = struct.unpack_from(f"{bo}I", mv, 4)[0]
+    out: list[int] = []
+    while off and len(out) < limit:
+        out.append(off)
+        _, off = _read_entries(mv, bo, off)
+    return out
+
+
+def decode_gtiff(buf: bytes | memoryview, ifd: int = 0) -> GTiffImage:
+    """Parse classic-TIFF bytes into a GTiffImage.  ``ifd`` selects an
+    image in a multi-IFD chain (0 = full resolution; overview files put
+    reduced images in subsequent IFDs)."""
+    mv = memoryview(buf)
+    bo = _tiff_bo(mv)
+    offs = gtiff_ifd_offsets(mv)
+    if ifd >= len(offs):
+        raise ValueError(f"IFD {ifd} out of range (file has {len(offs)})")
+    t, _nxt = _read_entries(mv, bo, offs[ifd])
 
     def one(tid: int, default=None):
         if tid not in t:
@@ -694,3 +730,59 @@ def write_gtiff(path, array, **kwargs) -> str:
 def read_gtiff(path) -> GTiffImage:
     with open(path, "rb") as f:
         return decode_gtiff(f.read())
+
+
+def _mean_reduce(arr: np.ndarray, f: int) -> np.ndarray:
+    """Block-mean downsample by ``f`` with edge replication; integer
+    dtypes round to nearest."""
+    a = arr[None] if arr.ndim == 2 else arr
+    b, h, w = a.shape
+    H = (h + f - 1) // f * f
+    W = (w + f - 1) // f * f
+    pad = np.empty((b, H, W), np.float64)
+    pad[:, :h, :w] = a
+    if H > h:
+        pad[:, h:, :w] = a[:, h - 1: h, :]
+    if W > w:
+        pad[:, :, w:] = pad[:, :, w - 1: w]
+    red = pad.reshape(b, H // f, f, W // f, f).mean(axis=(2, 4))
+    if np.issubdtype(arr.dtype, np.integer):
+        red = np.rint(red)
+    red = red.astype(arr.dtype)
+    return red[0] if arr.ndim == 2 else red
+
+
+def encode_gtiff_overviews(
+    array: np.ndarray,
+    factors: tuple[int, ...] = (2, 4, 8),
+    *,
+    geotrans: tuple | None = None,
+    **kwargs,
+) -> bytes:
+    """Encode ``array`` plus a mean-reduced overview pyramid as ONE
+    multi-IFD GeoTIFF (the COG-style layout GDAL's BuildOverviews
+    produces: full image in IFD 0, reduced images with NewSubfileType=1
+    chained behind it, each with its own scaled geotransform).  Read
+    levels back with ``decode_gtiff(buf, ifd=k)``."""
+    arrs = [np.asarray(array)] + [_mean_reduce(array, f) for f in factors]
+    gts: list[tuple | None] = [geotrans]
+    for f in factors:
+        gts.append(None if geotrans is None else (
+            geotrans[0], geotrans[1] * f, geotrans[2],
+            geotrans[3], geotrans[4], geotrans[5] * f))
+    segs: list[bytearray] = []
+    base = 8
+    for i, (a, gt) in enumerate(zip(arrs, gts)):
+        seg = bytearray(encode_gtiff(
+            a, geotrans=gt, _ifd_base=base, _no_header=True,
+            _subfile_type=(1 if i else None), **kwargs))
+        segs.append(seg)
+        base += len(seg)
+    # chain the IFDs: patch each segment's next-IFD pointer
+    cum = 8
+    for i, seg in enumerate(segs):
+        n = struct.unpack_from("<H", seg, 0)[0]
+        nxt = cum + len(seg) if i + 1 < len(segs) else 0
+        struct.pack_into("<I", seg, 2 + 12 * n, nxt)
+        cum += len(seg)
+    return b"II*\x00" + struct.pack("<I", 8) + b"".join(bytes(x) for x in segs)

@@ -262,3 +262,28 @@ def test_predictor2_write_roundtrip_and_shrinks():
     assert np.array_equal(g.array, a)
     with pytest.raises(ValueError, match="predictor 2 is invalid"):
         encode_gtiff(smooth.astype(np.float32), predictor=2)
+
+
+def test_overview_pyramid_multi_ifd():
+    from equi7grid_ray.gtiff import encode_gtiff_overviews, gtiff_ifd_offsets
+
+    rng = np.random.default_rng(13)
+    a = np.cumsum(rng.integers(-2, 3, (300, 260)), axis=1).astype(np.int16)
+    buf = encode_gtiff_overviews(a, (2, 4), geotrans=GT, crs="EU",
+                                 nodata=-9999, compress="deflate",
+                                 predictor=2)
+    assert len(gtiff_ifd_offsets(buf)) == 3
+    g0 = decode_gtiff(buf, 0)
+    g1 = decode_gtiff(buf, 1)
+    g2 = decode_gtiff(buf, 2)
+    assert np.array_equal(g0.array, a)
+    assert g1.array.shape == (150, 130) and g2.array.shape == (75, 65)
+    # overview geotransforms scale the pixel size, anchor unchanged
+    assert g1.geotrans == (GT[0], 2000.0, 0.0, GT[3], 0.0, -2000.0)
+    assert g2.geotrans[1] == 4000.0
+    # overview content is the block mean of the full image
+    want = np.rint(a[:300, :260].astype(np.float64)
+                   .reshape(150, 2, 130, 2).mean(axis=(1, 3))).astype(np.int16)
+    assert np.array_equal(g1.array, want)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_gtiff(buf, 3)
