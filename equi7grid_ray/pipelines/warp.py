@@ -78,6 +78,7 @@ def resample_to_equi7_tiles(
     compress_type: str = "deflate",
     tif_is_tiled: bool = False,
     tile_blocksize: int = 256,
+    tif_overviews: tuple[int, ...] | None = None,
     src_res_deg: float | None = None,
     batch_size: int = 1024,
     concurrency=(1, 8),
@@ -149,6 +150,7 @@ def resample_to_equi7_tiles(
                 fn_constructor_kwargs=dict(
                     tiling_id=tiling_id, spec=spec, compress=compress_type,
                     tiled_tif=tif_is_tiled, blocksize=tile_blocksize,
+                    overviews=tif_overviews,
                     naming_traffo=naming_traffo, stem=pid,
                 ),
                 batch_format="pyarrow",

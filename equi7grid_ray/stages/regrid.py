@@ -551,9 +551,13 @@ class GTiffEncodeStage:
         compress: str = "deflate",
         tiled_tif: bool = False,
         blocksize: int = 256,
+        overviews: tuple[int, ...] | None = None,
         naming_traffo=None,
         stem: str = "scene",
     ):
+        """``overviews``: reduction factors for a multi-IFD overview
+        pyramid per tile file (gtiff.encode_gtiff_overviews); None
+        writes single-IFD files."""
         self.spec = spec or GridSpec.standard()
         self.tile_size = self.spec.tile_size(tiling_id)
         self.sampling = self.spec.sampling_of(tiling_id)
@@ -561,13 +565,14 @@ class GTiffEncodeStage:
         self.compress = compress
         self.tiled_tif = tiled_tif
         self.blocksize = blocksize
+        self.overviews = tuple(overviews) if overviews else None
         self.naming_traffo = naming_traffo
         self.stem = stem
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from equi7grid_ray.arrowutil import binary_view
         from equi7grid_ray.grid import parse_tile_names, tile_geotrans
-        from equi7grid_ray.gtiff import encode_gtiff
+        from equi7grid_ray.gtiff import encode_gtiff, encode_gtiff_overviews
 
         # drop empty windows: the reference only writes tiles the source
         # actually overlaps (warp.py:456-466 candidate -> written set)
@@ -615,12 +620,14 @@ class GTiffEncodeStage:
             gt = tile_geotrans(float(parsed["ll_x"][j]),
                                float(parsed["ll_y"][j]),
                                self.tile_size, self.sampling)
-            data = encode_gtiff(
-                full, geotrans=gt, crs=conts[j], nodata=float(nodata[j]),
-                compress=self.compress, tiled=self.tiled_tif,
-                blockxsize=self.blocksize, blockysize=self.blocksize,
-                scale=scales[j], offset=offsets[j],
-            )
+            kw = dict(geotrans=gt, crs=conts[j], nodata=float(nodata[j]),
+                      compress=self.compress, tiled=self.tiled_tif,
+                      blockxsize=self.blocksize, blockysize=self.blocksize,
+                      scale=scales[j], offset=offsets[j])
+            if self.overviews:
+                data = encode_gtiff_overviews(full, self.overviews, **kw)
+            else:
+                data = encode_gtiff(full, **kw)
             stem = f"{self.stem}_img{ids[j]}"
             ftile = tiles[j]
             fname = (self.naming_traffo(stem, ftile)

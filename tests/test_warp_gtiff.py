@@ -204,3 +204,19 @@ def test_gtiff_tiled_zstd_unavailable_and_tiled_output(ray_session, tmp_path, sp
     g = read_gtiff(files[0])
     assert g.tiled and g.block_shape == (128, 128)
     assert (g.array != NODATA).sum() > 1000
+
+
+def test_gtiff_overview_output(ray_session, tmp_path, spec):
+    from equi7grid_ray.gtiff import gtiff_ifd_offsets
+
+    out, ar, files = _run(tmp_path, spec, tif_overviews=(2, 4),
+                          ftilenames=["EU_E066N030T6"])
+    assert len(files) == 1
+    buf = files[0].read_bytes()
+    assert len(gtiff_ifd_offsets(buf)) == 3
+    g0 = read_gtiff(files[0])          # ifd 0 = full resolution
+    from equi7grid_ray.gtiff import decode_gtiff
+
+    g1 = decode_gtiff(buf, 1)
+    assert g0.array.shape == (600, 600) and g1.array.shape == (300, 300)
+    assert g1.geotrans[1] == 2000.0
