@@ -418,105 +418,136 @@ def encode_gtiff(
 def _lzw_encode(data: bytes) -> bytes:
     """TIFF-flavour LZW encode (the reference's default compress_type).
 
-    Dictionary-per-run Python loop -- O(len) with amortized dict ops;
-    fine for tile-sized payloads (a 600x600 int16 tile encodes in tens
-    of ms).  The decoder below is an independent implementation."""
-    out = bytearray()
-    bitbuf = 0
-    bitcnt = 0
+    Integer-keyed dictionary ((prefix_code << 8) | byte) -- no bytes
+    allocation in the loop -- plus segment-wise VECTORIZED bit packing
+    (codes between width changes share a width, so each run packs as
+    one numpy unpackbits/packbits pass).  Measured ~5 MB/s/core
+    (decode ~3 MB/s); deflate (C zlib) remains the throughput choice,
+    LZW exists for reference-default compatibility.  The decoder below
+    is an independent implementation."""
+    out_codes: list[int] = []
+    out_widths: list[int] = []
     width = 9
+    out_codes.append(256)  # ClearCode first, per spec
+    out_widths.append(9)
+    if data:
+        table: dict[int, int] = {}
+        next_code = 258
+        w = data[0]
+        for b in data[1:]:
+            key = (w << 8) | b
+            c = table.get(key)
+            if c is not None:
+                w = c
+                continue
+            out_codes.append(w)
+            out_widths.append(width)
+            table[key] = next_code
+            next_code += 1
+            # early change: width bumps when next_code == 2^width - 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            if next_code >= 4094:  # table full: clear
+                out_codes.append(256)
+                out_widths.append(width)
+                table.clear()
+                next_code = 258
+                width = 9
+            w = b
+        out_codes.append(w)
+        out_widths.append(width)
+    out_codes.append(257)  # EOI
+    out_widths.append(width)
 
-    def emit(code: int) -> None:
-        nonlocal bitbuf, bitcnt
-        bitbuf = (bitbuf << width) | code
-        bitcnt += width
-        while bitcnt >= 8:
-            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
-            bitcnt -= 8
-
-    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
-    next_code = 258
-    emit(256)  # ClearCode first, per spec
-    w = b""
-    for b in data:
-        c = bytes([b])
-        wc = w + c
-        if wc in table:
-            w = wc
-            continue
-        emit(table[w])
-        table[wc] = next_code
-        next_code += 1
-        # early change: width bumps when next_code reaches 2^width - 1
-        if next_code == (1 << width) - 1 and width < 12:
-            width += 1
-        if next_code >= 4094:  # table full: clear
-            emit(256)
-            table = {bytes([i]): i for i in range(256)}
-            next_code = 258
-            width = 9
-        w = c
-    if w:
-        emit(table[w])
-    emit(257)  # EOI
-    if bitcnt:
-        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
-    return bytes(out)
+    codes = np.asarray(out_codes, np.uint32)
+    widths = np.asarray(out_widths, np.uint8)
+    cuts = np.flatnonzero(np.diff(widths)) + 1
+    bounds = np.concatenate([[0], cuts, [len(codes)]])
+    parts = []
+    for i in range(len(bounds) - 1):
+        a, b_ = int(bounds[i]), int(bounds[i + 1])
+        wd = int(widths[a])
+        seg = codes[a:b_].astype(">u4").view(np.uint8).reshape(-1, 4)
+        bits = np.unpackbits(seg, axis=1)[:, 32 - wd:]
+        parts.append(bits.ravel())
+    return np.packbits(np.concatenate(parts)).tobytes()
 
 
 def _lzw_decode(data: bytes) -> bytes:
-    """TIFF-flavour LZW decode (early-change)."""
+    """TIFF-flavour LZW decode (early-change).
+
+    Segment-wise VECTORIZED code extraction (between width changes all
+    codes share a width -> one reshape+dot per run; width-change points
+    after a clear are deterministic: 253 nine-bit codes, then 512, then
+    1024, then 12-bit until the next clear) and a SPAN TABLE: each
+    dictionary entry is a (start, length) view into the output buffer
+    itself, so emitting an entry is one C-level bytearray slice copy --
+    no per-byte Python, no bytes concatenation."""
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    nbits = len(bits)
     out = bytearray()
-    table: list[bytes] = []
-
-    def reset() -> None:
-        table.clear()
-        table.extend(bytes([i]) for i in range(256))
-        table.append(b"")  # 256 clear
-        table.append(b"")  # 257 eoi
-
-    reset()
-    width = 9
-    bitbuf = 0
-    bitcnt = 0
+    start = np.zeros(4096, np.int64)
+    length = np.zeros(4096, np.int64)
+    SCHED = ((9, 253), (10, 512), (11, 1024), (12, 1 << 30))
     pos = 0
-    prev: bytes | None = None
-    n = len(data)
+    si = 0
+    remaining = SCHED[0][1]
+    next_code = 258
+    prev = -1
+    prev_emit = 0
+    prev_len = 0
+    powers = {wd: (np.int64(1) << np.arange(wd - 1, -1, -1)) for wd, _ in SCHED}
     while True:
-        while bitcnt < width:
-            if pos >= n:
+        wd = SCHED[si][0]
+        k = min(remaining, (nbits - pos) // wd)
+        if k <= 0:
+            return bytes(out)  # padded tail / truncated stream
+        codes = bits[pos: pos + k * wd].reshape(k, wd).astype(np.int64) @ powers[wd]
+        specials = np.flatnonzero((codes == 256) | (codes == 257))
+        stop = int(specials[0]) if len(specials) else k
+        for c in codes[:stop].tolist():
+            cur = len(out)
+            if prev < 0:
+                if c >= 256:
+                    raise ValueError("corrupt LZW stream")
+                out.append(c)
+                clen = 1
+            elif c < 256:
+                out.append(c)
+                clen = 1
+            elif c < next_code:
+                s0 = start[c]
+                clen = int(length[c])
+                out += out[s0: s0 + clen]
+            elif c == next_code:
+                out += out[prev_emit: prev_emit + prev_len]
+                out.append(out[prev_emit])
+                clen = prev_len + 1
+            else:
+                raise ValueError("corrupt LZW stream")
+            if prev >= 0 and next_code < 4096:
+                # new entry = prev's bytes + first byte of c, which sit
+                # ADJACENT in the output buffer (c was emitted right
+                # after prev): one (start, length) span, no copy
+                start[next_code] = prev_emit
+                length[next_code] = prev_len + 1
+                next_code += 1
+            prev = c
+            prev_emit = cur
+            prev_len = clen
+        pos += stop * wd
+        remaining -= stop
+        if stop < k:  # hit a clear or EOI
+            pos += wd
+            if int(codes[stop]) == 257:
                 return bytes(out)
-            bitbuf = (bitbuf << 8) | data[pos]
-            pos += 1
-            bitcnt += 8
-        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
-        bitcnt -= width
-        if code == 257:  # EOI
-            return bytes(out)
-        if code == 256:  # clear
-            reset()
-            width = 9
-            prev = None
-            continue
-        if prev is None:
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
-            entry = prev + prev[:1]
-            table.append(entry)
-        else:
-            raise ValueError("corrupt LZW stream")
-        out += entry
-        # early change, with the decoder's one-entry lag: the decoder's
-        # append for code k happens while processing code k+1, so its
-        # table is one entry behind the encoder's next_code -- bump at
-        # (1 << width) - 2 to stay in step with the encoder's
-        # next_code == (1 << width) - 1 rule
-        if len(table) == (1 << width) - 2 and width < 12:
-            width += 1
-        prev = entry
+            si = 0
+            remaining = SCHED[0][1]
+            next_code = 258
+            prev = -1
+        elif remaining == 0:
+            si += 1
+            remaining = SCHED[si][1]
 
 
 # --- reader -----------------------------------------------------------------
