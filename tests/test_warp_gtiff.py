@@ -220,3 +220,29 @@ def test_gtiff_overview_output(ray_session, tmp_path, spec):
     g1 = decode_gtiff(buf, 1)
     assert g0.array.shape == (600, 600) and g1.array.shape == (300, 300)
     assert g1.geotrans[1] == 2000.0
+
+
+def test_read_equi7_gtiff_roundtrip(ray_session, tmp_path, spec):
+    """Sink -> source loop: tiles written by resample_to_equi7_tiles
+    stream back with identical pixels, names and georeferencing."""
+    from equi7grid_ray.sources.gtiff_source import read_equi7_gtiff
+
+    out, ar, files = _run(tmp_path, spec)
+    ds = read_equi7_gtiff(str(out))
+    rows = ds.to_pandas()
+    assert len(rows) == len(files) == 4
+    assert set(rows["tile"]) == {f"{c}_{t}" for c, t in REF_TILES}
+    for _, r in rows.iterrows():
+        assert (r["w"], r["h"]) == (600, 600)
+        assert r["dtype"] == "int16" and r["nodata"] == NODATA
+        assert r["gt_sx"] == 1000.0 and r["gt_sy"] == -1000.0
+        px = np.frombuffer(r["bytes"], np.int16).reshape(600, 600)
+        # identical to the file on disk
+        f = [p for p in files
+             if p.name == r["fname"]][0]
+        assert np.array_equal(px, read_gtiff(f).array)
+        assert (px != NODATA).sum() > 1000
+    # metadata-only path carries no payloads
+    meta = read_equi7_gtiff(str(out), keep_pixels=False).to_pandas()
+    assert (meta["bytes"].str.len() == 0).all()
+    assert set(meta["crs_epsg"]) == {27703, 27704}
