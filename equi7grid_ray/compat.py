@@ -21,6 +21,7 @@ surface: core.py:39-651.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Iterator
 
 import numpy as np
@@ -273,6 +274,72 @@ def _compat_tiling(e7grid: Equi7Grid, tiling_id) -> str:
     return e7grid.spec.tiling_name(tiling_id)
 
 
+def _gtiff_source_meta(filepath):
+    """Read a GeoTIFF input file (the reference's ACTUAL input flavour,
+    test_warp.py:43-124 fixtures) and derive the engine's source-grid
+    parameters: (array, src_crs, center_lon, center_lat, res, nodata).
+
+    Geographic CRS (GeoKey model 2): north-up lon/lat grid,
+    ``src_res_deg`` = pixel size.  EPSG:3857: webmercator grid,
+    ``src_res_m`` = pixel size.  Other projected CRSs raise (the two
+    families are what the reference's warp tests exercise)."""
+    from equi7grid_ray.gtiff import read_gtiff
+
+    g = read_gtiff(filepath)
+    if g.geotrans is None:
+        raise ValueError(f"{filepath}: no geotransform")
+    gt = g.geotrans
+    a = g.array
+    h, w = a.shape[-2], a.shape[-1]
+    cx = gt[0] + w / 2.0 * gt[1]
+    cy = gt[3] + h / 2.0 * gt[5]
+    model = g.geokeys.get(1024)
+    if model == 2:  # geographic
+        return g, "geog", cx, cy, gt[1], g.nodata
+    if g.crs_epsg == 3857:
+        from equi7grid_ray import mercator
+
+        lon, lat = mercator.inverse(np.array([cx]), np.array([cy]))
+        return g, "webmercator", float(lon[0]), float(lat[0]), gt[1], g.nodata
+    raise NotImplementedError(
+        f"GeoTIFF input CRS EPSG:{g.crs_epsg}: only geographic and "
+        "EPSG:3857 source grids are supported")
+
+
+def _gtiff_to_row_parquet(filepath, tmp_dir) -> tuple:
+    """Materialize one GeoTIFF as a single-row image parquet fragment
+    (the engine's source schema); returns (fragment_dir, src_crs,
+    res)."""
+    import pyarrow.parquet as pq
+
+    g, src_crs, lon_c, lat_c, res, nodata = _gtiff_source_meta(filepath)
+    a = g.array
+    bands = 1 if a.ndim == 2 else a.shape[0]
+    h, w = a.shape[-2], a.shape[-1]
+    import pyarrow as _pa
+
+    t = _pa.table({
+        "image_id": _pa.array([Path(filepath).stem], _pa.string()),
+        "bytes": _pa.array([np.ascontiguousarray(a).tobytes()],
+                           _pa.large_binary()),
+        "w": _pa.array([w], _pa.int32()),
+        "h": _pa.array([h], _pa.int32()),
+        "fmt": _pa.array(["raw"], _pa.string()),
+        "dtype": _pa.array([a.dtype.name], _pa.string()),
+        "bands": _pa.array([bands], _pa.int32()),
+        "lon": _pa.array([lon_c], _pa.float64()),
+        "lat": _pa.array([lat_c], _pa.float64()),
+        **({"scale": _pa.array([g.scale], _pa.float64())}
+           if g.scale is not None else {}),
+        **({"offset": _pa.array([g.offset], _pa.float64())}
+           if g.offset is not None else {}),
+    })
+    d = Path(tmp_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    pq.write_table(t, d / f"{Path(filepath).stem}.parquet")
+    return d, src_crs, res, nodata
+
+
 def _parquet_footprint_bbox(filepath, *, accurate: bool,
                             image_nodata=None) -> tuple:
     """Union geographic bbox of the image rows in a parquet file -- the
@@ -343,8 +410,29 @@ def get_overlapping_tiles(
             "'geog_bbox', 'roi_geom', or 'filepath'."
         )
     if filepath is not None:
-        geog_bbox = _parquet_footprint_bbox(
-            filepath, accurate=accurate_boundary)
+        if str(filepath).endswith((".tif", ".tiff")):
+            from equi7grid_ray.stages.regrid import SRC_RES_DEG as _unused  # noqa: F401
+
+            g, src_crs, lon_c, lat_c, res, _nd = _gtiff_source_meta(filepath)
+            a = g.array
+            h, w = a.shape[-2], a.shape[-1]
+            if src_crs == "geog":
+                geog_bbox = (lon_c - w * res / 2.0, lat_c - h * res / 2.0,
+                             lon_c + w * res / 2.0, lat_c + h * res / 2.0)
+            else:
+                from equi7grid_ray import mercator
+
+                mcx, mcy = mercator.forward(np.array([lon_c]),
+                                            np.array([lat_c]))
+                xs = mcx[0] + np.array([-1, 1]) * w * res / 2.0
+                ys = mcy[0] + np.array([-1, 1]) * h * res / 2.0
+                lo, la = mercator.inverse(
+                    np.array([xs[0], xs[1], xs[0], xs[1]]),
+                    np.array([ys[0], ys[0], ys[1], ys[1]]))
+                geog_bbox = (lo.min(), la.min(), lo.max(), la.max())
+        else:
+            geog_bbox = _parquet_footprint_bbox(
+                filepath, accurate=accurate_boundary)
     names = warp_mod.get_overlapping_tiles(
         xy_bbox_map=xy_bbox_map, geog_bbox=geog_bbox, roi_geom=roi_geom,
         tiling_id=tiling, cover_land=cover_land, spec=e7grid.spec,
@@ -448,7 +536,26 @@ def resample_to_equi7_tiles(
         keep = [t._info.name for t in tiles]
 
     src = _Path(filepath)
-    input_dir = src if src.is_dir() else src.parent
+    if src.suffix.lower() in (".tif", ".tiff"):
+        # the reference's actual input flavour: convert the raster to a
+        # one-row image parquet fragment and derive the source grid
+        import tempfile
+
+        frag_dir = _Path(tempfile.mkdtemp(prefix="e7r_gtiff_in_"))
+        input_dir, tif_src_crs, tif_res, tif_nodata = _gtiff_to_row_parquet(
+            src, frag_dir)
+        if image_nodata is None and tif_nodata is not None:
+            # reference default: nodata from the file metadata
+            # (warp.py:291 src nodatavals)
+            image_nodata = tif_nodata
+        if tif_src_crs == "geog":
+            src_crs_eff, res_deg_eff, res_m_eff = "geog", tif_res, 1000.0
+        else:
+            src_crs_eff, res_deg_eff, res_m_eff = (
+                "webmercator", None, tif_res)
+    else:
+        input_dir = src if src.is_dir() else src.parent
+        src_crs_eff, res_deg_eff, res_m_eff = "geog", src_res_deg, 1000.0
     out = _Path(output_dirpath)
     if overwrite and (out / "_manifest").exists():
         import shutil as _shutil
@@ -462,8 +569,8 @@ def resample_to_equi7_tiles(
 
     from equi7grid_ray.stages.regrid import SRC_RES_DEG
 
-    if src_res_deg is None:
-        src_res_deg = SRC_RES_DEG
+    if res_deg_eff is None and src_crs_eff == "geog":
+        res_deg_eff = SRC_RES_DEG
     warp_mod.resample_to_equi7_tiles(
         str(input_dir), str(out),
         tiling_id=tiling, spec=e7grid.spec,
@@ -473,10 +580,12 @@ def resample_to_equi7_tiles(
         out_format="gtiff",
         nodata=(tile_nodata if tile_nodata is not None
                 else (image_nodata if image_nodata is not None else 0)),
+        src_crs=src_crs_eff,
+        src_res_m=res_m_eff,
         compress_type=comp,
         tif_is_tiled=tif_is_tiled,
         tile_blocksize=tile_blocksize or 256,
-        src_res_deg=src_res_deg,
+        src_res_deg=res_deg_eff if res_deg_eff is not None else SRC_RES_DEG,
         concurrency=(1, max(1, int(n_tasks))),
     )
     return sorted(out.glob("part-*/EQUI7_*/*/*.tif"))

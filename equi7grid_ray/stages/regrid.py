@@ -628,7 +628,11 @@ class GTiffEncodeStage:
                 data = encode_gtiff_overviews(full, self.overviews, **kw)
             else:
                 data = encode_gtiff(full, **kw)
-            stem = f"{self.stem}_img{ids[j]}"
+            # one-image-per-source fragments (the reference's file->tiles
+            # flow) name files {src_stem}_{ftile}; multi-image fragments
+            # disambiguate with the image id (warp.py:185-201 semantics)
+            stem = (self.stem if str(ids[j]) == self.stem
+                    else f"{self.stem}_img{ids[j]}")
             ftile = tiles[j]
             fname = (self.naming_traffo(stem, ftile)
                      if self.naming_traffo is not None

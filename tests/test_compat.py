@@ -170,3 +170,61 @@ def test_compat_warp_entry_points(ray_session, tmp_path):
         resample_to_equi7_tiles(src, e7grid, out, tile_scale=2.0)
     with pytest.raises(ValueError, match="compress_type"):
         resample_to_equi7_tiles(src, e7grid, out, compress_type="jpeg2000")
+
+
+def test_compat_resample_from_geotiff_verbatim_reference_flow(
+        ray_session, tmp_path):
+    """The reference's test_reprojecting_lonlat_continuous flow
+    VERBATIM (test_warp.py:43-80, 127-177): the int16 w^2+h^2 ramp is
+    written as an ACTUAL GeoTIFF file, resampled through the compat
+    facade under the reference's kwargs, and must land in exactly the 4
+    documented tiles with the documented file names."""
+    import numpy as np
+
+    from equi7grid_ray.compat import (
+        get_overlapping_tiles,
+        get_standard_equi7grid,
+        resample_to_equi7_tiles,
+    )
+    from equi7grid_ray.gtiff import read_gtiff, write_gtiff
+
+    extent, sampling, nodata = (50, 60.7, 51.2, 63.2), 0.1, -9999
+    w = int((extent[2] - extent[0]) / sampling)
+    h = int((extent[3] - extent[1]) / sampling)
+    w_ar, h_ar = np.meshgrid(np.arange(w), np.arange(h))
+    ar = (w_ar**2 + h_ar**2).astype(np.int16)
+    ar[h // 2, w // 2] = nodata
+    tif = tmp_path / "lonlat_img_continuous.tif"
+    write_gtiff(tif, ar, crs=4326, nodata=nodata,
+                geotrans=(extent[0], sampling, 0.0, extent[3], 0.0,
+                          -sampling))
+
+    e7grid = get_standard_equi7grid({"T6": 1000})
+    # filepath ROI flavour over the real GeoTIFF
+    tiles = get_overlapping_tiles(e7grid, tiling_id="T6", filepath=tif)
+    assert len(tiles) >= 4
+
+    out = tmp_path / "out"
+    paths = resample_to_equi7_tiles(
+        tif,
+        e7grid,
+        out,
+        tiling_id="T6",
+        accurate_boundary=True,
+        compress_type="zstd",
+        resampling_type="bilinear",
+    )
+    got = {(p.parent.parent.name.removeprefix("EQUI7_"), p.parent.name)
+           for p in paths}
+    assert got == {  # reference test_warp.py:144-173
+        ("AS", "E018N072T6"), ("AS", "E018N066T6"),
+        ("EU", "E066N030T6"), ("EU", "E072N030T6"),
+    }
+    for p in paths:
+        c, t = p.parent.parent.name.removeprefix("EQUI7_"), p.parent.name
+        # reference default naming: {stem}_{CONT}_{TILE}.tif
+        assert p.name == f"lonlat_img_continuous_{c}_{t}.tif"
+        g = read_gtiff(p)
+        assert g.array.shape == (600, 600) and g.array.dtype == np.int16
+        assert g.nodata == nodata
+        assert (g.array != nodata).sum() > 500
