@@ -228,3 +228,55 @@ def test_compat_resample_from_geotiff_verbatim_reference_flow(
         assert g.array.shape == (600, 600) and g.array.dtype == np.int16
         assert g.nodata == nodata
         assert (g.array != nodata).sum() > 500
+
+
+def test_compat_resample_webmercator_geotiff_verbatim(ray_session, tmp_path):
+    """Reference test_reprojecting_webmercator_discrete_eu flow
+    (test_warp.py:84-124, 212-260) from an ACTUAL EPSG:3857 GeoTIFF:
+    uint8 classes at 10 km/px, nearest, EU-only T6@10000 -> exactly the
+    4 documented EU tiles."""
+    import numpy as np
+
+    from equi7grid_ray.compat import (
+        get_standard_equi7grid,
+        resample_to_equi7_tiles,
+    )
+    from equi7grid_ray.gtiff import read_gtiff, write_gtiff
+
+    extent = (4_900_000.0, 7_810_000.0, 6_180_000.0, 8_750_000.0)
+    sampling, nodata = 10_000.0, 255
+    w = int((extent[2] - extent[0]) / sampling)
+    h = int((extent[3] - extent[1]) / sampling)
+    w_ar, h_ar = np.meshgrid(np.arange(w), np.arange(h))
+    q = (w_ar**2 + h_ar**2).astype(np.int64)
+    ar = np.zeros((h, w), np.uint8)
+    ar[(q >= (w + h)) & (q < (w**2 + h))] = 1
+    ar[q >= (w**2 + h)] = 2
+    ar[h // 4, w // 4] = nodata
+    tif = tmp_path / "webmercator_img_discrete.tif"
+    write_gtiff(tif, ar, crs=3857, nodata=nodata,
+                geotrans=(extent[0], sampling, 0.0, extent[3], 0.0,
+                          -sampling))
+
+    e7grid_eu_coarse = get_standard_equi7grid({"T6": 10_000},
+                                              continent_order=["EU"])
+    out = tmp_path / "out"
+    paths = resample_to_equi7_tiles(
+        tif,
+        e7grid_eu_coarse,
+        out,
+        tiling_id="T6",
+        accurate_boundary=True,
+        compress_type="zstd",
+        resampling_type="nearest",
+    )
+    got = {(p.parent.parent.name.removeprefix("EQUI7_"), p.parent.name)
+           for p in paths}
+    assert got == {  # reference test_warp.py:230-260
+        ("EU", "E066N030T6"), ("EU", "E072N030T6"),
+        ("EU", "E066N024T6"), ("EU", "E072N024T6"),
+    }
+    for p in paths:
+        g = read_gtiff(p)
+        assert g.array.shape == (60, 60) and g.array.dtype == np.uint8
+        assert set(np.unique(g.array)) <= {0, 1, 2, nodata}
