@@ -246,3 +246,53 @@ def test_read_equi7_gtiff_roundtrip(ray_session, tmp_path, spec):
     meta = read_equi7_gtiff(str(out), keep_pixels=False).to_pandas()
     assert (meta["bytes"].str.len() == 0).all()
     assert set(meta["crs_epsg"]) == {27703, 27704}
+
+
+def test_retile_written_gtiffs_to_coarser_sampling(ray_session, tmp_path, spec):
+    """The multi-resolution product workflow (re-tile a written 1000 m
+    Equi7 product to 2000 m): read the sink's GeoTIFFs back with the
+    gtiff source, feed them into RegridStage's Equi7->Equi7 path (pure
+    affine, no geodesic work), and verify the nearest-gather against
+    direct block sampling of the source arrays."""
+    from equi7grid_ray.sources.gtiff_source import read_equi7_gtiff
+    from equi7grid_ray.stages.regrid import RegridStage
+
+    out, ar, files = _run(tmp_path, spec, ftilenames=["EU_E066N030T6"])
+    ds = read_equi7_gtiff(str(out))
+    rows = ds.to_pandas()
+    assert len(rows) == 1
+    r = rows.iloc[0]
+    src = read_gtiff(files[0]).array
+
+    # source tile center in the EU plane; target = the same tile at
+    # 2000 m (300x300), expressed as one (image x tile) pair row
+    cx = r["gt_x0"] + r["w"] / 2.0 * r["gt_sx"]
+    cy = r["gt_y0"] + r["h"] / 2.0 * r["gt_sy"]
+    pair = pa.table({
+        "image_id": pa.array([r["fname"]]),
+        "continent": pa.array(["EU"]),
+        "tile": pa.array(["EU_E066N030T6"]),
+        "ll_x": pa.array([6_600_000.0]),
+        "ll_y": pa.array([3_000_000.0]),
+        "bytes": pa.array([r["bytes"]], pa.binary()),
+        "w": pa.array([int(r["w"])], pa.int32()),
+        "h": pa.array([int(r["h"])], pa.int32()),
+        "fmt": pa.array(["raw"]),
+        "dtype": pa.array([r["dtype"]]),
+        "cx": pa.array([float(cx)]),
+        "cy": pa.array([float(cy)]),
+    })
+    spec2 = GridSpec.standard({"T6": 2000})
+    out2 = RegridStage(tiling_id="T6", spec=spec2, src_crs="equi7",
+                       src_res_m=1000.0, nodata=NODATA)(pair)
+    assert out2.num_rows == 1
+    wh = out2.column("win_h")[0].as_py()
+    ww = out2.column("win_w")[0].as_py()
+    assert (wh, ww) == (300, 300)  # full tile at 2000 m
+    px = np.frombuffer(out2.column("pixels")[0].as_py(),
+                       np.int16).reshape(wh, ww)
+    # nearest at 2x coarsening with quarter-pixel-aligned grids samples
+    # source pixel round(2k + 0.5) = every second pixel (banker's on
+    # the exact .5 tie -> even index)
+    want = src[::2, ::2][:300, :300]
+    assert np.array_equal(px, want)
