@@ -646,22 +646,26 @@ def decode_gtiff(buf: bytes | memoryview, ifd: int = 0) -> GTiffImage:
         raise ValueError(
             f"unsupported compression {comp} (none/lzw/deflate only)")
     planar = int(one(_T_PLANAR, 1))
-    if planar != 1:
-        raise ValueError("PlanarConfiguration 2 unsupported")
+    if planar not in (1, 2):
+        raise ValueError(f"PlanarConfiguration {planar} unsupported")
     predictor = int(one(_T_PREDICTOR, 1))
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
 
     tiled = _T_TILE_OFFSETS in t
     out = np.empty((h, w, bands), dtype=dtype.newbyteorder("="))
+    # PlanarConfig 2 (band-sequential): each chunk holds ONE band; the
+    # chunk list runs all of band 0's chunks, then band 1's, etc.
+    cpb = 1 if planar == 1 else bands  # samples per chunk divisor
 
     def chunk_array(raw: bytes, ch: int, cw: int) -> np.ndarray:
+        nb = bands if planar == 1 else 1
         if comp == 5:
             raw = _lzw_decode(raw)
         elif comp != 1:
             raw = zlib.decompress(raw)
-        a = np.frombuffer(raw, dtype=dtype, count=ch * cw * bands)
-        a = a.reshape(ch, cw, bands)
+        a = np.frombuffer(raw, dtype=dtype, count=ch * cw * nb)
+        a = a.reshape(ch, cw, nb)
         if predictor == 2:
             a = _undo_predictor2(a)
         return a
@@ -672,20 +676,34 @@ def decode_gtiff(buf: bytes | memoryview, ifd: int = 0) -> GTiffImage:
         offs = t[_T_TILE_OFFSETS][2]
         cnts = t[_T_TILE_COUNTS][2]
         tiles_across = (w + tw - 1) // tw
+        tiles_down = (h + th - 1) // th
+        per_band = tiles_across * tiles_down
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            ty = (i // tiles_across) * th
-            tx = (i % tiles_across) * tw
+            band0 = 0 if planar == 1 else i // per_band
+            j = i if planar == 1 else i % per_band
+            ty = (j // tiles_across) * th
+            tx = (j % tiles_across) * tw
             a = chunk_array(bytes(mv[o:o + c]), th, tw)
-            out[ty:ty + th, tx:tx + tw] = a[: h - ty, : w - tx]
+            if planar == 1:
+                out[ty:ty + th, tx:tx + tw] = a[: h - ty, : w - tx]
+            else:
+                out[ty:ty + th, tx:tx + tw, band0] = a[: h - ty, : w - tx, 0]
         block_shape = (th, tw)
     else:
         rps = int(one(_T_ROWS_PER_STRIP, h))
         offs = t[_T_STRIP_OFFSETS][2]
         cnts = t[_T_STRIP_COUNTS][2]
+        strips_per_band = (h + rps - 1) // rps
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            y = i * rps
+            band0 = 0 if planar == 1 else i // strips_per_band
+            j = i if planar == 1 else i % strips_per_band
+            y = j * rps
             rows = min(rps, h - y)
-            out[y:y + rows] = chunk_array(bytes(mv[o:o + c]), rows, w)
+            a = chunk_array(bytes(mv[o:o + c]), rows, w)
+            if planar == 1:
+                out[y:y + rows] = a
+            else:
+                out[y:y + rows, :, band0] = a[:, :, 0]
         block_shape = (rps, w)
 
     geotrans = None

@@ -287,3 +287,34 @@ def test_overview_pyramid_multi_ifd():
     assert np.array_equal(g1.array, want)
     with pytest.raises(ValueError, match="out of range"):
         decode_gtiff(buf, 3)
+
+
+def test_planar_config_2_read():
+    """Band-sequential (PlanarConfig=2) strip layout, hand-built: the
+    chunk list runs band 0's strips then band 1's (GDAL emits this for
+    INTERLEAVE=BAND files; the writer is pixel-interleaved only)."""
+    a = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    b0, b1 = a[0].tobytes(), a[1].tobytes()
+    n_entries = 10
+    base = 8 + 2 + n_entries * 12 + 4
+    voff1, voff2 = base, base + 8
+    data0 = voff2 + 8
+    data1 = data0 + len(b0)
+    entries = [
+        (256, 3, 1, struct.pack("<HH", 4, 0)),
+        (257, 3, 1, struct.pack("<HH", 3, 0)),
+        (258, 3, 1, struct.pack("<HH", 8, 0)),
+        (259, 3, 1, struct.pack("<HH", 1, 0)),
+        (273, 4, 2, struct.pack("<I", voff1)),
+        (277, 3, 1, struct.pack("<HH", 2, 0)),
+        (278, 4, 1, struct.pack("<I", 3)),
+        (279, 4, 2, struct.pack("<I", voff2)),
+        (284, 3, 1, struct.pack("<HH", 2, 0)),
+        (339, 3, 1, struct.pack("<HH", 1, 0)),
+    ]
+    buf = _tiff("<", entries,
+                struct.pack("<II", data0, data1)
+                + struct.pack("<II", len(b0), len(b1)) + b0 + b1)
+    g = decode_gtiff(buf)
+    assert g.array.shape == (2, 3, 4)
+    assert np.array_equal(g.array, a)
