@@ -268,6 +268,9 @@ def decode_jpeg(buf: bytes | memoryview,
                     f"{max_pixels} (decompression-bomb guard)")
             if int(fw) == 0 or int(fh) == 0 or nc == 0:
                 raise ValueError("degenerate SOF dimensions")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/YCCK) unsupported")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
