@@ -411,8 +411,6 @@ def get_overlapping_tiles(
         )
     if filepath is not None:
         if str(filepath).endswith((".tif", ".tiff")):
-            from equi7grid_ray.stages.regrid import SRC_RES_DEG as _unused  # noqa: F401
-
             g, src_crs, lon_c, lat_c, res, _nd = _gtiff_source_meta(filepath)
             a = g.array
             h, w = a.shape[-2], a.shape[-1]

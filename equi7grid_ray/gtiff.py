@@ -656,7 +656,6 @@ def decode_gtiff(buf: bytes | memoryview, ifd: int = 0) -> GTiffImage:
     out = np.empty((h, w, bands), dtype=dtype.newbyteorder("="))
     # PlanarConfig 2 (band-sequential): each chunk holds ONE band; the
     # chunk list runs all of band 0's chunks, then band 1's, etc.
-    cpb = 1 if planar == 1 else bands  # samples per chunk divisor
 
     def chunk_array(raw: bytes, ch: int, cw: int) -> np.ndarray:
         nb = bands if planar == 1 else 1
